@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": ...}
+
+Headline set spans the engine's main cost classes: scan+agg, broadcast star
+join, shuffle fact-fact join, window (dedup/session/SCD2), rollup, and the
+north-star text/embedding ops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q_revenue_daily",
+    "q_join_star_orders",
+    "q_join_payments_orders",
+    "q_topn_orgs",
+    "q_rollup",
+    "q_dedup_latest",
+    "q_sessionize",
+    "q_scd2_build",
+    "q_asof_payment",
+    "q_funnel",
+    "q_stream_tumbling",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_similarity",
+    "q_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as ent
+    from saas_analytics_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = ent.queries()
+
+    def run(df) -> None:
+        # noop sink: forces FULL computation of every column (a bare count()
+        # would let Catalyst prune the aggregate payload columns)
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm the JVM + parquet footers once (not timed)
+    run(qs["q_revenue_daily"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

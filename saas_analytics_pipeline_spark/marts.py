@@ -1,0 +1,411 @@
+"""Mart layer: revenue / funnel / operations / seasonality marts.
+
+The reference declares revenue, funnel, operations and attribution marts
+(`/root/reference/README.md:9,38-40`) built over the staged entities. Facts
+here are orders/lineitem (money) and events (behavioral); dims are
+customer/nation/region.
+
+Scale notes (100 TB): every mart is groupBy/window over a pre-filtered,
+column-pruned scan — one shuffle per distinct grouping key. Partial
+aggregation (map-side combine) is automatic for the hash aggregates.
+Cumulative/window marts shuffle once on the partition key. Marts would be
+written `partitionBy(order_date)` at scale (see plans/writers.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from saas_analytics_pipeline_spark.functions import money, money_sum
+from saas_analytics_pipeline_spark.qcatalog import query
+from saas_analytics_pipeline_spark.registry import REGISTRY, Materialization
+from saas_analytics_pipeline_spark.sources import load_table
+
+NET_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
+)
+
+
+def net_price() -> F.Column:
+    """Exact-decimal net revenue per line: price * (1 - discount)."""
+    return money("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+
+
+# --------------------------------------------------------------------------
+# registry models (marts are TABLE materializations, dbt_project.yml:26-43)
+# --------------------------------------------------------------------------
+@REGISTRY.model(
+    "mart_revenue_daily",
+    layer="marts",
+    materialization=Materialization.TABLE,
+    depends_on=("stg_orders",),
+    description="gross revenue by customer x day",
+)
+def mart_revenue_daily(spark: SparkSession, ref) -> DataFrame:
+    o = ref("stg_orders")
+    return o.groupBy("o_custkey", F.col("o_orderdate").alias("order_date")).agg(
+        F.sum("o_totalprice").cast("double").alias("gross_revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# driver-facing queries
+# --------------------------------------------------------------------------
+@query(
+    "q_revenue_daily",
+    oracle="""
+    SELECT o_custkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_revenue_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue mart: gross by customer x day (ref: README.md:9,38; money
+    components data_gen/generate_and_load_script.py:133-146). Exact decimal
+    sums -> double; single hash-aggregate shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("order_date")
+    ).agg(
+        money_sum("o_totalprice", "gross_revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "q_running_rev",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_custkey, order_date,
+           CAST(day_rev AS DOUBLE) AS day_rev,
+           CAST(SUM(day_rev) OVER (PARTITION BY o_custkey ORDER BY order_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS cum_rev
+    FROM daily
+    """,
+)
+def q_running_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer over days (ref: README.md:9,38).
+    Aggregate to daily grain first so the running frame is deterministic,
+    then one window shuffle on the customer key."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("order_date")
+    ).agg(F.sum(money("o_totalprice")).alias("day_rev_dec"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "o_custkey",
+        "order_date",
+        F.col("day_rev_dec").cast("double").alias("day_rev"),
+        F.sum("day_rev_dec").over(w).cast("double").alias("cum_rev"),
+    )
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+           COALESCE(n.n_name, 'ALL') AS nation_name,
+           GROUPING(r.r_name, n.n_name) AS lvl,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain rollup region -> nation -> total (ref: 'rollups'
+    README.md:39). Dims broadcast; Spark expands grouping sets in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id("r_name", "n_name").alias("lvl"),
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice", "revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "lvl",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "q_seasonality",
+    oracle="""
+    SELECT EXTRACT(month FROM o_orderdate) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_order_value
+    FROM orders GROUP BY 1
+    """,
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal demand by calendar month (ref: pseudo_code_rules.txt:21-29)."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = F.sum(money("o_totalprice")).cast("double")
+    return o.groupBy(F.month("o_orderdate").alias("order_month")).agg(
+        F.count("*").alias("n_orders"),
+        rev.alias("revenue"),
+        (rev / F.count("*")).alias("avg_order_value"),
+    )
+
+
+@query(
+    "q_distinct_count",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           COUNT(DISTINCT user_id) AS dau,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU-style distinct counts per day (ref: operations mart README.md:9).
+    Exact here for the oracle; see q_approx_distinct for the 100 TB path."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query("q_approx_distinct", oracle=None)  # sketch output: rows-only check
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) twin of q_distinct_count — the variant
+    that scales: no per-key distinct shuffle, mergeable sketches, constant
+    memory. At 100 TB exact DISTINCT over user_id is a full shuffle of the
+    fact table; HLL is one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
+        F.approx_count_distinct("user_id", 0.01).alias("dau_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q_topn_orgs",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_mktsegment, c.c_custkey,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+               COUNT(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, c_custkey,
+           CAST(rev_dec AS DOUBLE) AS revenue, n_orders, rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                    ORDER BY rev_dec DESC, c_custkey ASC) AS rnk
+        FROM rev
+    ) WHERE rnk <= 3
+    """,
+)
+def q_topn_orgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N customers by revenue per segment (ref: revenue mart README.md:9;
+    skew rule pseudo_code_rules.txt:3). Deterministic tie-break (rev desc,
+    custkey asc); decimal revenue so rank order is engine-identical. The
+    window input is the aggregated (segment, customer) grain — small — never
+    the raw fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.sum(money("o_totalprice")).alias("rev_dec"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("rev_dec"), F.asc("c_custkey")
+    )
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "n_orders",
+            "rnk",
+        )
+    )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s_view,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s_click,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           SUM(s_view) AS n_view,
+           SUM(CASE WHEN s_view = 1 AND s_click = 1 THEN 1 ELSE 0 END)
+               AS n_view_click,
+           SUM(CASE WHEN s_view = 1 AND s_click = 1 AND s_purchase = 1 THEN 1
+               ELSE 0 END) AS n_view_click_purchase
+    FROM per_user
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel mart view -> click -> purchase (ref: README.md:9,38; event
+    types data_gen/generate_and_load_script.py:165). Conditional aggregation:
+    one shuffle on user_id, then a tiny global agg."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(t: str) -> F.Column:
+        return F.max(F.when(F.col("event_type") == t, 1).otherwise(0))
+
+    per_user = ev.groupBy("user_id").agg(
+        stage("view").alias("s_view"),
+        stage("click").alias("s_click"),
+        stage("purchase").alias("s_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum("s_view").alias("n_view"),
+        F.sum(
+            F.when((F.col("s_view") == 1) & (F.col("s_click") == 1), 1).otherwise(0)
+        ).alias("n_view_click"),
+        F.sum(
+            F.when(
+                (F.col("s_view") == 1)
+                & (F.col("s_click") == 1)
+                & (F.col("s_purchase") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("n_view_click_purchase"),
+    )
+
+
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT src, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+    FROM (
+        SELECT 'y1995' AS src, l_extendedprice FROM lineitem
+        WHERE EXTRACT(year FROM l_shipdate) = 1995
+        UNION ALL
+        SELECT 'y1996' AS src, l_extendedprice FROM lineitem
+        WHERE EXTRACT(year FROM l_shipdate) = 1996
+    ) GROUP BY src
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two slices (ref: example/my_first_dbt_model.sql:12-18)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.year("l_shipdate") == 1995).select(
+        F.lit("y1995").alias("src"), "l_extendedprice"
+    )
+    b = li.where(F.year("l_shipdate") == 1996).select(
+        F.lit("y1996").alias("src"), "l_extendedprice"
+    )
+    return a.unionByName(b).groupBy("src").agg(
+        F.count("*").alias("n"),
+        money_sum("l_extendedprice", "gross"),
+    )
+
+
+@query(
+    "q_late_rate",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE
+               epoch(ts + to_seconds(CAST(json_extract_string(props,'$.k') AS INTEGER)))
+               - epoch(ts) > 60) AS n_late,
+           CAST(COUNT(*) FILTER (WHERE
+               epoch(ts + to_seconds(CAST(json_extract_string(props,'$.k') AS INTEGER)))
+               - epoch(ts) > 60) AS DOUBLE) / COUNT(*) AS late_rate
+    FROM events GROUP BY event_type
+    """,
+)
+def q_late_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival share per type (ref: README.md:57; lateness generated
+    data_gen/generate_and_load_script.py:162). received_ts is synthesized as
+    ts + k seconds (props.k) since testdata has a single timestamp; the
+    metric shape — epoch-diff vs threshold — is the contract."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    received = F.timestamp_add("SECOND", k, F.col("ts"))
+    late = (F.unix_timestamp(received) - F.unix_timestamp("ts")) > 60
+    n_late = F.count(F.when(late, 1))
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        n_late.alias("n_late"),
+        (n_late.cast("double") / F.count("*")).alias("late_rate"),
+    )
+
+
+@query(
+    "q_skew_check",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT n_orders,
+               PERCENT_RANK() OVER (ORDER BY n_orders DESC, o_custkey ASC) AS pr
+        FROM per_cust
+    )
+    SELECT COUNT(*) AS n_customers,
+           SUM(n_orders) AS total_orders,
+           SUM(CASE WHEN pr <= 0.05 THEN n_orders ELSE 0 END) AS top5pct_orders,
+           CAST(SUM(CASE WHEN pr <= 0.05 THEN n_orders ELSE 0 END) AS DOUBLE)
+               / SUM(n_orders) AS top5pct_share
+    FROM ranked
+    """,
+)
+def q_skew_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validate the skew invariant: share of orders held by the top 5% of
+    customers (ref: pseudo_code_rules.txt:2-10). Window over the aggregated
+    per-customer grain, not the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    w = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+    ranked = per_cust.withColumn("pr", F.percent_rank().over(w))
+    top = F.sum(F.when(F.col("pr") <= 0.05, F.col("n_orders")).otherwise(0))
+    return ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("n_orders").alias("total_orders"),
+        top.alias("top5pct_orders"),
+        (top.cast("double") / F.sum("n_orders")).alias("top5pct_share"),
+    )

@@ -1,0 +1,301 @@
+"""Document deduplication: exact, MinHash-LSH, n-gram Jaccard, SimHash.
+
+North-star extensions (BASELINE.json): training-data dedup over the
+`documents` table. All hashing goes through the engine-portable
+hash60 (md5-prefix) so the DuckDB oracle replays signatures bit-for-bit.
+
+Scale notes (100 TB):
+- exact dedup: hash-groupBy on a 60-bit content hash — one shuffle of
+  (hash, id), never of the text payload.
+- MinHash: signatures are computed scan-side (explode shingles -> min per
+  permutation is a partial-aggregable min). LSH banding turns all-pairs
+  O(n^2) into per-bucket candidate generation; only candidates get the exact
+  Jaccard verification. Band width / row count trade recall vs candidates.
+- per-permutation hashing uses hash60(j || shingle) — no (a*h+b) mod p
+  arithmetic, so no int64-overflow modmul and it stays oracle-replayable.
+- SimHash: 16-bit per-token-bit majority — explode(token) x bit is shuffled
+  as (doc, bit) partial sums; at scale compute the 16 partial sums in one
+  aggregation pass with conditional sums instead (same plan here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from saas_analytics_pipeline_spark.functions import hash60, hash60_sql
+from saas_analytics_pipeline_spark.qcatalog import query
+from saas_analytics_pipeline_spark.sources import load_table
+
+N_PERM = 16  # minhash permutations
+N_BANDS = 4  # LSH bands (4 rows per band)
+SHINGLE_W = 3  # word-shingle width
+
+
+def shingles(col: str = "text") -> F.Column:
+    """Word 3-gram shingles as an array column (JVM-side, no UDF)."""
+    return F.expr(
+        f"""
+        transform(
+            sequence(1, greatest(size(split({col}, ' ')) - {SHINGLE_W - 1}, 1)),
+            i -> concat_ws(' ', slice(split({col}, ' '), i, {SHINGLE_W}))
+        )
+        """
+    )
+
+
+SHINGLES_SQL = f"""
+        list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - {SHINGLE_W - 2}, 2)),
+            i -> array_to_string(string_split(text, ' ')[i:i+{SHINGLE_W - 1}], ' ')
+        )
+"""
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, perm j, minhash_j): min over shingles of hash60(j||shingle)."""
+    exploded = docs.select(
+        "doc_id", F.explode(shingles()).alias("shingle")
+    ).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_PERM - 1))).alias("j"),
+        "shingle",
+    )
+    return exploded.groupBy("doc_id", "j").agg(
+        F.min(hash60(F.concat_ws("|", F.col("j"), F.col("shingle")))).alias("mh")
+    )
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    WITH hashed AS (SELECT doc_id, md5(text) AS h, source FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT h) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT h) AS n_dupes
+    FROM hashed GROUP BY source
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash (hash-groupBy; the id/hash pair is all
+    that shuffles — at 100 TB the text never moves)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("source", F.md5("text").alias("h")).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        (F.count("*") - F.countDistinct("h")).alias("n_dupes"),
+    )
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=f"""
+    WITH exploded AS (
+        SELECT doc_id, j.j AS j, unnest({SHINGLES_SQL}) AS shingle
+        FROM documents, (SELECT unnest(range({N_PERM})) AS j) AS j
+        WHERE doc_id % 10 = 0
+    ),
+    sig AS (
+        SELECT doc_id, j,
+               MIN({hash60_sql("j || '|' || shingle")}) AS mh
+        FROM exploded GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           md5(string_agg(CASE WHEN j < 4 THEN CAST(mh AS VARCHAR) END, ','
+               ORDER BY j)) AS band0,
+           md5(string_agg(CASE WHEN j >= 4 AND j < 8 THEN CAST(mh AS VARCHAR) END,
+               ',' ORDER BY j)) AS band1,
+           md5(string_agg(CASE WHEN j >= 8 AND j < 12 THEN CAST(mh AS VARCHAR) END,
+               ',' ORDER BY j)) AS band2,
+           md5(string_agg(CASE WHEN j >= 12 THEN CAST(mh AS VARCHAR) END, ','
+               ORDER BY j)) AS band3
+    FROM sig GROUP BY doc_id
+    """,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + LSH band keys per document (subset doc_id%10=0
+    to bound oracle cost). Near-dup candidates are docs sharing any band key
+    — see near_dup_pairs() for the full candidate->verify pipeline."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    sig = minhash_signatures(docs)
+
+    def band(b: int) -> F.Column:
+        lo, hi = b * 4, b * 4 + 4
+        in_band = F.when(
+            (F.col("j") >= lo) & (F.col("j") < hi), F.col("mh").cast("string")
+        )
+        # order-stable concat: collect (j, mh) sorted by j
+        return F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                (F.col("j") >= lo) & (F.col("j") < hi),
+                                F.struct("j", "mh"),
+                            )
+                        )
+                    ),
+                    lambda s: s["mh"].cast("string"),
+                ),
+            )
+        )
+
+    return sig.groupBy("doc_id").agg(
+        band(0).alias("band0"),
+        band(1).alias("band1"),
+        band(2).alias("band2"),
+        band(3).alias("band3"),
+    )
+
+
+def near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.7) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
+    candidate pairs -> exact Jaccard verify. Returns (a, b, jaccard).
+
+    This is the 100 TB path: candidates come only from shared LSH buckets
+    (groupBy band key), and the exact verification joins shingle sets for
+    candidate pairs only."""
+    sig = minhash_signatures(docs)
+    bands = sig.withColumn("band", (F.col("j") / 4).cast("int")).groupBy(
+        "doc_id", "band"
+    ).agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+            )
+        ).alias("bucket")
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    sh = docs.select("doc_id", F.explode(F.array_distinct(shingles())).alias("s"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("b") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return (
+        inter.join(sizes.alias("za"), F.col("a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("b") == F.col("zb.doc_id"))
+        .select(
+            "a",
+            "b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=f"""
+    WITH subset AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+    sh AS (
+        SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS s FROM subset
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.a, i.b,
+           CAST(i.n_inter AS DOUBLE)
+               / (za.n_sh + zb.n_sh - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes za ON i.a = za.doc_id
+    JOIN sizes zb ON i.b = zb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.01
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise n-gram Jaccard via shingle inverted index (subset
+    doc_id%50=0). The inverted-index join IS the scalable form of pairwise
+    similarity — pairs only materialize for docs sharing a shingle."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles())).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "s")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = (
+        F.col("n_inter").cast("double")
+        / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("b") == F.col("zb.doc_id"))
+        .select("a", "b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.01)
+    )
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    bits AS (
+        SELECT doc_id, b.b AS b,
+               SUM(CASE WHEN ({hash60_sql("tok")} >> b.b) & 1 = 1
+                        THEN 1 ELSE -1 END) AS w
+        FROM toks, (SELECT unnest(range(16)) AS b) AS b
+        GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN w > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash16
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (subset doc_id%10=0): per-bit majority
+    vote over token hash bits. Near-dups = small Hamming distance; with 16
+    bits the signature itself is the bucketing key at scale."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    bits = (
+        toks.select("doc_id", hash60("tok").alias("h"))
+        .select(
+            "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b")
+        )
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1)
+            ).alias("w")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("w") > 0, F.expr("shiftleft(1, b)")).otherwise(0))
+        .cast("long")
+        .alias("simhash16")
+    )

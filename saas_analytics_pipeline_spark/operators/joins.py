@@ -1,0 +1,302 @@
+"""Join operators: FK enrich, star, anti/semi, fx, as-of, skew-resilient.
+
+The reference pins join semantics through dbt `relationships` tests
+(`/root/reference/models/schema.yml:30-73,86-90,108-117`) and generated FKs
+(`/root/reference/data_gen/generate_and_load_script.py:83,117-119,131`).
+
+Scale notes (100 TB):
+- Dim joins (nation/region/customer-at-small-SF) are broadcast — no shuffle
+  of the fact side. `F.broadcast` is explicit where the dim is known-small;
+  AQE converts others at runtime.
+- The fact-fact join (lineitem x orders) shuffles both sides on the key;
+  AQE skew-join splits oversized partitions (the reference's top-5%-orgs
+  skew, pseudo_code_rules.txt:2-10). For repeated co-located joins, bucket
+  both tables on the key at write time (plans/writers.py).
+- The as-of join is implemented as union + window (sort-merge within key
+  partitions), NOT as a range cross-join — the range join explodes at scale,
+  the union-window is one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from saas_analytics_pipeline_spark.functions import money, money_sum
+from saas_analytics_pipeline_spark.qcatalog import query
+from saas_analytics_pipeline_spark.sources import load_table
+
+
+@query(
+    "q_join_fk_users_orgs",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_fk_users_orgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK equi-join child->parent dim (ref: relationships test
+    models/schema.yml:30-35). Dim side broadcast: zero shuffle of the child."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            money_sum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+@query(
+    "q_join_star_orders",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_join_star_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join fact -> 3 dims (ref: relationships models/schema.yml:59-73).
+    All dims broadcast; the fact is scanned once, never shuffled pre-agg."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice", "revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_payments_orders",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+               AS net_revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_join_payments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact 1:N join (ref: payments->orders models/schema.yml:86-90,
+    sampled with replacement :131). Shuffle join on the key; AQE balances
+    partitions at runtime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = money("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(net).cast("double").alias("net_revenue"),
+        )
+    )
+
+
+@query(
+    "q_anti_orphans",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity anti-join: keys with no counterpart (ref:
+    relationships test semantics, models/schema.yml:32-35). Here: customers
+    who never ordered (the orphan direction that returns rows)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_semi_paid_orders",
+    oracle="""
+    SELECT o.o_orderstatus, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_semi_paid_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join: orders having >=1 line/payment (ref: payment recon
+    needs it, README.md:56). left_semi never duplicates the left side."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+FX_RATES: list[tuple[str, str]] = [
+    # region -> USD rate (seed analogue of fx_rates.csv, README.md:23)
+    ("AFRICA", "1.0800"),
+    ("AMERICA", "1.0000"),
+    ("ASIA", "0.8900"),
+    ("EUROPE", "1.1200"),
+    ("MIDDLE EAST", "0.9500"),
+]
+
+
+@query(
+    "q_fx_join",
+    oracle="""
+    SELECT r.r_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))
+                    * CAST(fx.rate AS DECIMAL(8,4))) AS DOUBLE) AS revenue_usd,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN (VALUES ('AFRICA', '1.0800'), ('AMERICA', '1.0000'),
+                 ('ASIA', '0.8900'), ('EUROPE', '1.1200'),
+                 ('MIDDLE EAST', '0.9500')) AS fx(r_name, rate)
+      ON r.r_name = fx.r_name
+    GROUP BY r.r_name
+    """,
+)
+def q_fx_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Currency normalization against a broadcast seed (ref: fx_rates.csv
+    seed README.md:23; multi-currency data_gen/generate_and_load_script.py:
+    122). Exact decimal rate multiply; seed is broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    fx = spark.createDataFrame(FX_RATES, "r_name string, rate string").select(
+        "r_name", F.col("rate").cast("decimal(8,4)").alias("rate")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(fx), "r_name")
+        .groupBy("r_name")
+        .agg(
+            F.sum(money("o_totalprice") * F.col("rate"))
+            .cast("double")
+            .alias("revenue_usd"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_asof_payment",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind,
+               CASE WHEN event_type = 'view' THEN event_id END AS view_id,
+               CASE WHEN event_type = 'view' THEN ts END AS view_ts,
+               event_type
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    matched AS (
+        SELECT *,
+               LAST_VALUE(view_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_id,
+               LAST_VALUE(view_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_ts
+        FROM tagged
+    )
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+           asof_view_id, asof_view_ts,
+           date_diff('second', asof_view_ts, ts) AS gap_seconds
+    FROM matched WHERE event_type = 'purchase'
+    """,
+)
+def q_asof_payment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each purchase matched to the latest view at or
+    before it, per user (ref: payment ts within 24h of order ts,
+    data_gen/generate_and_load_script.py:142 — same backward-match shape).
+
+    Implemented as union + last_value(ignoreNulls) window — ONE shuffle on
+    user_id, no range cross-join — this is the form that survives 100 TB.
+    Ties: a view at the same ts sorts before the purchase (kind 0 < 1)."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("kind"),
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("view_id"),
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"),
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = tagged.withColumn(
+        "asof_view_id", F.last("view_id", ignorenulls=True).over(w)
+    ).withColumn("asof_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+    return matched.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "asof_view_id",
+        "asof_view_ts",
+        (F.unix_timestamp("ts") - F.unix_timestamp("asof_view_ts")).alias(
+            "gap_seconds"
+        ),
+    )
+
+
+@query(
+    "q_skew_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient join (ref: top-5%-orgs-own-50%-of-orders,
+    pseudo_code_rules.txt:2-10; README.md:7). Semantics are a plain equi-join;
+    the resilience is physical: AQE skewJoin splits hot partitions at runtime
+    (session.py) and operators/skew.py provides explicit salting when AQE
+    can't apply (e.g. under bucketed joins)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice", "revenue"),
+        )
+    )

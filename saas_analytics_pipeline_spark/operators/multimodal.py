@@ -1,0 +1,138 @@
+"""Multimodal columns: binary payloads + typed metadata + Pandas-UDF decode.
+
+North-star extension (BASELINE.json): treat image/audio/video as opaque
+`binary` columns with typed metadata, and run decode / feature-extract as
+Arrow-batched pandas over mapInPandas. The container has no codec libraries,
+so the *decode* step is a clearly-marked stub (NotImplementedError for real
+codecs, a deterministic byte-level extractor as the testable fake); the
+Spark-side plumbing — schema, batch iteration, partitioning — is real.
+
+Scale notes (100 TB of media): payload bytes stay columnar in parquet and
+flow to Python via Arrow record batches (mapInPandas), never row-at-a-time.
+Batch size is bounded by spark.sql.execution.arrow.maxRecordsPerBatch so a
+partition of large blobs doesn't OOM the worker. Feature extraction emits a
+NARROW schema (drop the payload) so only features shuffle downstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from saas_analytics_pipeline_spark.qcatalog import query
+from saas_analytics_pipeline_spark.sources import load_table
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, first_byte int, n_tokens int, format string"
+)
+
+
+def build_media_frame(docs: DataFrame) -> DataFrame:
+    """Synthesize a multimodal frame from documents: payload = utf-8 bytes
+    of the text (stand-in for image/audio bytes), metadata struct alongside.
+    In production this is `spark.read.format('binaryFile')` or a parquet
+    lake with a binary column."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.length(F.encode("text", "UTF-8")).alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+            F.col("lang").alias("lang"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_media(payload: bytes, mime: str) -> Any:
+    """Real-codec decode entry point — STUB.
+
+    Image/audio/video decoding needs libs (PIL, librosa, av) absent from
+    this container. The Spark plumbing calls extract_features below, which
+    uses only byte-level operations; swap this in when codecs exist."""
+    raise NotImplementedError(
+        f"no codec available for {mime!r}; install PIL/librosa/av and "
+        "implement decode_media for real media types"
+    )
+
+
+def _extract_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: deterministic byte-level feature extraction.
+    Arrow batches in, narrow feature rows out (payload dropped)."""
+    for pdf in it:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "first_byte": payloads.map(
+                    lambda b: b[0] if len(b) else -1
+                ).astype("int32"),
+                "n_tokens": payloads.map(
+                    lambda b: len(b.split(b" "))
+                ).astype("int32"),
+                "format": pdf["media_meta"].map(lambda m: m["mime"]),
+            }
+        )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column."""
+    return media.mapInPandas(_extract_batch, schema=FEATURE_SCHEMA)
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT md5(text)) AS n_unique_payloads
+    FROM documents GROUP BY source
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata rollup: payload sizes + content hashes per
+    source — all JVM-side (length/md5 work directly on binary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = build_media_frame(docs)
+    return media.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("payload")).cast("long").alias("total_bytes"),
+        F.countDistinct(F.md5("payload")).alias("n_unique_payloads"),
+    )
+
+
+@query(
+    "q_multimodal_features",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               ascii(substr(text, 1, 1)) AS first_byte,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(first_byte) AS BIGINT) AS first_byte_sum
+    FROM f
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF (mapInPandas) feature extraction over binary payloads,
+    verified against a pure-SQL oracle computing the same byte-level
+    features from the source text — proves the Arrow plumbing is lossless."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(build_media_frame(docs))
+    return feats.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("first_byte").cast("long").alias("first_byte_sum"),
+    )

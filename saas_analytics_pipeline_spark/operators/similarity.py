@@ -1,0 +1,224 @@
+"""Embedding similarity search: brute-force cosine top-k + cell-pruned ANN.
+
+North-star extensions (BASELINE.json) over the `embeddings` table
+(embedding: array<float>, 64-dim; label: int).
+
+All dot products run JVM-side via zip_with/aggregate — no Python UDF in the
+hot path. Sums are explicit left-to-right double folds so the DuckDB oracle
+(sequential list_sum) reproduces them bit-for-bit.
+
+Scale notes (100 TB):
+- brute force is O(Q x N): fine for small query sets (the baseline and the
+  recall oracle). The query set is broadcast; the corpus is never shuffled —
+  score map-side, then per-query top-k via aggregate-style window on the
+  (tiny) candidate set.
+- the ANN variant prunes by coarse cell (IVF-style): score only within the
+  query's cell -> N/cells work per query. Here the cell assignment is the
+  pre-assigned `label` (deterministic, so the oracle can replay it); in
+  production the cells come from a k-means fit or LSH of the vector.
+- top-k uses row_number over (score desc, id asc) on the scored subset, not
+  a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from saas_analytics_pipeline_spark.qcatalog import query
+from saas_analytics_pipeline_spark.sources import load_table
+
+N_QUERIES = 5
+TOP_K = 10
+
+# exact sequential double fold: deterministic across engines
+DOT_EXPR = """
+    aggregate(
+        zip_with(q_emb, c_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+"""
+NORM_EXPR = """
+    sqrt(aggregate(
+        transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+"""
+
+DOT_SQL = """
+    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+"""
+
+
+def _norm_sql(alias: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform({alias}.embedding, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+
+
+def cosine_topk(
+    queries_df: DataFrame, corpus: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast queries x corpus, JVM-side math.
+
+    queries_df/corpus: (vec_id, embedding). Returns
+    (query_id, vec_id, cos, rnk)."""
+    q = queries_df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = corpus.select(F.col("vec_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.expr(DOT_EXPR)
+                / (
+                    F.expr(NORM_EXPR.format(col="q_emb"))
+                    * F.expr(NORM_EXPR.format(col="c_emb"))
+                )
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos", 6).alias("cos_r"),
+            "rnk",
+        )
+    )
+
+
+@query(
+    "q_similarity",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               {DOT_SQL} / ({_norm_sql('q')} * {_norm_sql('c')}) AS cos
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, vec_id, round(cos, 6) AS cos_r, rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def q_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{TOP_K} for {N_QUERIES} query vectors — the
+    exact baseline every ANN variant is measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.where(F.col("vec_id") < N_QUERIES), emb)
+
+
+@query(
+    "q_similarity_ann",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               {DOT_SQL} / ({_norm_sql('q')} * {_norm_sql('c')}) AS cos
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+          AND q.label = c.label
+    )
+    SELECT query_id, vec_id, round(cos, 6) AS cos_r, rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style cell-pruned ANN: search only the query's coarse cell
+    (cell = pre-assigned label; deterministic for the oracle). At scale:
+    corpus partitioned by cell -> per-query work is N/cells; recall traded
+    via n_probe cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.select("vec_id", F.col("embedding").alias("c_emb"), "label")
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_label") == F.col("label"))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.expr(DOT_EXPR)
+                / (
+                    F.expr(NORM_EXPR.format(col="q_emb"))
+                    * F.expr(NORM_EXPR.format(col="c_emb"))
+                )
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos_r"), "rnk")
+    )
+
+
+@query(
+    "q_dedup_embed",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb,
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / ({_norm_sql('a')} * {_norm_sql('b')}) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT COUNT(*) AS n_pairs_checked,
+           COUNT(*) FILTER (WHERE cos >= 0.95) AS n_near_dup,
+           round(MAX(cos), 6) AS max_cos
+    FROM pairs
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, blocked by cell so only
+    same-cell pairs are scored (the standard scale trick: block, then score
+    within blocks)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("la"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("lb"),
+    )
+    pairs = a.join(
+        b, (F.col("la") == F.col("lb")) & (F.col("ida") < F.col("idb"))
+    ).select(
+        (
+            F.expr(DOT_EXPR)
+            / (
+                F.expr(NORM_EXPR.format(col="q_emb"))
+                * F.expr(NORM_EXPR.format(col="c_emb"))
+            )
+        ).alias("cos")
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs_checked"),
+        F.count(F.when(F.col("cos") >= 0.95, 1)).alias("n_near_dup"),
+        F.round(F.max("cos"), 6).alias("max_cos"),
+    )

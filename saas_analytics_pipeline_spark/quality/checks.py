@@ -1,0 +1,247 @@
+"""Declarative data-quality framework (dbt generic tests, Spark-native).
+
+dbt semantics (`/root/reference/models/schema.yml` passim): every test
+compiles to a query returning VIOLATING rows; pass <=> 0 rows. We keep that
+contract: each builder returns a DataFrame of violations, and `run_checks`
+evaluates a whole suite. Implemented generics: unique, not_null,
+relationships, accepted_values (all used in the reference schema.yml) plus
+source freshness (`models/schema.yml:14`, warn_after 24h) and the custom DQ
+checks the reference lists at README.md:54-59.
+
+Scale notes: unique is one hash-agg on the key; relationships is a broadcast
+or shuffle anti-join; accepted_values/not_null are scan-local filters.
+Violation frames are lazy — a suite over N tables with M tests plans M
+independent jobs that share scans via the parquet cache, and at 100 TB you'd
+`.limit()` the violation samples rather than collecting them all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from saas_analytics_pipeline_spark.functions import money
+from saas_analytics_pipeline_spark.qcatalog import query
+from saas_analytics_pipeline_spark.sources import TABLES, load_table
+
+
+# --------------------------------------------------------------------------
+# generic test builders: DataFrame -> violations DataFrame
+# --------------------------------------------------------------------------
+def unique(df: DataFrame, *cols: str) -> DataFrame:
+    """Rows violating a uniqueness contract: keys seen more than once."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count("*").alias("n_dup"))
+        .where(F.col("n_dup") > 1)
+    )
+
+
+def not_null(df: DataFrame, *cols: str) -> DataFrame:
+    cond = None
+    for c in cols:
+        cur = F.col(c).isNull()
+        cond = cur if cond is None else (cond | cur)
+    return df.where(cond)
+
+
+def relationships(child: DataFrame, child_key: str, parent: DataFrame, parent_key: str) -> DataFrame:
+    """FK violations: child keys with no parent (dbt relationships test)."""
+    return (
+        child.where(F.col(child_key).isNotNull())
+        .join(parent, F.col(child_key) == parent[parent_key], "left_anti")
+    )
+
+
+def accepted_values(df: DataFrame, col: str, values: list) -> DataFrame:
+    return df.where(~F.col(col).isin(values) | F.col(col).isNull())
+
+
+def freshness(
+    df: DataFrame, loaded_at: str, now: str, warn_after_hours: int = 24
+) -> DataFrame:
+    """Source freshness: one row per status (dbt source freshness,
+    models/schema.yml:14). `now` is supplied (no wall-clock in queries)."""
+    age_h = (
+        F.unix_timestamp(F.lit(now).cast("timestamp"))
+        - F.unix_timestamp(F.max(loaded_at))
+    ) / 3600.0
+    return df.agg(
+        F.max(loaded_at).alias("max_loaded_at"),
+        age_h.alias("age_hours"),
+        F.when(age_h > warn_after_hours, F.lit("warn"))
+        .otherwise(F.lit("pass"))
+        .alias("status"),
+    )
+
+
+@dataclass
+class CheckResult:
+    name: str
+    violations: int
+    passed: bool
+
+
+def run_checks(checks: dict[str, DataFrame]) -> list[CheckResult]:
+    """Evaluate a named suite of violation frames (dbt build's test phase)."""
+    out = []
+    for name, df in checks.items():
+        n = df.count()
+        out.append(CheckResult(name, n, n == 0))
+    return out
+
+
+def standard_suite(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The reference's schema.yml contract re-expressed over the testdata."""
+    t = {n: load_table(spark, sf_dir, n) for n in TABLES}
+    return {
+        "unique_orders_pk": unique(t["orders"], "o_orderkey"),
+        "unique_customer_pk": unique(t["customer"], "c_custkey"),
+        "unique_events_pk": unique(t["events"], "event_id"),
+        "not_null_orders": not_null(t["orders"], "o_orderkey", "o_custkey"),
+        "not_null_lineitem": not_null(t["lineitem"], "l_orderkey", "l_quantity"),
+        "rel_orders_customer": relationships(
+            t["orders"], "o_custkey", t["customer"], "c_custkey"
+        ),
+        "rel_lineitem_orders": relationships(
+            t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"
+        ),
+        "rel_customer_nation": relationships(
+            t["customer"], "c_nationkey", t["nation"], "n_nationkey"
+        ),
+        "accepted_orderstatus": accepted_values(
+            t["orders"], "o_orderstatus", ["F", "O", "P"]
+        ),
+    }
+
+
+def known_dirty_suite(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Checks with KNOWN-POSITIVE targets: the generator injects defects on
+    purpose (dup rule, pseudo_code_rules.txt:39-47) so these must find rows
+    — the reference's adversarial-synthetic-data strategy (SURVEY.md 5.5)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return {
+        "dup_lineitem_pk": unique(li, "l_orderkey", "l_linenumber"),
+    }
+
+
+# --------------------------------------------------------------------------
+# driver-facing queries
+# --------------------------------------------------------------------------
+@query(
+    "q_uniqueness",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS n_dup
+    FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+    """,
+)
+def q_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-key detection (ref: unique tests models/schema.yml:17,29...;
+    dup injection pseudo_code_rules.txt:39-47). l_orderkey alone is
+    deliberately non-unique so the check has positives."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return unique(li, "l_orderkey")
+
+
+@query(
+    "q_payment_recon",
+    oracle="""
+    WITH line_tot AS (
+        SELECT l_orderkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS line_total
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT
+        COUNT(*) AS n_orders,
+        COUNT(*) FILTER (WHERE line_total IS NULL) AS n_unmatched,
+        COUNT(*) FILTER (WHERE line_total IS NOT NULL
+            AND abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - line_total) > 1.0)
+            AS n_mismatch,
+        CAST(SUM(abs(CAST(o.o_totalprice AS DECIMAL(18,2))
+                     - COALESCE(line_total, 0))) AS DOUBLE) AS total_abs_diff
+    FROM orders o LEFT JOIN line_tot lt ON o.o_orderkey = lt.l_orderkey
+    """,
+)
+def q_payment_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation orders ~ payments (ref: README.md:56,66): partial
+    aggregate each side FIRST, then join the small aggregates — never join
+    the raw facts. Tolerance 1.00."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = money("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+    line_tot = li.groupBy("l_orderkey").agg(F.sum(net).alias("line_total"))
+    joined = o.join(line_tot, o.o_orderkey == line_tot.l_orderkey, "left")
+    diff = money("o_totalprice") - F.coalesce(
+        F.col("line_total"), F.lit(0).cast("decimal(18,2)")
+    )
+    return joined.agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.when(F.col("line_total").isNull(), 1)).alias("n_unmatched"),
+        F.count(
+            F.when(
+                F.col("line_total").isNotNull()
+                & (F.abs(money("o_totalprice") - F.col("line_total")) > 1.0),
+                1,
+            )
+        ).alias("n_mismatch"),
+        F.sum(F.abs(diff)).cast("double").alias("total_abs_diff"),
+    )
+
+
+@query(
+    "q_audit_recon",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'orders' AS table_name, COUNT(*) AS load_rows,
+               COUNT(*) AS wh_rows, COUNT(*) = COUNT(*) AS is_match FROM orders
+        UNION ALL
+        SELECT 'lineitem', COUNT(*), COUNT(*), TRUE FROM lineitem
+        UNION ALL
+        SELECT 'events', COUNT(*), COUNT(*), TRUE FROM events
+    )
+    """,
+)
+def q_audit_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit reconciliation loader-rows == warehouse-rows per table (ref:
+    raw_audit, models/schema.yml:122-141). In production load_rows comes from
+    the loader's manifest; here both sides count the same table."""
+    frames = []
+    for name in ("orders", "lineitem", "events"):
+        df = load_table(spark, sf_dir, name)
+        frames.append(
+            df.agg(
+                F.lit(name).alias("table_name"),
+                F.count("*").alias("load_rows"),
+                F.count("*").alias("wh_rows"),
+                (F.count("*") == F.count("*")).alias("is_match"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+@query(
+    "q_freshness",
+    oracle="""
+    SELECT MAX(ts) AS max_loaded_at,
+           (date_diff('second', MAX(ts), TIMESTAMP '2024-02-01 00:00:00')) / 3600.0
+               AS age_hours,
+           CASE WHEN (date_diff('second', MAX(ts),
+                      TIMESTAMP '2024-02-01 00:00:00')) / 3600.0 > 24
+                THEN 'warn' ELSE 'pass' END AS status
+    FROM events
+    """,
+)
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source freshness vs a supplied 'now' (ref: models/schema.yml:14,
+    warn_after 24h; README.md:66). now is pinned to 2024-02-01 for
+    reproducibility — production passes the orchestrator's clock."""
+    ev = load_table(spark, sf_dir, "events")
+    return freshness(ev, "ts", "2024-02-01 00:00:00", 24)

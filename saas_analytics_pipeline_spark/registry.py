@@ -1,0 +1,140 @@
+"""dbt-style model registry: layered ELT with per-layer materialization.
+
+The reference declares a raw -> staging -> intermediate -> marts DAG where
+each model is one SELECT and each layer has a materialization (views for
+raw/staging/intermediate, tables for marts — `/root/reference/
+dbt_project.yml:26-43`). dbt builds this by Jinja-compiling `ref()` edges
+into a manifest and topologically executing nodes
+(`/root/reference/.github/workflows/dbt-ci.yml:42`).
+
+Spark-first equivalent: a model is a named Python function
+``fn(spark, ref) -> DataFrame`` where ``ref(name)`` resolves upstream models
+(the explicit analogue of Jinja ``{{ ref(...) }}``). "Compilation" collapses
+into Catalyst — a VIEW materialization is just the upstream *logical plan*
+inlined (Catalyst prunes/pushes through it), a TABLE materialization persists
+parquet via ``saveAsTable``-style writes. No scheduler is needed: building a
+mart pulls its whole upstream plan into one Spark job and Catalyst plans the
+DAG globally (often better than dbt's per-node serial execution,
+`/root/reference/.github/profiles/profiles.yml:12` threads:1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Materialization(str, Enum):
+    VIEW = "view"  # temp view: recomputed/inlined per consumer
+    TABLE = "table"  # persisted parquet table
+    EPHEMERAL = "ephemeral"  # never registered; inlined only
+
+
+@dataclass
+class Model:
+    name: str
+    fn: Callable[[SparkSession, Callable[[str], DataFrame]], DataFrame]
+    layer: str = "staging"
+    materialization: Materialization = Materialization.VIEW
+    depends_on: tuple[str, ...] = ()
+    description: str = ""
+
+
+@dataclass
+class ModelRegistry:
+    models: dict[str, Model] = field(default_factory=dict)
+
+    def model(
+        self,
+        name: str,
+        layer: str = "staging",
+        materialization: Materialization = Materialization.VIEW,
+        depends_on: tuple[str, ...] = (),
+        description: str = "",
+    ):
+        def deco(fn):
+            if name in self.models:
+                raise ValueError(f"duplicate model {name!r}")
+            self.models[name] = Model(
+                name, fn, layer, materialization, tuple(depends_on), description
+            )
+            return fn
+
+        return deco
+
+    def topo_order(self) -> list[str]:
+        """Topological order over declared deps (cycle-safe)."""
+        order: list[str] = []
+        state: dict[str, int] = {}  # 0=unseen 1=visiting 2=done
+
+        def visit(n: str) -> None:
+            if state.get(n) == 2:
+                return
+            if state.get(n) == 1:
+                raise ValueError(f"model cycle through {n!r}")
+            state[n] = 1
+            for d in self.models[n].depends_on:
+                if d in self.models:
+                    visit(d)
+            state[n] = 2
+            order.append(n)
+
+        for n in self.models:
+            visit(n)
+        return order
+
+    def build(
+        self,
+        spark: SparkSession,
+        select: list[str] | None = None,
+        warehouse_dir: str | None = None,
+    ) -> dict[str, DataFrame]:
+        """Build models in dependency order (dbt build, minus the tests —
+        quality checks run via quality.checks on the built frames).
+
+        VIEW models register temp views (pure logical plans); TABLE models
+        write parquet under ``warehouse_dir`` (partitioned writes are the
+        model fn's job) and re-read, so marts are scan-backed like dbt's
+        table materialization.
+        """
+        built: dict[str, DataFrame] = {}
+
+        def ref(name: str) -> DataFrame:
+            if name in built:
+                return built[name]
+            if name in self.models:
+                raise ValueError(
+                    f"model {name!r} referenced before build; declare it in depends_on"
+                )
+            return spark.table(name)  # fall through to a registered source view
+
+        wanted = set(select or self.models)
+        # expand upstream closure
+        frontier = list(wanted)
+        while frontier:
+            n = frontier.pop()
+            for d in self.models.get(n, Model(n, lambda *_: None)).depends_on:
+                if d in self.models and d not in wanted:
+                    wanted.add(d)
+                    frontier.append(d)
+
+        for name in self.topo_order():
+            if name not in wanted:
+                continue
+            m = self.models[name]
+            df = m.fn(spark, ref)
+            if m.materialization is Materialization.VIEW:
+                df.createOrReplaceTempView(name)
+            elif m.materialization is Materialization.TABLE and warehouse_dir:
+                path = f"{warehouse_dir}/{m.layer}/{name}"
+                df.write.mode("overwrite").parquet(path)
+                df = spark.read.parquet(path)
+                df.createOrReplaceTempView(name)
+            built[name] = df
+        return built
+
+
+REGISTRY = ModelRegistry()

@@ -1,0 +1,84 @@
+"""Source registry: external parquet tables + freshness metadata.
+
+Mirrors the reference's dbt `sources:` block (`/root/reference/models/
+schema.yml:4-10`): a named set of externally-loaded tables, each with a
+`loaded_at_field` used for freshness SLAs, registered into the engine's
+catalog. Here sources are the driver-generated parquet tables
+(`/root/repo/TESTDATA.md`).
+
+Scale note: parquet scans get predicate pushdown + column pruning from
+Catalyst for free; `load_tables` does NOT cache or materialize — each query
+plans its own pruned scan. At 100 TB the same code reads a partitioned
+lake path; partition pruning applies when the path is dt-partitioned.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Table name -> event-time ("loaded_at") column used for freshness checks;
+# None = static dimension, no freshness SLA (reference sets loaded_at_field
+# per source table, models/schema.yml:9,13).
+TABLES: dict[str, str | None] = {
+    "region": None,
+    "nation": None,
+    "customer": None,
+    "supplier": None,
+    "part": None,
+    "orders": "o_orderdate",
+    "lineitem": "l_shipdate",
+    "events": "ts",
+    "documents": None,
+    "embeddings": None,
+}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Defensive runtime confs: queries must behave identically even when
+    the caller (e.g. the verify driver) built a vanilla SparkSession rather
+    than session.get_spark(). Both confs are runtime-settable."""
+    # events.parquet stores TIMESTAMP(NANOS): unreadable without this
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # all reference timestamps are UTC (generate_and_load_script.py:58-61)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown source table {name!r}; known: {sorted(TABLES)}")
+    ensure_session_confs(spark)
+    return normalize_nanos_ts(spark.read.parquet(table_path(sf_dir, name)))
+
+
+def normalize_nanos_ts(df: DataFrame) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as int64
+    under spark.sql.legacy.parquet.nanosAsLong (session.py) — normalize to
+    a microsecond timestamp exactly like DuckDB's reader does (truncate)."""
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # integer div: float division would lose precision at 1e18 nanos
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load sources as DataFrames (lazy scans; nothing materialized)."""
+    return {n: load_table(spark, sf_dir, n) for n in (names or list(TABLES))}
+
+
+def register_sources(spark: SparkSession, sf_dir: str) -> None:
+    """Register every source as a temp view so spark.sql can see them —
+    the Spark analogue of dbt's `{{ source('raw', t) }}` resolution."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,459 @@
+"""Staging layer: casts, dedup, reject routing, tolerant parsing.
+
+Implements the reference's staging contract: "staging, rejects"
+(`/root/reference/README.md:36`), CAST-to-NUMERIC discipline
+(`/root/reference/data_gen/generate_and_load_script.py:18`), duplicate
+handling (`/root/reference/data_gen/pseudo_code_rules.txt:39-47`),
+malformed-JSON tolerance (`:30-38`), multi-format date parsing (`:57-65`),
+null profiling (`:48-56`) and the money HALF_UP quantize
+(`/root/reference/data_gen/generate_and_load_script.py:55-56`).
+
+Scale notes (100 TB): every query here is a single scan + narrow transforms
+or one hash aggregate — filters sit directly on the parquet scan (pushdown),
+projections prune columns, and the dedup window shuffles once on its key.
+Reject routing shares one scan between the valid and reject branches by
+construction (one filter each over the same source plan; Spark reuses the
+scan under AQE or via explicit .persist when both sides are consumed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from saas_analytics_pipeline_spark.functions import EMAIL_RE, MONEY, money, money_sum
+from saas_analytics_pipeline_spark.qcatalog import query
+from saas_analytics_pipeline_spark.registry import REGISTRY, Materialization
+from saas_analytics_pipeline_spark.sources import load_table
+
+
+# --------------------------------------------------------------------------
+# registry models (dbt-style staging views)
+# --------------------------------------------------------------------------
+@REGISTRY.model("stg_orders", layer="staging", description="typed orders")
+def stg_orders(spark: SparkSession, ref) -> DataFrame:
+    return ref("orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        money("o_totalprice").alias("o_totalprice"),
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+
+
+@REGISTRY.model("stg_lineitem", layer="staging", description="typed+validated lineitem")
+def stg_lineitem(spark: SparkSession, ref) -> DataFrame:
+    li = ref("lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("l_quantity"),
+        money("l_extendedprice").alias("l_extendedprice"),
+        F.col("l_discount").cast("decimal(6,4)").alias("l_discount"),
+        F.col("l_tax").cast("decimal(6,4)").alias("l_tax"),
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ).where(valid_lineitem_cond())
+
+
+@REGISTRY.model("stg_events", layer="staging", description="events + parsed props")
+def stg_events(spark: SparkSession, ref) -> DataFrame:
+    ev = ref("events")
+    return ev.withColumn(
+        "prop_k", F.get_json_object("props", "$.k").cast("int")
+    )
+
+
+def valid_lineitem_cond() -> F.Column:
+    """The reject rule: non-positive quantity / negative price / discount
+    outside [0,1] are routed to rejects (pseudo_code_rules.txt:66-74)."""
+    return (
+        (F.col("l_quantity") > 0)
+        & (F.col("l_extendedprice") >= 0)
+        & F.col("l_discount").between(0, 1)
+    )
+
+
+VALID_LINEITEM_SQL = (
+    "(l_quantity > 0 AND l_extendedprice >= 0 AND l_discount BETWEEN 0 AND 1)"
+)
+
+
+# --------------------------------------------------------------------------
+# driver-facing queries
+# --------------------------------------------------------------------------
+@query(
+    "q_filter_eq",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality filter pushed to the scan (ref: example/my_second_dbt_model.sql:4-6)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@query(
+    "q_filter_notnull",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
+    """,
+)
+def q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-rejecting filter (ref: example/my_first_dbt_model.sql:27)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.where(
+        F.col("c_name").isNotNull() & F.col("c_acctbal").isNotNull()
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "q_stg_cast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS INTEGER) AS qty,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_2dp,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS net_price
+    FROM lineitem
+    """,
+)
+def q_stg_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging CAST discipline: doubles -> exact decimals -> stable doubles
+    (ref: data_gen/generate_and_load_script.py:18)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty"),
+        money("l_extendedprice").cast("double").alias("price_2dp"),
+        (money("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast("decimal(6,4)")))
+        .cast("double")
+        .alias("net_price"),
+    )
+
+
+@query(
+    "q_soft_delete",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events WHERE event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def q_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-delete / flagged-row exclusion (ref: is_deleted flags,
+    data_gen/generate_and_load_script.py:88,100)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") != "error")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_reject_rows",
+    oracle=f"""
+    SELECT {VALID_LINEITEM_SQL} AS is_valid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_reject_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valid/reject routing over ONE scan (ref: README.md:36 'staging,
+    rejects'; bad rows injected data_gen/generate_and_load_script.py:112-113).
+    Expressed as a group-by on the validity predicate so both branches are
+    one pass — at 100 TB this is strictly better than two scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(valid_lineitem_cond().alias("is_valid")).agg(
+        F.count("*").alias("n"),
+        money_sum("l_extendedprice", "gross"),
+    )
+
+
+@query(
+    "q_dedup_latest",
+    oracle="""
+    SELECT user_id, event_id, event_type, ts
+    FROM (
+        SELECT user_id, event_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup (ref: dup rule pseudo_code_rules.txt:39-47;
+    updated_at bumps). Deterministic tie-break on event_id. One shuffle on
+    the key; at scale prefer partition-local pre-aggregation via max_by if
+    only the payload is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+               / COUNT(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from string payloads (ref: raw_payload/context/
+    properties, data_gen/generate_and_load_script.py:147,166-167)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count("*")).alias("avg_k"),
+    )
+
+
+@query(
+    "q_json_malformed",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE props IS NOT NULL AND NOT json_valid(props))
+               AS n_malformed,
+           COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL)
+               AS n_missing_k
+    FROM events
+    """,
+)
+def q_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant JSON parse: malformed payloads must not kill the pipeline,
+    they are counted/routed (ref: pseudo_code_rules.txt:30-38). Spark
+    from_json yields NULL on malformed input — the counting is the contract."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        F.count(
+            F.when(F.col("props").isNotNull() & parsed.isNull(), 1)
+        ).alias("n_malformed"),
+        F.count(
+            F.when(F.get_json_object("props", "$.k").isNull(), 1)
+        ).alias("n_missing_k"),
+    )
+
+
+@query(
+    "q_null_rate",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(c_name) AS nulls_name,
+           COUNT(*) - COUNT(c_acctbal) AS nulls_acctbal,
+           COUNT(*) - COUNT(c_mktsegment) AS nulls_mktsegment,
+           CAST(COUNT(*) - COUNT(c_mktsegment) AS DOUBLE) / COUNT(*)
+               AS null_rate_mktsegment
+    FROM customer
+    """,
+)
+def q_null_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value profiling per column (ref: pseudo_code_rules.txt:48-56;
+    2% null emails data_gen/generate_and_load_script.py:84)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.count("*")
+    return c.agg(
+        n.alias("n_rows"),
+        (n - F.count("c_name")).alias("nulls_name"),
+        (n - F.count("c_acctbal")).alias("nulls_acctbal"),
+        (n - F.count("c_mktsegment")).alias("nulls_mktsegment"),
+        ((n - F.count("c_mktsegment")).cast("double") / n).alias(
+            "null_rate_mktsegment"
+        ),
+    )
+
+
+@query(
+    "q_multiformat_date",
+    oracle="""
+    WITH raw AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 1
+                    THEN strftime(o_orderdate, '%m/%d/%Y')
+                    ELSE strftime(o_orderdate, '%d-%m-%Y') END AS date_str
+        FROM orders
+    ),
+    parsed AS (
+        SELECT o_orderkey,
+               CAST(COALESCE(try_strptime(date_str, '%m/%d/%Y'),
+                             try_strptime(date_str, '%d-%m-%Y')) AS DATE) AS dt
+        FROM raw
+    )
+    SELECT EXTRACT(year FROM dt) AS yr, COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE dt IS NULL) AS n_unparsed
+    FROM parsed GROUP BY 1
+    """,
+)
+def q_multiformat_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse inconsistent date formats MM/DD/YYYY vs DD-MM-YYYY via
+    try-parse coalesce (ref: pseudo_code_rules.txt:57-65). The string column
+    is synthesized from o_orderdate (testdata has no dirty strings)."""
+    o = load_table(spark, sf_dir, "orders")
+    date_str = F.when(
+        F.col("o_orderkey") % 2 == 1, F.date_format("o_orderdate", "MM/dd/yyyy")
+    ).otherwise(F.date_format("o_orderdate", "dd-MM-yyyy"))
+    parsed = F.coalesce(
+        F.try_to_timestamp(F.col("date_str"), F.lit("MM/dd/yyyy")),
+        F.try_to_timestamp(F.col("date_str"), F.lit("dd-MM-yyyy")),
+    ).cast("date")
+    return (
+        o.select("o_orderkey", date_str.alias("date_str"))
+        .select("o_orderkey", parsed.alias("dt"))
+        .groupBy(F.year("dt").alias("yr"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("dt").isNull(), 1)).alias("n_unparsed"),
+        )
+    )
+
+
+@query(
+    "q_money_round",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 0.03, 2))
+                AS DOUBLE) AS fee_total,
+           CAST(SUM(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 0.20, 2))
+                AS DOUBLE) AS tax_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_money_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money quantize 2dp HALF_UP — fee=3%, tax=20% of charge (ref:
+    data_gen/generate_and_load_script.py:55-56,144-145). Decimal domain end
+    to end; only the final sum is surfaced as double."""
+    o = load_table(spark, sf_dir, "orders")
+    fee = F.round(money("o_totalprice") * F.lit(0.03).cast("decimal(4,2)"), 2)
+    tax = F.round(money("o_totalprice") * F.lit(0.20).cast("decimal(4,2)"), 2)
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(fee).cast("double").alias("fee_total"),
+        F.sum(tax).cast("double").alias("tax_total"),
+    )
+
+
+@query(
+    "q_negative_guard",
+    oracle="""
+    SELECT COUNT(*) FILTER (WHERE l_extendedprice < 0) AS n_negative_price,
+           COUNT(*) FILTER (WHERE l_quantity <= 0) AS n_nonpositive_qty,
+           MIN(l_quantity) AS min_qty
+    FROM lineitem
+    """,
+)
+def q_negative_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-negative-price/qty DQ test (ref: README.md:55; injected
+    data_gen/generate_and_load_script.py:112-113)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.when(F.col("l_extendedprice") < 0, 1)).alias("n_negative_price"),
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("n_nonpositive_qty"),
+        F.min("l_quantity").alias("min_qty"),
+    )
+
+
+@query(
+    "q_pii_scan",
+    oracle=f"""
+    SELECT 'events' AS table_name,
+           COUNT(*) FILTER (WHERE regexp_matches(props, '{EMAIL_RE}')) AS n_pii
+    FROM events
+    UNION ALL
+    SELECT 'documents' AS table_name,
+           COUNT(*) FILTER (WHERE regexp_matches(text, '{EMAIL_RE}')) AS n_pii
+    FROM documents
+    """,
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII (email) leakage scan inside free-text/JSON columns (ref:
+    README.md:59; leak injected data_gen/generate_and_load_script.py:158)."""
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    a = ev.agg(
+        F.lit("events").alias("table_name"),
+        F.count(F.when(F.col("props").rlike(EMAIL_RE), 1)).alias("n_pii"),
+    )
+    b = docs.agg(
+        F.lit("documents").alias("table_name"),
+        F.count(F.when(F.col("text").rlike(EMAIL_RE), 1)).alias("n_pii"),
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "q_date_trunc",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def q_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day/month bucketing for partitions & marts (ref: raw partitions 'by
+    source and date', README.md:24)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        money_sum("o_totalprice", "revenue"),
+    )
+
+
+@query(
+    "q_ts_diff",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           SUM(datediff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE))) AS total_delay_days,
+           CAST(SUM(datediff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE))) AS DOUBLE)
+               / COUNT(*) AS avg_delay_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_ts_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp deltas: ship latency per priority (ref: payment latency
+    data_gen/generate_and_load_script.py:142; lateness :162)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(delay).alias("total_delay_days"),
+            (F.sum(delay).cast("double") / F.count("*")).alias("avg_delay_days"),
+        )
+    )

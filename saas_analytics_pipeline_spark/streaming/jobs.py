@@ -1,0 +1,131 @@
+"""Structured Streaming slice + batch twins.
+
+The reference is batch ELT but deliberately generates event-time vs
+arrival-time data ("late data" `/root/reference/README.md:7`; event_ts vs
+received_ts `/root/reference/data_gen/generate_and_load_script.py:155,162`;
+freshness SLA `models/schema.yml:14`). The Spark-native streaming surface:
+
+- tumbling-window counts with watermark (late-data drop policy from the
+  late-rate threshold, README.md:57),
+- session windows (F.session_window, 30-min gap),
+- incremental refresh via Trigger.AvailableNow over file sources (the
+  equivalent of the reference's per-day partition loads, README.md:82).
+
+Every streaming op has a batch twin here (same F.window expressions on a
+static frame) because the driver's oracle is batch SQL — and because at
+scale you want the SAME code path to backfill (batch) and tail (stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from saas_analytics_pipeline_spark.qcatalog import query
+from saas_analytics_pipeline_spark.sources import load_table
+
+
+# --------------------------------------------------------------------------
+# batch twins (driver-facing, oracle-checked)
+# --------------------------------------------------------------------------
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS wstart,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window counts per event type — batch twin of the
+    streaming aggregation below (window start == date_trunc hour)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("wstart"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM flagged
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) via F.session_window — the native Spark
+    streaming sessionizer, batch twin. Cross-validates the lag-gap
+    sessionizer (q_sessionize): total session counts agree.
+
+    Note the gap semantics: session_window closes when the NEXT event is
+    strictly more than the gap after the PREVIOUS event, i.e. events with
+    ts_diff exactly == gap stay in-session — mirrored in the oracle (> not >=).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count("*").alias("n_ev"))
+    return sessions.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# true streaming jobs (exercised by tests/test_streaming.py)
+# --------------------------------------------------------------------------
+def stream_events(
+    spark: SparkSession, source_dir: str, schema: str
+) -> DataFrame:
+    """File-source stream over a parquet directory (incremental loads:
+    each new file = one micro-batch under Trigger.AvailableNow)."""
+    return spark.readStream.schema(schema).parquet(source_dir)
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming tumbling-window aggregation with a late-data watermark
+    (threshold mirrors the late-rate SLA, README.md:57)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("wstart"), "event_type", "n")
+    )
+
+
+def run_available_now(
+    df: DataFrame, sink_table: str, checkpoint: str
+) -> StreamingQuery:
+    """Process-everything-then-stop runner (Trigger.AvailableNow): the
+    streaming equivalent of the reference's daily incremental batch."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

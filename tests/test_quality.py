@@ -1,0 +1,62 @@
+"""DQ framework semantics on tiny literal frames: each generic test returns
+violating rows, pass <=> 0 rows (dbt contract, SURVEY.md section 5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from saas_analytics_pipeline_spark.quality import checks
+
+
+def test_unique_flags_dupes(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,)], "id int")
+    v = checks.unique(df, "id").collect()
+    assert len(v) == 1 and v[0]["id"] == 1 and v[0]["n_dup"] == 2
+
+
+def test_unique_passes_on_clean(spark):
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    assert checks.unique(df, "id").count() == 0
+
+
+def test_not_null(spark):
+    df = spark.createDataFrame([(1, "a"), (None, "b"), (3, None)], "id int, s string")
+    assert checks.not_null(df, "id").count() == 1
+    assert checks.not_null(df, "id", "s").count() == 2
+
+
+def test_relationships_orphans(spark):
+    child = spark.createDataFrame([(1,), (2,), (None,)], "fk int")
+    parent = spark.createDataFrame([(1,)], "pk int")
+    v = checks.relationships(child, "fk", parent, "pk").collect()
+    # NULL fks are not violations (dbt semantics); 2 is the orphan
+    assert len(v) == 1 and v[0]["fk"] == 2
+
+
+def test_accepted_values(spark):
+    df = spark.createDataFrame([("F",), ("O",), ("X",), (None,)], "st string")
+    v = checks.accepted_values(df, "st", ["F", "O"])
+    assert v.count() == 2  # X and NULL
+
+
+def test_freshness_warn_and_pass(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",)], "loaded string"
+    ).select(F.col("loaded").cast("timestamp").alias("loaded"))
+    warn = checks.freshness(df, "loaded", "2024-01-03 00:00:00", 24).collect()[0]
+    assert warn["status"] == "warn" and warn["age_hours"] == 48.0
+    ok = checks.freshness(df, "loaded", "2024-01-01 12:00:00", 24).collect()[0]
+    assert ok["status"] == "pass"
+
+
+def test_standard_suite_green_on_testdata(spark, sf_dir):
+    results = checks.run_checks(checks.standard_suite(spark, sf_dir))
+    failed = [r.name for r in results if not r.passed]
+    assert failed == [], f"DQ violations in testdata: {failed}"
+
+
+def test_known_dirty_suite_finds_injected_dupes(spark, sf_dir):
+    # the generator plants duplicate lineitem keys on purpose — the check
+    # must FIND them (known-positive target, SURVEY.md section 5.5)
+    results = checks.run_checks(checks.known_dirty_suite(spark, sf_dir))
+    assert all(r.violations > 0 for r in results), results

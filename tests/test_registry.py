@@ -1,0 +1,66 @@
+"""Model registry: topo ordering, ref resolution, materializations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from saas_analytics_pipeline_spark.registry import (
+    Materialization,
+    ModelRegistry,
+)
+from saas_analytics_pipeline_spark.sources import register_sources
+
+
+def test_topo_order_and_build(spark, sf_dir, tmp_path):
+    reg = ModelRegistry()
+
+    @reg.model("m_base", layer="staging")
+    def m_base(spark, ref):
+        return spark.range(3).withColumnRenamed("id", "v")
+
+    @reg.model(
+        "m_mart",
+        layer="marts",
+        materialization=Materialization.TABLE,
+        depends_on=("m_base",),
+    )
+    def m_mart(spark, ref):
+        return ref("m_base").agg(F.sum("v").alias("s"))
+
+    assert reg.topo_order().index("m_base") < reg.topo_order().index("m_mart")
+    built = reg.build(spark, warehouse_dir=str(tmp_path))
+    assert built["m_mart"].collect()[0]["s"] == 3
+    # TABLE materialization persisted parquet
+    assert (tmp_path / "marts" / "m_mart").exists()
+
+
+def test_cycle_detection(spark):
+    reg = ModelRegistry()
+
+    @reg.model("a", depends_on=("b",))
+    def a(spark, ref):
+        raise AssertionError("never built")
+
+    @reg.model("b", depends_on=("a",))
+    def b(spark, ref):
+        raise AssertionError("never built")
+
+    with pytest.raises(ValueError, match="cycle"):
+        reg.topo_order()
+
+
+def test_standard_models_build(spark, sf_dir, tmp_path):
+    from saas_analytics_pipeline_spark import qcatalog
+    from saas_analytics_pipeline_spark.registry import REGISTRY
+
+    qcatalog.load_all()  # model registration happens at module import
+
+    register_sources(spark, sf_dir)
+    built = REGISTRY.build(spark, warehouse_dir=str(tmp_path))
+    assert built["mart_revenue_daily"].count() > 0
+    assert "gross_revenue" in built["mart_revenue_daily"].columns
+    # staging filter applied: no invalid lineitems
+    assert (
+        built["stg_lineitem"].where("l_quantity <= 0").count() == 0
+    )

@@ -1,0 +1,48 @@
+"""Structured Streaming: the streaming pipeline over a file source produces
+exactly the batch twin's answer under Trigger.AvailableNow."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from saas_analytics_pipeline_spark.sources import (
+    load_table,
+    normalize_nanos_ts,
+    table_path,
+)
+from saas_analytics_pipeline_spark.streaming.jobs import (
+    run_available_now,
+    stream_events,
+    tumbling_counts_stream,
+)
+
+
+def test_stream_matches_batch(spark, sf_dir, tmp_path):
+    # stage the events parquet as a stream source dir
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), src / "part-000.parquet")
+
+    batch_events = load_table(spark, sf_dir, "events")
+    # raw on-disk schema (ts as int64 nanos under nanosAsLong)
+    raw_schema = spark.read.parquet(str(src)).schema
+
+    stream = normalize_nanos_ts(stream_events(spark, str(src), raw_schema))
+    agg = tumbling_counts_stream(stream)
+    q = run_available_now(agg, "stream_out", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {
+        (r["wstart"], r["event_type"]): r["n"]
+        for r in spark.table("stream_out").collect()
+    }
+    want = {
+        (r["wstart"], r["event_type"]): r["n"]
+        for r in batch_events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("wstart"), "event_type", "n")
+        .collect()
+    }
+    assert got == want
