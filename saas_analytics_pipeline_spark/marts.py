@@ -409,3 +409,162 @@ def q_skew_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.alias("top5pct_orders"),
         (top.cast("double") / F.sum("n_orders")).alias("top5pct_share"),
     )
+
+
+@query(
+    "q_order_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT (SURVEY 2.6): Spark plans TakeOrderedAndProject
+    — a per-partition top-k then a tiny driver merge, NOT a global sort.
+    Deterministic tie-break on the key."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1995
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1996
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference): customers active in 1995 but not 1996 —
+    the recon-diff shape (SURVEY 2.7). Implemented as an aggregate-then-
+    anti-join-like plan by Catalyst (left anti over distinct keys)."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    return y95.exceptAll(y96)
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           GROUPING(o_orderstatus, o_orderpriority) AS lvl,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one pass
+    (SURVEY 2.4 rollups/cube; 'rollups' README.md:39)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id("o_orderstatus", "o_orderpriority").alias("lvl"),
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice", "revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "lvl",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT EXTRACT(year FROM o_orderdate) AS yr,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+    FROM orders GROUP BY 1
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot revenue to one column per order status (wide mart shape).
+    Explicit value list -> single-pass plan with deterministic columns (an
+    unlisted pivot would need a distinct-values pre-pass: two jobs)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("yr"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(money("o_totalprice")).cast("double"))
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           MAX(o_totalprice) AS p_max
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (SURVEY 2.6 percentile
+    cuts). Exact percentile = sort per group: fine per-key; at 100 TB use
+    approx_percentile (t-digest) — see q_approx_percentiles."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.max("o_totalprice").alias("p_max"),
+    )
+
+
+@query("q_approx_percentiles", oracle=None)  # sketch output: rows-only check
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile twin — the mergeable-sketch form that avoids the
+    per-group sort at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.approx_percentile("o_totalprice", 0.9, 10000).alias("p90_approx"),
+    )
+
+
+@query(
+    "q_ntile",
+    oracle="""
+    WITH bucketed AS (
+        SELECT c_custkey, c_acctbal,
+               NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+        FROM customer
+    )
+    SELECT quartile, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM bucketed GROUP BY quartile
+    """,
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartile cut over customers by balance (SURVEY 2.6 percentile
+    cuts). Global window on the small dim side only — never over a fact."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    bucketed = c.select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )
+    return bucketed.groupBy("quartile").agg(
+        F.count("*").alias("n_customers"),
+        money_sum("c_acctbal", "total_acctbal"),
+    )

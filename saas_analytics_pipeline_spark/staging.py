@@ -457,3 +457,118 @@ def q_ts_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(delay).cast("double") / F.count("*")).alias("avg_delay_days"),
         )
     )
+
+
+ISO_COUNTRIES_SQL = """(VALUES
+    ('ALGERIA'), ('ARGENTINA'), ('BRAZIL'), ('CANADA'), ('EGYPT'),
+    ('ETHIOPIA'), ('FRANCE'), ('GERMANY'), ('INDIA'), ('INDONESIA'),
+    ('IRAN'), ('IRAQ'), ('JAPAN'), ('JORDAN'), ('KENYA'), ('MOROCCO'),
+    ('MOZAMBIQUE'), ('PERU'), ('CHINA'), ('ROMANIA'), ('SAUDI ARABIA'),
+    ('VIETNAM'), ('RUSSIA'), ('UNITED KINGDOM'), ('UNITED STATES'))
+    AS iso(country_name)"""
+
+
+@query(
+    "q_country_norm",
+    oracle=f"""
+    WITH dirty AS (
+        SELECT c.c_custkey,
+               CASE c.c_custkey % 3
+                   WHEN 0 THEN lower(n.n_name)
+                   WHEN 1 THEN upper(n.n_name)
+                   ELSE '  ' || n.n_name || ' '
+               END AS billing_country
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    normalized AS (
+        SELECT c_custkey, upper(trim(billing_country)) AS country_norm
+        FROM dirty
+    )
+    SELECT n.country_norm,
+           COUNT(*) AS n_customers,
+           COUNT(iso.country_name) AS n_iso_matched
+    FROM normalized n
+    LEFT JOIN {ISO_COUNTRIES_SQL} ON n.country_norm = iso.country_name
+    GROUP BY n.country_norm
+    """,
+)
+def q_country_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text country normalization against a broadcast ISO seed (ref:
+    billing_country free text data_gen/generate_and_load_script.py:74 vs
+    country_code :87; iso_countries.csv seed README.md:22). Dirty variants
+    are synthesized (case/whitespace noise), normalized upper+trim, then
+    matched to the seed. Seed join is broadcast: no fact shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    iso_names = [
+        "ALGERIA", "ARGENTINA", "BRAZIL", "CANADA", "EGYPT", "ETHIOPIA",
+        "FRANCE", "GERMANY", "INDIA", "INDONESIA", "IRAN", "IRAQ", "JAPAN",
+        "JORDAN", "KENYA", "MOROCCO", "MOZAMBIQUE", "PERU", "CHINA",
+        "ROMANIA", "SAUDI ARABIA", "VIETNAM", "RUSSIA", "UNITED KINGDOM",
+        "UNITED STATES",
+    ]
+    iso = spark.createDataFrame([(x,) for x in iso_names], "country_name string")
+    dirty = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 3 == 0, F.lower("n_name"))
+            .when(F.col("c_custkey") % 3 == 1, F.upper("n_name"))
+            .otherwise(F.concat(F.lit("  "), F.col("n_name"), F.lit(" ")))
+            .alias("billing_country"),
+        )
+    )
+    normalized = dirty.select(
+        "c_custkey", F.upper(F.trim("billing_country")).alias("country_norm")
+    )
+    return (
+        normalized.join(
+            F.broadcast(iso),
+            normalized.country_norm == iso.country_name,
+            "left",
+        )
+        .groupBy("country_norm")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.count("country_name").alias("n_iso_matched"),
+        )
+    )
+
+
+@query(
+    "q_surrogate_key",
+    oracle="""
+    WITH sk AS (
+        SELECT o_orderkey,
+               sha256(concat_ws('||', CAST(o_orderkey AS VARCHAR),
+                      CAST(o_custkey AS VARCHAR), o_orderstatus)) AS surrogate_key
+        FROM orders
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT surrogate_key) AS n_distinct_keys,
+           MIN(surrogate_key) AS min_key
+    FROM sk
+    """,
+)
+def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate keys: sha256 over '||'-joined natural key
+    (public dbt generate_surrogate_key pattern; ref uses uuid4 per row,
+    data_gen/generate_and_load_script.py:69 — content hash is the
+    deterministic, retry-safe variant an engine needs)."""
+    o = load_table(spark, sf_dir, "orders")
+    sk = o.select(
+        F.sha2(
+            F.concat_ws(
+                "||",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+            ),
+            256,
+        ).alias("surrogate_key")
+    )
+    return sk.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("surrogate_key").alias("n_distinct_keys"),
+        F.min("surrogate_key").alias("min_key"),
+    )
