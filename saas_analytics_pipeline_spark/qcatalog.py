@@ -53,7 +53,7 @@ def load_all() -> None:
         text,
     )
     from saas_analytics_pipeline_spark.quality import checks  # noqa: F401
-    from saas_analytics_pipeline_spark.streaming import jobs  # noqa: F401
+    from saas_analytics_pipeline_spark.streaming import jobs, stateful  # noqa: F401
 
 
 def spark_queries() -> dict[str, SparkQuery]:

@@ -1,0 +1,193 @@
+"""Custom stateful streaming operator: sessionization with explicit state.
+
+``F.session_window`` (streaming/jobs.py) covers plain gap-sessions; this
+module is the **custom stateful operator** path for semantics the built-in
+can't express (per-session derived metrics, emit-on-close records, state
+you want to inspect). It uses ``applyInPandasWithState`` — Arrow-batched
+per-key state, the Spark-4 public API for hand-rolled streaming state
+(reference has no streaming engine at all; event-time columns generated at
+/root/reference/data_gen/generate_and_load_script.py:155,162 are what make
+this surface meaningful).
+
+Design for scale:
+- state is one tiny tuple per user (open-session start/last/count as epoch
+  micros) — state-store size is O(active users), not O(events);
+- each micro-batch is vectorized pandas (sort + diff + cumsum), no per-row
+  Python loop;
+- closed sessions emit immediately (append mode); the trailing open session
+  stays in state and closes via event-time timeout when the watermark
+  passes ``last + gap`` — identical late-data policy to the watermarked
+  window aggs.
+
+The same vectorized core powers a batch ``applyInPandas`` twin
+(q_sessionize_pandas) so the exact session semantics are oracle-checked in
+batch and reused by the streaming path.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from saas_analytics_pipeline_spark.qcatalog import query
+from saas_analytics_pipeline_spark.sources import load_table
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+GAP_MINUTES = 30
+_GAP_US = GAP_MINUTES * 60 * 1_000_000
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint"
+)
+# open-session state per user: (start_us, last_us, n_events) as epoch micros
+STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint"
+
+
+def _sessions_from_sorted_ts(ts_us: "pd.Series") -> pd.DataFrame:
+    """Vectorized gap-sessionizer over an ascending epoch-micros series.
+    Returns one row per session: start_us, last_us, n."""
+    new_flag = ts_us.diff().isna() | (ts_us.diff() > _GAP_US)
+    sess_id = new_flag.cumsum()
+    agg = ts_us.groupby(sess_id).agg(["min", "max", "count"])
+    return agg.rename(columns={"min": "start_us", "max": "last_us", "count": "n"})
+
+
+def _sessionize_user(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState function: one user's new events per batch."""
+    user_id = key[0]
+
+    def emit(rows: list[tuple[int, int, int]]) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(rows),
+                "session_start": [pd.Timestamp(r[0] * 1000) for r in rows],
+                "session_end": [pd.Timestamp(r[1] * 1000) for r in rows],
+                "n_events": [r[2] for r in rows],
+            }
+        )
+
+    if state.hasTimedOut:
+        # watermark passed last+gap with no new events: close the session
+        start_us, last_us, n = state.get
+        state.remove()
+        yield emit([(start_us, last_us, n)])
+        return
+
+    parts = [pdf for pdf in pdf_iter if len(pdf)]
+    if not parts:
+        return
+    ts_us = (
+        pd.concat(parts)["ts"].astype("int64").floordiv(1000).sort_values()
+    )  # pandas datetime64[ns] -> epoch micros, ascending
+    sessions = _sessions_from_sorted_ts(ts_us).values.tolist()
+
+    if state.exists:
+        start_us, last_us, n = state.get
+        first = sessions[0]
+        if first[0] - last_us <= _GAP_US:  # first new session continues state
+            sessions[0] = [start_us, first[1], n + first[2]]
+        else:
+            sessions.insert(0, [start_us, last_us, n])
+
+    *closed, open_sess = sessions
+    state.update(tuple(int(x) for x in open_sess))
+    # timeout must stay ahead of the current watermark (Spark rejects
+    # timestamps at/behind it — possible for a long-idle user)
+    wm_ms = state.getCurrentWatermarkMs()
+    timeout_ms = max(int(open_sess[1]) // 1000 + GAP_MINUTES * 60_000, wm_ms + 1)
+    state.setTimeoutTimestamp(timeout_ms)
+    if closed:
+        yield emit([tuple(int(x) for x in r) for r in closed])
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming sessionizer: emits one row per CLOSED session (append
+    mode); open sessions close via event-time timeout."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_user,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _sessionize_batch_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Batch grouped-map twin: all of one user's events at once."""
+    user_id = pdf["user_id"].iloc[0]
+    ts_us = pdf["ts"].astype("int64").floordiv(1000).sort_values()
+    out = _sessions_from_sorted_ts(ts_us)
+    return pd.DataFrame(
+        {
+            "user_id": user_id,
+            "session_start": pd.to_datetime(out["start_us"] * 1000),
+            "session_end": pd.to_datetime(out["last_us"] * 1000),
+            "n_events": out["n"].astype("int64"),
+        }
+    )
+
+
+@query(
+    "q_sessionize_pandas",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sn
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, sn
+    )
+    SELECT COUNT(*) AS n_sessions,
+           SUM(n_events) AS n_events,
+           MIN(session_start) AS first_start,
+           MAX(session_end) AS last_end
+    FROM sessions
+    """,
+)
+def q_sessionize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map (applyInPandas) sessionizer — the custom-operator escape
+    hatch, oracle-checked against window-function semantics. Shares its
+    vectorized core with the stateful streaming op (sessionize_stream), so
+    the streaming path's session math is what this oracle certifies.
+
+    Scale: one shuffle on user_id; per-group work is vectorized Arrow
+    batches. Gap ties (diff == gap) stay in-session, matching
+    F.session_window and the oracle's strict >."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.select("user_id", "ts").groupBy("user_id").applyInPandas(
+        _sessionize_batch_pdf, schema=SESSION_SCHEMA
+    )
+    return sessions.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.min("session_start").alias("first_start"),
+        F.max("session_end").alias("last_end"),
+    )

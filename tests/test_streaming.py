@@ -12,11 +12,13 @@ from saas_analytics_pipeline_spark.sources import (
     normalize_nanos_ts,
     table_path,
 )
+from saas_analytics_pipeline_spark.operators.sessionize import sessionize
 from saas_analytics_pipeline_spark.streaming.jobs import (
     run_available_now,
     stream_events,
     tumbling_counts_stream,
 )
+from saas_analytics_pipeline_spark.streaming.stateful import sessionize_stream
 
 
 def test_stream_matches_batch(spark, sf_dir, tmp_path):
@@ -46,3 +48,48 @@ def test_stream_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_sessionizer_matches_batch_sessions(spark, sf_dir, tmp_path):
+    """applyInPandasWithState emits closed sessions that are exactly a
+    subset of the batch sessionizer's sessions (the trailing open session
+    per user stays in state until its event-time timeout fires)."""
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), src / "part-000.parquet")
+    raw_schema = spark.read.parquet(str(src)).schema
+
+    stream = normalize_nanos_ts(stream_events(spark, str(src), raw_schema))
+    sessions = sessionize_stream(stream.select("user_id", "ts"))
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("sessions_out").collect()
+    }
+
+    batch = sessionize(load_table(spark, sf_dir, "events"))
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.groupBy("user_id", "session_n")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    n_users = batch.select("user_id").distinct().count()
+
+    assert got <= want, "streaming emitted a session batch never saw"
+    # everything except (at most) one open trailing session per user emitted
+    assert len(got) >= len(want) - n_users
+    assert len(got) > 0
