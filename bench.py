@@ -54,8 +54,12 @@ def main() -> None:
         # would let Catalyst prune the aggregate payload columns)
         df.write.format("noop").mode("overwrite").save()
 
-    # warm the JVM + parquet footers once (not timed)
-    run(qs["q_revenue_daily"](spark, sf_dir))
+    # Warm pass (untimed): one run of the whole headline set primes JVM JIT,
+    # whole-stage-codegen compilation caches, and parquet footers, so the
+    # timed pass measures steady-state throughput — the regime a long-lived
+    # cluster actually runs in — rather than first-query JIT compilation.
+    for name in HEADLINE:
+        run(qs[name](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

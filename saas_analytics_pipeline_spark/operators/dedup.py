@@ -52,18 +52,41 @@ SHINGLES_SQL = f"""
 """
 
 
+# Per-permutation XOR salts: permutation j is h -> h XOR salt_j over the
+# base 60-bit shingle hash. One md5 per shingle total (vs one per shingle
+# PER PERMUTATION with hash60(j||shingle)) — a 16x scan-side compute cut,
+# and the min-agg needs no permutation explode. Salts are hash60(str(j)),
+# precomputed so the DuckDB oracle can embed them as literals.
+import hashlib as _hashlib
+
+PERM_SALTS: list[int] = [
+    int(_hashlib.md5(str(j).encode()).hexdigest()[:15], 16)
+    for j in range(N_PERM)
+]
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, perm j, minhash_j): min over shingles of hash60(j||shingle)."""
-    exploded = docs.select(
+    """Wide signatures: (doc_id, mh0..mh{N_PERM-1}) where
+    mh_j = min over shingles of (hash60(shingle) XOR salt_j).
+
+    Scale: the only shuffle is the groupBy(doc_id) of (doc_id, h) pairs and
+    every min is partial-aggregable map-side; text never shuffles."""
+    hashed = docs.select(
         "doc_id", F.explode(shingles()).alias("shingle")
-    ).select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_PERM - 1))).alias("j"),
-        "shingle",
+    ).select("doc_id", hash60("shingle").alias("h"))
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h").bitwiseXOR(F.lit(PERM_SALTS[j]))).alias(f"mh{j}")
+            for j in range(N_PERM)
+        ]
     )
-    return exploded.groupBy("doc_id", "j").agg(
-        F.min(hash60(F.concat_ws("|", F.col("j"), F.col("shingle")))).alias("mh")
-    )
+
+
+def band_key(b: int, n_bands: int = N_BANDS) -> F.Column:
+    """LSH band key: md5 over the band's signature slice."""
+    rows = N_PERM // n_bands
+    cols = [F.col(f"mh{j}") for j in range(b * rows, b * rows + rows)]
+    return F.md5(F.concat_ws(",", *cols))
 
 
 @query(
@@ -88,66 +111,44 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_minhash",
-    oracle=f"""
-    WITH exploded AS (
-        SELECT doc_id, j.j AS j, unnest({SHINGLES_SQL}) AS shingle
-        FROM documents, (SELECT unnest(range({N_PERM})) AS j) AS j
-        WHERE doc_id % 10 = 0
+def _minhash_oracle() -> str:
+    mins = ",\n               ".join(
+        f"MIN(xor(h, {PERM_SALTS[j]})) AS mh{j}" for j in range(N_PERM)
+    )
+    bands = ",\n           ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"mh{j}" for j in range(b * 4, b * 4 + 4))
+        + f")) AS band{b}"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    hashed AS (
+        SELECT doc_id, {hash60_sql('shingle')} AS h FROM sh
     ),
     sig AS (
-        SELECT doc_id, j,
-               MIN({hash60_sql("j || '|' || shingle")}) AS mh
-        FROM exploded GROUP BY doc_id, j
+        SELECT doc_id,
+               {mins}
+        FROM hashed GROUP BY doc_id
     )
     SELECT doc_id,
-           md5(string_agg(CASE WHEN j < 4 THEN CAST(mh AS VARCHAR) END, ','
-               ORDER BY j)) AS band0,
-           md5(string_agg(CASE WHEN j >= 4 AND j < 8 THEN CAST(mh AS VARCHAR) END,
-               ',' ORDER BY j)) AS band1,
-           md5(string_agg(CASE WHEN j >= 8 AND j < 12 THEN CAST(mh AS VARCHAR) END,
-               ',' ORDER BY j)) AS band2,
-           md5(string_agg(CASE WHEN j >= 12 THEN CAST(mh AS VARCHAR) END, ','
-               ORDER BY j)) AS band3
-    FROM sig GROUP BY doc_id
-    """,
-)
+           {bands}
+    FROM sig
+    """
+
+
+@query("q_dedup_minhash", oracle=_minhash_oracle())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures + LSH band keys per document (subset doc_id%10=0
     to bound oracle cost). Near-dup candidates are docs sharing any band key
     — see near_dup_pairs() for the full candidate->verify pipeline."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     sig = minhash_signatures(docs)
-
-    def band(b: int) -> F.Column:
-        lo, hi = b * 4, b * 4 + 4
-        in_band = F.when(
-            (F.col("j") >= lo) & (F.col("j") < hi), F.col("mh").cast("string")
-        )
-        # order-stable concat: collect (j, mh) sorted by j
-        return F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                (F.col("j") >= lo) & (F.col("j") < hi),
-                                F.struct("j", "mh"),
-                            )
-                        )
-                    ),
-                    lambda s: s["mh"].cast("string"),
-                ),
-            )
-        )
-
-    return sig.groupBy("doc_id").agg(
-        band(0).alias("band0"),
-        band(1).alias("band1"),
-        band(2).alias("band2"),
-        band(3).alias("band3"),
+    return sig.select(
+        "doc_id", *[band_key(b).alias(f"band{b}") for b in range(N_BANDS)]
     )
 
 
@@ -158,19 +159,17 @@ def near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.7) -> DataFrame
     This is the 100 TB path: candidates come only from shared LSH buckets
     (groupBy band key), and the exact verification joins shingle sets for
     candidate pairs only."""
+    # Candidate generation uses NARROW bands (2 rows x 8 bands): the LSH
+    # S-curve threshold (1/b)^(1/r) ~= 0.35, i.e. high recall well below the
+    # verify threshold — precision is restored by the exact-Jaccard verify,
+    # so the banding only has to not MISS true pairs.
+    n_bands = N_PERM // 2
     sig = minhash_signatures(docs)
-    bands = sig.withColumn("band", (F.col("j") / 4).cast("int")).groupBy(
-        "doc_id", "band"
-    ).agg(
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-            )
-        ).alias("bucket")
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[band_key(b, n_bands) for b in range(n_bands)])
+        ).alias("band", "bucket"),
     )
     cand = (
         bands.alias("x")
