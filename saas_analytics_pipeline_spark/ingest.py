@@ -1,0 +1,113 @@
+"""CSV ingestion: the reference's load path, Spark-native.
+
+The reference loads generator CSVs into the warehouse with schema
+autodetect, header skip, and truncate-and-replace
+(`/root/reference/data_gen/generate_and_load_script.py:174-193` —
+`autodetect=True`:187, `WRITE_TRUNCATE`:188, `skip_leading_rows=1`:189),
+then records loader-vs-warehouse row counts in a `raw_audit` table
+(`/root/reference/models/schema.yml:122-141`). Dirty rows (type garbage,
+truncated lines) must not kill the load — they route to a rejects relation
+("staging, rejects" `/root/reference/README.md:36`;
+`data_gen/pseudo_code_rules.txt:66-74`).
+
+Spark mapping:
+- **discovery load**: `inferSchema=True` for parity with autodetect —
+  acceptable for seeds/small files; it costs an extra full pass, so
+- **contract load** is the production path: explicit schema + PERMISSIVE
+  mode with `columnNameOfCorruptRecord`, one pass, malformed rows carried
+  per-row instead of failing the job (a 100 TB load cannot abort on row
+  3 billion);
+- **audit sink**: append (table, load_rows, warehouse_rows, load_ts) after
+  each load; `q_audit_recon` asserts equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def load_csv_discovery(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-autodetect CSV load (reference parity: autodetect=True +
+    skip_leading_rows=1). Two passes over the data — seeds/dims only."""
+    return spark.read.csv(path, header=True, inferSchema=True)
+
+
+def load_csv_contract(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """One-pass contract load: explicit schema, malformed rows routed to a
+    rejects frame instead of failing the job.
+
+    Returns (valid, rejects): `valid` has the contract columns with nulls
+    where individual fields failed to parse; `rejects` holds rows that were
+    structurally malformed (wrong arity / unparseable), with the raw line
+    preserved for replay."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    df = spark.read.csv(
+        path,
+        header=True,
+        schema=full,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=CORRUPT_COL,
+    ).cache()  # one scan serves both branches; unpersist after write
+    valid = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    rejects = df.where(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return valid, rejects
+
+
+def write_table_truncate(df: DataFrame, path: str) -> None:
+    """Truncate-and-replace load (reference WRITE_TRUNCATE semantics) —
+    full overwrite; incremental loads use plans/incremental.py instead."""
+    df.write.mode("overwrite").parquet(path)
+
+
+AUDIT_SCHEMA = (
+    "table_name string, load_rows long, warehouse_rows long, load_ts timestamp"
+)
+
+
+def write_audit_row(
+    spark: SparkSession,
+    audit_path: str,
+    table_name: str,
+    load_rows: int,
+    warehouse_rows: int,
+    load_ts: str,
+) -> None:
+    """Append one reconciliation row per load (raw_audit,
+    models/schema.yml:122-141). load_ts supplied by the caller/orchestrator
+    so replays are deterministic."""
+    row = spark.createDataFrame(
+        [(table_name, load_rows, warehouse_rows)],
+        "table_name string, load_rows long, warehouse_rows long",
+    ).withColumn("load_ts", F.to_timestamp(F.lit(load_ts)))
+    row.write.mode("append").parquet(audit_path)
+
+
+def csv_roundtrip_load(
+    spark: SparkSession,
+    csv_path: str,
+    table_path: str,
+    audit_path: str,
+    schema: T.StructType,
+    load_ts: str,
+) -> dict[str, int]:
+    """Full reference-shaped load: CSV -> (valid, rejects) -> truncate-write
+    -> audit row. Returns counts for the caller's logging."""
+    valid, rejects = load_csv_contract(spark, csv_path, schema)
+    write_table_truncate(valid, table_path)
+    n_valid = spark.read.parquet(table_path).count()
+    n_rejects = rejects.count()
+    write_audit_row(
+        spark, audit_path, table_path.rsplit("/", 1)[-1],
+        n_valid + n_rejects, n_valid, load_ts,
+    )
+    return {"valid": n_valid, "rejects": n_rejects}

@@ -222,3 +222,98 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("cos") >= 0.95, 1)).alias("n_near_dup"),
         F.round(F.max("cos"), 6).alias("max_cos"),
     )
+
+
+# --------------------------------------------------------------------------
+# learned-IVF variant: coarse quantizer fit with Spark ML KMeans
+# --------------------------------------------------------------------------
+def ivf_fit_assign(corpus: DataFrame, n_cells: int = 8, seed: int = 42):
+    """Fit the IVF coarse quantizer (KMeans over the embedding space) and
+    assign every corpus vector to its cell.
+
+    Returns (assigned corpus with `cell` column, centroids as a list of
+    python float lists). At 100 TB the fit runs on a sample
+    (KMeans cost is O(sample x k x dim) per iter) and assignment is one
+    map-side pass; the index is then corpus partitioned/bucketed by cell."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.withColumn("_v", array_to_vector("embedding"))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="_v", predictionCol="cell"
+    ).fit(feat)
+    assigned = model.transform(feat).drop("_v")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    queries_df: DataFrame,
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    k: int = TOP_K,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF search: route each query to its n_probe nearest centroids, score
+    cosine only within those cells, per-query top-k.
+
+    Per-query work is ~ n_probe/n_cells of the corpus; the centroid routing
+    table is a broadcast literal (n_cells rows)."""
+    spark = queries_df.sparkSession
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    q = queries_df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # route: distance of each query to each centroid, keep n_probe nearest
+    l2 = F.expr(
+        """
+        aggregate(
+            zip_with(q_emb, centroid, (x, y) -> (CAST(x AS DOUBLE) - y)
+                                               * (CAST(x AS DOUBLE) - y)),
+            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+        """
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    routed = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "q_emb", "cell", l2.alias("d2"))
+        .withColumn("cell_rnk", F.row_number().over(wr))
+        .where(F.col("cell_rnk") <= n_probe)
+        .select("query_id", "q_emb", "cell")
+    )
+    c = assigned.select("vec_id", F.col("embedding").alias("c_emb"), "cell")
+    scored = (
+        F.broadcast(routed)
+        .join(c, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.expr(DOT_EXPR)
+                / (
+                    F.expr(NORM_EXPR.format(col="q_emb"))
+                    * F.expr(NORM_EXPR.format(col="c_emb"))
+                )
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos_r"), "rnk")
+    )
+
+
+@query("q_similarity_ivf", oracle=None)  # learned index: rows-only check
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-IVF ANN: KMeans coarse quantizer + n_probe cell search.
+    Not SQL-replayable (iterative fit), so the driver does a rows-only
+    check; tests/test_operators.py asserts recall vs the exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_fit_assign(emb)
+    return ivf_topk(emb.where(F.col("vec_id") < N_QUERIES), assigned, centroids)

@@ -129,3 +129,15 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on event_id within the watermark horizon
+    (dropDuplicatesWithinWatermark): the streaming twin of staging's
+    dedup-latest rule (dup injection `/root/reference/data_gen/
+    pseudo_code_rules.txt:39-47`). State holds one key per event inside the
+    watermark window and is evicted as the watermark advances — bounded
+    state under any traffic volume, unlike an unbounded dropDuplicates."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -1,0 +1,87 @@
+"""CSV ingestion: contract loads route dirty rows to rejects, discovery
+loads infer types, and the audit trail reconciles counts."""
+
+from __future__ import annotations
+
+import textwrap
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from saas_analytics_pipeline_spark.ingest import (
+    csv_roundtrip_load,
+    load_csv_contract,
+    load_csv_discovery,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("order_id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("currency", T.StringType()),
+    ]
+)
+
+DIRTY_CSV = textwrap.dedent(
+    """\
+    order_id,amount,currency
+    1,10.50,USD
+    2,20.00,EUR
+    not_a_number,99.0,USD
+    3,5.25,GBP
+    4,garbage_amount,USD
+    """
+)
+
+
+def test_contract_load_routes_malformed_rows(spark, tmp_path):
+    p = tmp_path / "orders.csv"
+    p.write_text(DIRTY_CSV)
+    valid, rejects = load_csv_contract(spark, str(p), SCHEMA)
+
+    ok = {r["order_id"] for r in valid.collect()}
+    # rows 1,2,3 parse fully; rows with type garbage are rejected whole
+    assert {1, 2, 3} <= ok
+    raw = [r["raw_line"] for r in rejects.collect()]
+    assert any("not_a_number" in line for line in raw)
+    assert any("garbage_amount" in line for line in raw)
+    assert valid.count() + rejects.count() == 5
+
+
+def test_discovery_load_infers_types(spark, tmp_path):
+    p = tmp_path / "seed.csv"
+    p.write_text("code,rate\nUSD,1.0\nEUR,1.1\n")
+    df = load_csv_discovery(spark, str(p))
+    assert dict(df.dtypes) == {"code": "string", "rate": "double"}
+    assert df.count() == 2
+
+
+def test_roundtrip_load_writes_table_and_audit(spark, tmp_path):
+    p = tmp_path / "orders.csv"
+    p.write_text(DIRTY_CSV)
+    counts = csv_roundtrip_load(
+        spark,
+        str(p),
+        str(tmp_path / "tbl" / "orders"),
+        str(tmp_path / "audit"),
+        SCHEMA,
+        load_ts="2026-01-01 00:00:00",
+    )
+    assert counts == {"valid": 3, "rejects": 2}
+
+    audit = spark.read.parquet(str(tmp_path / "audit"))
+    row = audit.collect()[0]
+    assert row["table_name"] == "orders"
+    assert row["load_rows"] == 5 and row["warehouse_rows"] == 3
+
+    # truncate-and-replace: re-running the load does not duplicate the table
+    csv_roundtrip_load(
+        spark,
+        str(p),
+        str(tmp_path / "tbl" / "orders"),
+        str(tmp_path / "audit"),
+        SCHEMA,
+        load_ts="2026-01-02 00:00:00",
+    )
+    assert spark.read.parquet(str(tmp_path / "tbl" / "orders")).count() == 3
+    assert spark.read.parquet(str(tmp_path / "audit")).count() == 2

@@ -116,3 +116,37 @@ def test_two_phase_agg_matches_single_phase(spark):
     )
     want = df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """Learned-IVF top-k reaches usable recall vs the exact baseline at
+    n_probe=2 of 8 cells (and perfect recall at n_probe=8: scanning all
+    cells IS the exact search)."""
+    from saas_analytics_pipeline_spark.operators.similarity import (
+        TOP_K,
+        cosine_topk,
+        ivf_fit_assign,
+        ivf_topk,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(queries, emb).collect()
+    }
+    assigned, centroids = ivf_fit_assign(emb)
+
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(queries, assigned, centroids, n_probe=2).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(queries, assigned, centroids, n_probe=8).collect()
+    }
+    assert full == exact

@@ -93,3 +93,32 @@ def test_stateful_sessionizer_matches_batch_sessions(spark, sf_dir, tmp_path):
     # everything except (at most) one open trailing session per user emitted
     assert len(got) >= len(want) - n_users
     assert len(got) > 0
+
+
+def test_stream_dedup_drops_replayed_events(spark, sf_dir, tmp_path):
+    """A replayed (duplicated) source file is deduplicated by event_id
+    within the watermark — output matches the distinct batch answer."""
+    from saas_analytics_pipeline_spark.streaming.jobs import dedup_stream
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), src / "part-000.parquet")
+    shutil.copy(table_path(sf_dir, "events"), src / "part-001.parquet")
+    raw_schema = spark.read.parquet(str(src)).schema
+
+    stream = normalize_nanos_ts(stream_events(spark, str(src), raw_schema))
+    deduped = dedup_stream(stream.select("event_id", "ts"))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    n_unique = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    out = spark.table("dedup_out")
+    assert out.count() == n_unique
+    assert out.select("event_id").distinct().count() == n_unique
