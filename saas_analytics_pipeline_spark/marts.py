@@ -568,3 +568,48 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         money_sum("c_acctbal", "total_acctbal"),
     )
+
+
+@query(
+    "q_trailing_7d",
+    oracle="""
+    WITH daily AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders
+        WHERE o_custkey % 100 = 0
+        GROUP BY 1, 2
+    )
+    SELECT o_custkey, d, rev,
+           CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY d
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rev_7d
+    FROM daily
+    """,
+)
+def q_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue per customer: a RANGE-frame window over event
+    time (vs the ROWS frames elsewhere) — calendar-aware, so gaps in the
+    date series still get a correct 7-day lookback. Pre-aggregated to daily
+    grain first, so the window runs over ~1 row/customer/day, not raw
+    orders (subset custkey%100=0 bounds oracle cost)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 100 == 0)
+    daily = (
+        o.groupBy(
+            "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+        )
+        .agg(money_sum("o_totalprice", "rev"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("d")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_custkey",
+        "d",
+        "rev",
+        F.sum(money("rev")).over(w).cast("double").alias("rev_7d"),
+    )

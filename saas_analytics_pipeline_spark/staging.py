@@ -572,3 +572,28 @@ def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("surrogate_key").alias("n_distinct_keys"),
         F.min("surrogate_key").alias("min_key"),
     )
+
+
+@query(
+    "q_json_drift",
+    oracle="""
+    SELECT k AS key, COUNT(*) AS n
+    FROM (
+        SELECT unnest(json_keys(props)) AS k
+        FROM events WHERE props IS NOT NULL AND json_valid(props)
+    )
+    GROUP BY k
+    """,
+)
+def q_json_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift profiling: parse payloads as map<string,string> so
+    UNKNOWN keys survive (ref: 5% of event properties gain new_key,
+    data_gen/generate_and_load_script.py:157) and report key frequencies.
+    A fixed-struct from_json would silently drop drifted keys; the map
+    parse is the tolerant-staging contract for semi-structured columns."""
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.where(F.col("props").isNotNull()).select(
+        F.explode(F.map_keys(F.from_json("props", "map<string,string>")))
+        .alias("key")
+    )
+    return keys.groupBy("key").agg(F.count("*").alias("n"))

@@ -1,0 +1,162 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just the fixtures — the hardest-to-eyeball semantics in the
+engine (SCD2 validity windows, sessionization partitioning, upsert
+idempotence, HALF_UP money rounding).
+
+Examples are kept small (Spark job per example) but adversarial: hypothesis
+shrinks failures to minimal change logs."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from saas_analytics_pipeline_spark.operators.scd2 import build_scd2, scd2_overlaps
+from saas_analytics_pipeline_spark.operators.sessionize import GAP_MINUTES, sessionize
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# change log: (key, ts_offset_minutes, change_id) — ids unique per example
+change_logs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # few keys -> collisions
+        st.integers(min_value=0, max_value=5000),     # minutes from epoch
+    ),
+    min_size=1,
+    max_size=25,
+).map(lambda rows: [(k, m, i) for i, (k, m) in enumerate(rows)])
+
+
+def _log_df(spark, rows):
+    return spark.createDataFrame(
+        [(k, m * 60, i) for k, m, i in rows], "key int, ts long, change_id int"
+    ).select("key", F.timestamp_seconds("ts").alias("ts"), "change_id")
+
+
+@SETTINGS
+@given(rows=change_logs)
+def test_scd2_invariants_hold_for_any_change_log(spark, rows):
+    dim = build_scd2(_log_df(spark, rows), "key", "ts", "change_id").cache()
+    try:
+        # every change produces exactly one version
+        assert dim.count() == len(rows)
+        # exactly one open version per key
+        open_counts = (
+            dim.where("is_current").groupBy("key").count().collect()
+        )
+        assert all(r["count"] == 1 for r in open_counts)
+        assert len(open_counts) == len({k for k, _, _ in rows})
+        # validity windows never overlap and never invert
+        assert scd2_overlaps(dim, "key").count() == 0
+        assert dim.where("valid_to < valid_from").count() == 0
+        # versions are contiguous 1..n per key
+        per_key = (
+            dim.groupBy("key")
+            .agg(F.count("*").alias("n"), F.max("version_n").alias("vmax"),
+                 F.min("version_n").alias("vmin"))
+            .collect()
+        )
+        assert all(r["vmin"] == 1 and r["vmax"] == r["n"] for r in per_key)
+    finally:
+        dim.unpersist()
+
+
+events_logs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),        # user_id
+        st.integers(min_value=0, max_value=6000),     # minutes
+    ),
+    min_size=1,
+    max_size=25,
+).map(lambda rows: [(u, m, i) for i, (u, m) in enumerate(rows)])
+
+
+@SETTINGS
+@given(rows=events_logs)
+def test_sessionize_partitions_events_for_any_log(spark, rows):
+    ev = spark.createDataFrame(
+        [(u, m * 60, i) for u, m, i in rows],
+        "user_id int, ts_s long, event_id int",
+    ).select("user_id", F.timestamp_seconds("ts_s").alias("ts"), "event_id")
+    sess = sessionize(ev).cache()
+    try:
+        # sessions partition the events: every event in exactly one session
+        assert sess.count() == len(rows)
+        # within a session, no inter-event gap exceeds the threshold; the
+        # gap BETWEEN sessions always does
+        gaps = sess.withColumn(
+            "gap_s",
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(
+                F.lag("ts").over(
+                    Window.partitionBy("user_id", "session_n")
+                    .orderBy("ts", "event_id")
+                )
+            ),
+        )
+        assert gaps.where(F.col("gap_s") > GAP_MINUTES * 60).count() == 0
+        starts = sess.where(F.col("is_new_session") == 1)
+        assert starts.count() == sess.select(
+            "user_id", "session_n"
+        ).distinct().count()
+    finally:
+        sess.unpersist()
+
+
+@SETTINGS
+@given(
+    target=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=10
+    ),
+    inc=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(101, 200)), min_size=1, max_size=10
+    ),
+)
+def test_merge_upsert_is_idempotent(spark, tmp_path_factory, target, inc):
+    from saas_analytics_pipeline_spark.plans.incremental import merge_upsert
+
+    path = str(tmp_path_factory.mktemp("upsert") / "t")
+    spark.createDataFrame(target, "k int, ver int").write.parquet(path)
+    increment = spark.createDataFrame(inc, "k int, ver int")
+
+    once = merge_upsert(spark, path, increment, "k", "ver")
+    once.write.mode("overwrite").parquet(path + "2")
+    twice = merge_upsert(spark, path + "2", increment, "k", "ver")
+
+    assert {tuple(r) for r in once.collect()} == {
+        tuple(r) for r in twice.collect()
+    }
+    # every increment key surfaces with its LATEST version
+    merged = {r["k"]: r["ver"] for r in once.collect()}
+    for k in {k for k, _ in inc}:
+        assert merged[k] == max(v for kk, v in inc if kk == k)
+
+
+@SETTINGS
+@given(
+    cents=st.lists(
+        st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=30
+    )
+)
+def test_money_rounding_matches_decimal_half_up(spark, cents):
+    """Spark's decimal(18,2) cast/sum agrees with Python Decimal HALF_UP
+    for four-decimal inputs (the generator's money quantize contract)."""
+    vals = [Decimal(c) / Decimal(10000) for c in cents]
+    df = spark.createDataFrame([(str(v),) for v in vals], "s string")
+    got = (
+        df.select(F.col("s").cast("decimal(18,4)").alias("x"))
+        .agg(F.sum(F.col("x").cast("decimal(18,2)")).alias("total"))
+        .collect()[0]["total"]
+    )
+    want = sum(v.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP) for v in vals)
+    assert got == want
