@@ -136,3 +136,113 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum("first_byte").cast("long").alias("first_byte_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# resize / frame-sample plumbing (decode itself is stubbed: no codecs here)
+# --------------------------------------------------------------------------
+RESIZE_SCHEMA = "doc_id long, payload binary, width int, height int"
+FRAME_BYTES = 256  # fake frame = fixed byte window of the payload
+
+
+def _resize_batch(w: int, h: int):
+    """Deterministic fake resize: crop/pad payload to w*h bytes. Real
+    impl decodes via decode_media and resamples pixels; the batch shape
+    (binary in -> binary out, 1:1 rows, narrow meta) is what production
+    needs and what tests pin."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = w * h
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(
+                        lambda b: bytes(b[:size]).ljust(size, b"\0")
+                    ),
+                    "width": w,
+                    "height": h,
+                }
+            )
+
+    return fn
+
+
+def resize_media(media: DataFrame, width: int = 32, height: int = 8) -> DataFrame:
+    """Arrow-batched 'resize' over binary payloads (1 row in -> 1 row out,
+    fixed-size output payloads)."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _resize_batch(width, height), schema=RESIZE_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling: split each payload into FRAME_BYTES windows and keep
+    every Nth (1 row in -> many rows out). Pure JVM: slice the binary with
+    substring under an exploded frame index — no Python for the fan-out, so
+    a 100 TB video lake fans out scan-side at full codegen speed."""
+    n_frames = F.ceil(F.length("payload") / F.lit(FRAME_BYTES)).cast("int")
+    return (
+        media.select("doc_id", "payload", n_frames.alias("n_frames"))
+        .select(
+            "doc_id",
+            "n_frames",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1)
+            ).alias("frame_idx"),
+            "payload",
+        )
+        .where(F.col("frame_idx") % every_n == 0)
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.expr(
+                f"substring(payload, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})"
+            ).alias("frame"),
+        )
+    )
+
+
+@query(
+    "q_frame_sample",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               CAST(ceil(nb / {FRAME_BYTES}.0) AS BIGINT) AS n_frames,
+               -- every 4th frame starting at 0: ceil(n_frames / 4)
+               CAST(ceil(ceil(nb / {FRAME_BYTES}.0) / 4.0) AS BIGINT) AS n_sampled
+        FROM m
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+           CAST(SUM(n_sampled) AS BIGINT) AS sampled_frames
+    FROM f
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling rollup: total vs kept frames per the every-4th policy,
+    verified against closed-form SQL on payload sizes (proves the
+    explode/substring fan-out emits exactly the right frames)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = build_media_frame(docs)
+    frames = sample_frames(media, every_n=4)
+    per_doc = frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_sampled"),
+    )
+    totals = (
+        media.select(
+            "doc_id",
+            F.ceil(F.length("payload") / F.lit(FRAME_BYTES))
+            .cast("long")
+            .alias("n_frames"),
+        )
+        .join(per_doc, "doc_id")
+    )
+    return totals.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_frames").cast("long").alias("total_frames"),
+        F.sum("n_sampled").cast("long").alias("sampled_frames"),
+    )

@@ -597,3 +597,74 @@ def q_json_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("key")
     )
     return keys.groupBy("key").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_dedup_maxby",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type,
+                   epoch_ms(ts)::BIGINT * 1000000 + event_id) AS last_event_type,
+           arg_max(event_id,
+                   epoch_ms(ts)::BIGINT * 1000000 + event_id) AS last_event_id,
+           COUNT(*) AS n_versions
+    FROM events GROUP BY user_id
+    """,
+)
+def q_dedup_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest via max_by — the partial-aggregable dedup. Unlike the
+    row_number() form (q_dedup_latest) this combines MAP-SIDE: each input
+    partition reduces to one candidate per key before the shuffle, so at
+    100 TB the shuffle carries |keys| rows, not |rows|. Deterministic
+    ordering key packs (epoch_ms, event_id) into one bigint."""
+    ev = load_table(spark, sf_dir, "events")
+    okey = F.unix_millis("ts") * F.lit(1000000) + F.col("event_id")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", okey).alias("last_event_type"),
+        F.max_by("event_id", okey).alias("last_event_id"),
+        F.count("*").alias("n_versions"),
+    )
+
+
+# deterministic per-stratum sample rates (percent of the 0..99 hash space)
+SAMPLE_RATES = {"F": 50, "O": 10, "P": 100}
+
+
+@query(
+    "q_hash_sample",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT o_orderstatus,
+               CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 100 AS bucket
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE bucket <
+               CASE o_orderstatus WHEN 'F' THEN {SAMPLE_RATES['F']}
+                                  WHEN 'O' THEN {SAMPLE_RATES['O']}
+                                  ELSE {SAMPLE_RATES['P']} END) AS n_sampled
+    FROM tagged GROUP BY o_orderstatus
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by key hash — the reproducible
+    alternative to rand()-based sampleBy for train/test splits and
+    downsampling: membership depends only on the key, so re-runs, retries
+    and different partitionings select the SAME rows (rand()-per-row does
+    not survive re-execution; hash sampling does). Rates per stratum from
+    SAMPLE_RATES; scan-local, no shuffle before the count."""
+    from saas_analytics_pipeline_spark.functions import hash60
+
+    o = load_table(spark, sf_dir, "orders")
+    bucket = hash60(F.col("o_orderkey").cast("string")) % 100
+    rate = (
+        F.when(F.col("o_orderstatus") == "F", SAMPLE_RATES["F"])
+        .when(F.col("o_orderstatus") == "O", SAMPLE_RATES["O"])
+        .otherwise(SAMPLE_RATES["P"])
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(bucket < rate, 1)).alias("n_sampled"),
+    )

@@ -150,3 +150,17 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         for r in ivf_topk(queries, assigned, centroids, n_probe=8).collect()
     }
     assert full == exact
+
+
+def test_resize_media_fixed_output_size(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.multimodal import (
+        build_media_frame,
+        resize_media,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    out = resize_media(build_media_frame(docs), width=16, height=4).collect()
+    assert len(out) == 10
+    assert all(len(r["payload"]) == 64 for r in out)
+    assert all(r["width"] == 16 and r["height"] == 4 for r in out)

@@ -74,3 +74,46 @@ def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     back = spark.read.parquet(path).where(F.col("dt") == "1995-03-15")
     plan = plan_of(back)
     assert "PartitionFilters" in plan and "dt" in plan
+
+
+def test_order_limit_plans_take_ordered(spark, sf_dir):
+    from saas_analytics_pipeline_spark.marts import q_order_limit
+
+    plan = plan_of(q_order_limit(spark, sf_dir))
+    # top-k must be per-partition take + tiny merge, never a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    from saas_analytics_pipeline_spark.marts import q_revenue_daily
+
+    plan = plan_of(q_revenue_daily(spark, sf_dir))
+    # map-side combine: partial_sum before the exchange, final after
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Tables bucketed on the join key sort-merge-join with NO Exchange —
+    the co-located fact-fact join that makes repeated joins viable at
+    100 TB (plans/writers.py::write_bucketed)."""
+    from saas_analytics_pipeline_spark.plans.writers import write_bucketed
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "t_orders_b", "o_orderkey", buckets=8)
+    write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "t_lineitem_b", "o_orderkey", buckets=8)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_orders_b").join(
+            spark.table("t_lineitem_b"), "o_orderkey"
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
