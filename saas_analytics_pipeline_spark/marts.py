@@ -613,3 +613,128 @@ def q_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev",
         F.sum(money("rev")).over(w).cast("double").alias("rev_7d"),
     )
+
+
+@query(
+    "q_attribution_linear",
+    oracle="""
+    WITH numbered AS (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS seq
+        FROM events
+    ),
+    purchases AS (
+        SELECT user_id, seq,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM numbered WHERE event_type = 'purchase' AND seq > 1
+    )
+    SELECT t.event_type,
+           COUNT(*) AS n_credits,
+           SUM((p.cents * 10000) // (p.seq - 1)) AS credit_micros
+    FROM numbered t
+    JOIN purchases p
+      ON t.user_id = p.user_id AND t.seq < p.seq
+    GROUP BY t.event_type
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (multi-touch) attribution: each purchase's value is split
+    equally across ALL the user's preceding events; channels are credited
+    by event type. Credits are exact integer micro-units
+    ((cents*10000) div n_touches) so Spark and the oracle agree
+    bit-for-bit — no float division anywhere.
+
+    Scale: one window shuffle for sequencing, then a user-key equi-join
+    whose range predicate (t.seq < p.seq) rides the same shuffle — no
+    cross join; per-user fan-out is touches x purchases for that user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    numbered = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("seq"),
+    )
+    purchases = (
+        numbered.where((F.col("event_type") == "purchase") & (F.col("seq") > 1))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("seq").alias("p_seq"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    credits = numbered.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user")) & (F.col("seq") < F.col("p_seq")),
+    ).select(
+        "event_type",
+        F.expr("(cents * 10000) div (p_seq - 1)").alias("credit_micros"),
+    )
+    return credits.groupBy("event_type").agg(
+        F.count("*").alias("n_credits"),
+        F.sum("credit_micros").alias("credit_micros"),
+    )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+    WITH daily AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders WHERE o_custkey % 500 = 0
+        GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT o_custkey,
+               unnest(generate_series(MIN(d), MAX(d), INTERVAL 1 DAY))::DATE AS d
+        FROM daily GROUP BY o_custkey
+    )
+    SELECT s.o_custkey, s.d,
+           COALESCE(dd.rev, 0.0) AS rev,
+           last_value(dd.rev IGNORE NULLS) OVER (
+               PARTITION BY s.o_custkey ORDER BY s.d
+           ) AS rev_carry_fwd
+    FROM spine s LEFT JOIN daily dd
+      ON s.o_custkey = dd.o_custkey AND s.d = dd.d
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling over a per-customer date spine + forward-fill: missing
+    days materialize with rev=0 and carry the last observed value
+    (the time-series densification every ops mart needs; subset
+    custkey%500=0 bounds oracle cost).
+
+    Scale: the spine is generated per key from that key's own [min,max]
+    span (sequence+explode, scan-side) — never a global calendar cross
+    join; the fill window rides the spine join's partitioning."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 500 == 0)
+    daily = o.groupBy(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).agg(money_sum("o_totalprice", "rev"))
+    spine = (
+        daily.groupBy("o_custkey")
+        .agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+        .select(
+            "o_custkey",
+            F.explode(
+                F.sequence("dmin", "dmax", F.expr("interval 1 day"))
+            ).alias("d"),
+        )
+    )
+    joined = spine.join(daily, ["o_custkey", "d"], "left")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "o_custkey",
+        "d",
+        F.coalesce("rev", F.lit(0.0)).alias("rev"),
+        F.last("rev", ignorenulls=True).over(w).alias("rev_carry_fwd"),
+    )
