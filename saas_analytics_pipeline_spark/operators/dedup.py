@@ -298,3 +298,70 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("simhash16")
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs by label propagation:
+    every doc converges to the MIN doc_id of its component (the cluster's
+    canonical representative). Input: (a, b) undirected pair rows; output:
+    (doc_id, cluster_id).
+
+    The iterative shape Spark handles well: each round is one join + one
+    min-agg (all distributed); the driver only checks the converged-count.
+    Rounds needed = graph diameter (near-dup clusters are shallow — a
+    handful). At 100 TB checkpoint every few rounds to cut lineage."""
+    # cache: without it every round (and the convergence count) replays the
+    # full upstream LSH pipeline, and lineage doubles per round
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("x").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.doc_id)
+            .groupBy("x")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.x, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+@query("q_dedup_clusters", oracle=None)  # iterative: rows-only check
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster summary: LSH candidates -> exact-Jaccard pairs ->
+    connected components -> cluster size histogram. The end-to-end
+    keep-one-per-cluster dedup a training pipeline runs. Iterative
+    (label propagation), so no SQL oracle; invariants are pytest-pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, jaccard_threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return sizes.groupBy("sz").agg(F.count("*").alias("n_clusters")).orderBy("sz")

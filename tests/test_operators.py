@@ -164,3 +164,16 @@ def test_resize_media_fixed_output_size(spark, sf_dir):
     assert len(out) == 10
     assert all(len(r["payload"]) == 64 for r in out)
     assert all(r["width"] == 16 and r["height"] == 4 for r in out)
+
+
+def test_dedup_clusters_connected_components(spark):
+    from saas_analytics_pipeline_spark.operators.dedup import dedup_clusters
+
+    # chain 1-2-3 plus isolated pair 10-11: two components
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "a long, b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
