@@ -738,3 +738,71 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("rev", F.lit(0.0)).alias("rev"),
         F.last("rev", ignorenulls=True).over(w).alias("rev_carry_fwd"),
     )
+
+
+@query(
+    "q_percent_rank",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               nth_value(c_custkey, 2) OVER (
+                   PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_richest
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)
+    )
+    SELECT * FROM ranked WHERE c_custkey % 200 = 0
+    """,
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: percent_rank + cume_dist + nth_value per
+    segment (SURVEY 2.6 percentile cuts). Ranks computed over the full
+    partition, then row-filtered — the filter cannot push below the window
+    (correctness), which is exactly why rank-style marts pre-aggregate
+    first at scale."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("second_richest"),
+    )
+    return ranked.where(F.col("c_custkey") % 200 == 0)
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface (the engine speaks
+    both DataFrame and spark.sql over registered sources) — marginal
+    grains only, no full cross product, one pass."""
+    from saas_analytics_pipeline_spark.sources import load_table as _lt
+
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
