@@ -39,3 +39,43 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def compact_partitions(
+    spark, path: str, target_mb: int = 128, partition_col: str | None = "dt"
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into ~target_mb
+    files (per partition when partitioned). Streaming/incremental appends
+    melt namenodes with small files at 100 TB; periodic compaction is the
+    ops counterpart of the incremental writers above. Returns the file
+    count target used.
+
+    Sizing comes from the dataset's own on-disk bytes (driver-side listing
+    of file metadata only — no data read)."""
+    import os
+
+    total_bytes = 0
+    for root, _dirs, files in os.walk(path):
+        total_bytes += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "_compacted"
+    if partition_col and partition_col in df.columns:
+        (
+            df.repartition(n_files, partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap (a transactional table format does this natively)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

@@ -191,3 +191,58 @@ def q_sessionize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("session_start").alias("first_start"),
         F.max("session_end").alias("last_end"),
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas: the Spark-4 arbitrary-state processor API
+# --------------------------------------------------------------------------
+class RunningTotalsProcessor:
+    """Per-user running event count + value total with explicit ValueState
+    (the transformWithState successor to applyInPandasWithState: typed
+    state handles, timers, TTL). Emits one updated row per key per batch —
+    the change-data stream a serving layer consumes.
+
+    State is one (n, total) pair per user: O(active users), same bound as
+    the sessionizer above."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", "n long, total double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Streaming running totals per user via transformWithStateInPandas.
+
+    Requires the python protobuf runtime (the state-server protocol);
+    raises ImportError where it is absent — callers fall back to
+    applyInPandasWithState (sessionize_stream above) on such clusters."""
+    from google.protobuf import descriptor  # noqa: F401  (availability gate)
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass dynamically so import of this module never hard-depends on
+    # the processor ABC location
+    proc = type(
+        "RunningTotals", (StatefulProcessor,), dict(RunningTotalsProcessor.__dict__)
+    )()
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

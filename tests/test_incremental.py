@@ -88,3 +88,22 @@ def test_scd2_increment_equals_full_rebuild(spark, sf_dir):
         return {tuple(r) for r in df.select(*cols).collect()}
 
     assert as_set(incremental) == as_set(full)
+
+
+def test_compact_partitions_reduces_file_count(spark, sf_dir, tmp_path):
+    from saas_analytics_pipeline_spark.plans.writers import compact_partitions
+    from saas_analytics_pipeline_spark.sources import load_table
+    import glob
+
+    path = str(tmp_path / "frag")
+    orders = load_table(spark, sf_dir, "orders")
+    # fragment: 64 tiny files
+    orders.repartition(64).write.parquet(path)
+    before = len(glob.glob(path + "/*.parquet"))
+    assert before >= 32
+
+    n_rows = spark.read.parquet(path).count()
+    compact_partitions(spark, path, target_mb=128, partition_col=None)
+    after = len(glob.glob(path + "/*.parquet"))
+    assert after < before / 4
+    assert spark.read.parquet(path).count() == n_rows

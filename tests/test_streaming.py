@@ -166,3 +166,60 @@ def test_incremental_mart_stream_matches_batch(spark, sf_dir, tmp_path):
     # replay protection: re-applying an already-marked batch is a no-op
     upsert_before = spark.read.parquet(target).agg(F.sum("n")).collect()[0][0]
     assert upsert_before == sum(want.values())
+
+
+def test_transform_with_state_running_totals(spark, sf_dir, tmp_path):
+    """Two micro-batches of the same file accumulate: final per-user totals
+    equal exactly 2x the batch aggregate.
+
+    transformWithStateInPandas needs the python protobuf runtime (absent /
+    broken in some containers) — skip, not fail, where unavailable."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("python protobuf runtime unavailable: "
+                    "transformWithStateInPandas cannot start")
+    from saas_analytics_pipeline_spark.streaming.stateful import (
+        running_totals_stream,
+    )
+
+    src = tmp_path / "tws_src"
+    src.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), src / "part-000.parquet")
+    shutil.copy(table_path(sf_dir, "events"), src / "part-001.parquet")
+    raw_schema = spark.read.parquet(str(src)).schema
+
+    stream = normalize_nanos_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = running_totals_stream(stream.select("user_id", "value"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # update mode emits once per key per batch: keep the final (max) row
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in spark.table("tws_out")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    want = {
+        r["user_id"]: 2 * r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
