@@ -806,3 +806,22 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1995
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1996
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in BOTH years (retention cohort shape,
+    completing the set-op family with q_except / q_union_all)."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    return y95.intersect(y96)

@@ -245,3 +245,70 @@ def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducibility — production passes the orchestrator's clock."""
     ev = load_table(spark, sf_dir, "events")
     return freshness(ev, "ts", "2024-02-01 00:00:00", 24)
+
+
+@query(
+    "q_dq_summary",
+    oracle="""
+    SELECT 'unique_orders_pk' AS check_name,
+           (SELECT COUNT(*) FROM (
+               SELECT o_orderkey FROM orders
+               GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS n_violations
+    UNION ALL
+    SELECT 'unique_lineitem_pk',
+           (SELECT COUNT(*) FROM (
+               SELECT l_orderkey, l_linenumber FROM lineitem
+               GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+    UNION ALL
+    SELECT 'not_null_orders_keys',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderkey IS NULL OR o_custkey IS NULL)
+    UNION ALL
+    SELECT 'rel_orders_customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'rel_customer_nation',
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'accepted_orderstatus',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+    """,
+)
+def q_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot DQ suite summary: every generic test with its violation
+    count — the engine's `dbt build --warn-error` gate as a single
+    DataFrame (ref: CI gate dbt-ci.yml:42; the injected lineitem PK dups
+    surface here as known positives). Each check is an independent
+    assertion subquery; union'ed so orchestration reads ONE result."""
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ("orders", "lineitem", "customer", "nation")}
+
+    def cnt(df: DataFrame) -> F.Column:
+        # scalar count as a 1-row frame; crossJoin-free via agg + lit label
+        return df.agg(F.count("*").cast("long").alias("n_violations"))
+
+    rows = [
+        ("unique_orders_pk", unique(t["orders"], "o_orderkey")),
+        ("unique_lineitem_pk", unique(t["lineitem"], "l_orderkey", "l_linenumber")),
+        ("not_null_orders_keys",
+         t["orders"].where(F.col("o_orderkey").isNull()
+                           | F.col("o_custkey").isNull())),
+        ("rel_orders_customer",
+         relationships(t["orders"], "o_custkey", t["customer"], "c_custkey")),
+        ("rel_customer_nation",
+         relationships(t["customer"], "c_nationkey", t["nation"], "n_nationkey")),
+        ("accepted_orderstatus",
+         accepted_values(t["orders"], "o_orderstatus", ["F", "O", "P"])),
+    ]
+    out = None
+    for name, violations in rows:
+        one = cnt(violations).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

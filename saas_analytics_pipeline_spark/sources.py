@@ -82,3 +82,15 @@ def register_sources(spark: SparkSession, sf_dir: str) -> None:
     the Spark analogue of dbt's `{{ source('raw', t) }}` resolution."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def load_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet dataset whose files carry EVOLVED schemas (columns
+    added over time): mergeSchema reconciles all footers; rows from older
+    files surface the new columns as nulls. This is the file-level twin of
+    the JSON-payload drift tolerance (q_json_drift) — the raw zone keeps
+    accepting widened loads without rewrites.
+
+    Scale note: schema merging reads every file footer at planning time;
+    on huge lakes pin the merged schema explicitly once discovered."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

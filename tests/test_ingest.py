@@ -85,3 +85,19 @@ def test_roundtrip_load_writes_table_and_audit(spark, tmp_path):
     )
     assert spark.read.parquet(str(tmp_path / "tbl" / "orders")).count() == 3
     assert spark.read.parquet(str(tmp_path / "audit")).count() == 2
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    from saas_analytics_pipeline_spark.sources import load_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "x")], "id long, a string").write.mode(
+        "append"
+    ).parquet(path)
+    # later load adds column b
+    spark.createDataFrame(
+        [(2, "y", 9.5)], "id long, a string, b double"
+    ).write.mode("append").parquet(path)
+
+    got = {r["id"]: (r["a"], r["b"]) for r in load_evolved(spark, path).collect()}
+    assert got == {1: ("x", None), 2: ("y", 9.5)}
