@@ -825,3 +825,151 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
     y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
     return y95.intersect(y96)
+
+
+@query(
+    "q_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(date_trunc('month', o_orderdate)) AS cohort_month
+        FROM orders GROUP BY o_custkey
+    ),
+    activity AS (
+        SELECT DISTINCT o.o_custkey, f.cohort_month,
+               (EXTRACT(year FROM o.o_orderdate) - EXTRACT(year FROM f.cohort_month)) * 12
+               + (EXTRACT(month FROM o.o_orderdate) - EXTRACT(month FROM f.cohort_month))
+                   AS months_since
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT CAST(cohort_month AS DATE) AS cohort_month, months_since,
+           COUNT(*) AS n_active
+    FROM activity
+    WHERE months_since <= 6
+    GROUP BY 1, 2
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers bucketed by first-order month,
+    counted active per months-since-cohort (0..6). The canonical SaaS
+    retention mart. Cohort assignment is an agg + broadcastable join back;
+    months_since is pure date math, no per-user iteration."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    activity = (
+        o.join(firsts, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort_month",
+            (
+                (F.year("o_orderdate") - F.year("cohort_month")) * 12
+                + (F.month("o_orderdate") - F.month("cohort_month"))
+            ).alias("months_since"),
+        )
+        .distinct()
+    )
+    return (
+        activity.where(F.col("months_since") <= 6)
+        .groupBy(F.col("cohort_month").cast("date").alias("cohort_month"),
+                 "months_since")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@query(
+    "q_rfm",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey,
+               NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+               NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+               NTILE(4) OVER (ORDER BY monetary_dec DESC, o_custkey) AS m_score
+        FROM per_cust
+    )
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile scores for recency/frequency/monetary per
+    customer, counted per segment cell. Scores run over the AGGREGATED
+    per-customer grain (|customers| rows), so the three global NTILE
+    windows are dimension-sized — never applied to the raw fact."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(money("o_totalprice")).alias("monetary_dec"),
+    )
+    def score(order_col, name):
+        w = Window.orderBy(F.desc(order_col), F.asc("o_custkey"))
+        return F.ntile(4).over(w).alias(name)
+    scored = per_cust.select(
+        "o_custkey",
+        score("last_order", "r_score"),
+        score("frequency", "f_score"),
+        score("monetary_dec", "m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+@query(
+    "q_funnel_windowed",
+    oracle="""
+    WITH steps AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS step_view,
+           COUNT(CASE WHEN t_click > t_view
+                       AND t_click <= t_view + INTERVAL 24 HOUR
+                      THEN 1 END) AS step_click_24h,
+           COUNT(CASE WHEN t_click > t_view
+                       AND t_click <= t_view + INTERVAL 24 HOUR
+                       AND t_purchase > t_click
+                       AND t_purchase <= t_click + INTERVAL 24 HOUR
+                      THEN 1 END) AS step_purchase_24h
+    FROM steps
+    """,
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered, time-bounded funnel: view -> click within 24h -> purchase
+    within 24h of the click (first occurrence of each step; conversion must
+    respect BOTH order and the window — the shape marketing funnels
+    actually need, vs q_funnel's unordered reach). One conditional-min agg
+    per user, then pure timestamp comparisons; no joins, no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    steps = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    click_ok = (F.col("t_click") > F.col("t_view")) & (
+        F.col("t_click") <= F.col("t_view") + F.expr("interval 24 hours")
+    )
+    purchase_ok = click_ok & (F.col("t_purchase") > F.col("t_click")) & (
+        F.col("t_purchase") <= F.col("t_click") + F.expr("interval 24 hours")
+    )
+    return steps.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("step_view"),
+        F.count(F.when(click_ok, 1)).alias("step_click_24h"),
+        F.count(F.when(purchase_ok, 1)).alias("step_purchase_24h"),
+    )

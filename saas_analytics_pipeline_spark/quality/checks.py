@@ -312,3 +312,19 @@ def q_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+def observed(df: DataFrame, name: str = "metrics"):
+    """Attach zero-cost pipeline metrics to a frame: row count, per-column
+    null counts — collected DURING the next action (Spark Observation API),
+    so audits ride the job instead of re-scanning (the load_rows side of
+    q_audit_recon for free). Returns (df, observation); read
+    observation.get after an action."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.count(F.when(F.col(c).isNull(), 1)).alias(f"n_null_{c}")
+        for c in df.columns[:8]
+    ]
+    return df.observe(obs, *metrics), obs

@@ -60,3 +60,15 @@ def test_known_dirty_suite_finds_injected_dupes(spark, sf_dir):
     # must FIND them (known-positive target, SURVEY.md section 5.5)
     results = checks.run_checks(checks.known_dirty_suite(spark, sf_dir))
     assert all(r.violations > 0 for r in results), results
+
+
+def test_observed_metrics_ride_the_action(spark, sf_dir):
+    from saas_analytics_pipeline_spark.quality.checks import observed
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    df, obs = observed(o, "orders_load")
+    df.write.format("noop").mode("overwrite").save()  # one action, no extra scan
+    got = obs.get
+    assert got["n_rows"] == o.count()
+    assert got["n_null_o_orderkey"] == 0
