@@ -52,6 +52,7 @@ def load_all() -> None:
         similarity,
         text,
     )
+    from saas_analytics_pipeline_spark.functions import udfs  # noqa: F401
     from saas_analytics_pipeline_spark.quality import checks  # noqa: F401
     from saas_analytics_pipeline_spark.streaming import jobs, stateful  # noqa: F401
 

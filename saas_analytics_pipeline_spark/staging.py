@@ -668,3 +668,32 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_total"),
         F.count(F.when(bucket < rate, 1)).alias("n_sampled"),
     )
+
+
+@query(
+    "q_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN json_valid(props) THEN 1 END) AS n_parsed,
+           SUM(CASE WHEN json_valid(props)
+                    THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+               END) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via the VARIANT type (Spark 4):
+    try_parse_json keeps malformed payloads as NULL (tolerance contract),
+    variant_get extracts typed paths without a declared schema — the
+    modern replacement for schema-pinned from_json when payloads drift
+    (ref: schema drift generate_and_load_script.py:157, malformed JSON
+    pseudo_code_rules.txt:30-38). Variant stores a parsed binary form, so
+    repeated path extraction skips re-tokenizing the JSON text."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    return ev.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count("v").alias("n_parsed"),
+        F.sum(F.try_variant_get(F.col("v"), "$.k", "int")).alias("sum_k"),
+    )

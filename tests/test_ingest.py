@@ -101,3 +101,30 @@ def test_schema_evolution_merge_read(spark, tmp_path):
 
     got = {r["id"]: (r["a"], r["b"]) for r in load_evolved(spark, path).collect()}
     assert got == {1: ("x", None), 2: ("y", 9.5)}
+
+
+def test_custom_datasource_synth_events(spark):
+    """Python DataSource API connector: partitioned, deterministic,
+    executor-side generation."""
+    from saas_analytics_pipeline_spark.sources_custom import register
+
+    register(spark)
+    df = (
+        spark.read.format("synth_events")
+        .option("rows", 500)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 500
+    assert df.select("event_id").distinct().count() == 500
+    types = {r["event_type"] for r in df.select("event_type").distinct().collect()}
+    assert types <= {"view", "click", "purchase", "error"}
+    # deterministic across re-reads (task-retry safety)
+    again = (
+        spark.read.format("synth_events")
+        .option("rows", 500)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.exceptAll(again).count() == 0
