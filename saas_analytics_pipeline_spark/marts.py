@@ -973,3 +973,34 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(click_ok, 1)).alias("step_click_24h"),
         F.count(F.when(purchase_ok, 1)).alias("step_purchase_24h"),
     )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           round(AVG(c_acctbal), 4) AS avg_bal,
+           round(AVG(c_acctbal) - (SELECT AVG(c_acctbal) FROM customer), 4)
+               AS delta_vs_global
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: per-segment average vs the global average in one
+    statement. Catalyst plans the subquery once (a 1-row broadcast), not
+    per-row — the declarative form scales where a driver-side collect of
+    the global value would not compose."""
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer_ss")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               round(AVG(c_acctbal), 4) AS avg_bal,
+               round(AVG(c_acctbal)
+                     - (SELECT AVG(c_acctbal) FROM customer_ss), 4)
+                   AS delta_vs_global
+        FROM customer_ss GROUP BY c_mktsegment
+        """
+    )
