@@ -697,3 +697,51 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("v").alias("n_parsed"),
         F.sum(F.try_variant_get(F.col("v"), "$.k", "int")).alias("sum_k"),
     )
+
+
+@query(
+    "q_union_by_name",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS id, o_totalprice AS amount, o_orderstatus AS status
+        FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+    ),
+    b AS (  -- later extract adds a column the old one lacks
+        SELECT o_orderkey AS id, o_totalprice AS amount, o_orderstatus AS status,
+               o_orderpriority AS priority
+        FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+    ),
+    unioned AS (
+        SELECT id, amount, status, NULL AS priority FROM a
+        UNION ALL
+        SELECT id, amount, status, priority FROM b
+    )
+    SELECT status, COUNT(*) AS n,
+           COUNT(priority) AS n_with_priority,
+           CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM unioned GROUP BY status
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving UNION: unionByName(allowMissingColumns=True) aligns
+    extracts whose column sets drifted over time — position-based unionAll
+    would silently mis-bind columns; name-based alignment is the staging
+    contract for multi-vintage loads."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") == 1995).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    b = o.where(F.year("o_orderdate") == 1996).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    unioned = a.unionByName(b, allowMissingColumns=True)
+    return unioned.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.count("priority").alias("n_with_priority"),
+        money_sum("amount", "total"),
+    )

@@ -160,3 +160,63 @@ def test_money_rounding_matches_decimal_half_up(spark, cents):
     )
     want = sum(v.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP) for v in vals)
     assert got == want
+
+
+asof_rows = st.tuples(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)),
+        min_size=1, max_size=12, unique=True,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000), st.integers(0, 99)),
+        min_size=0, max_size=12,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+
+
+@SETTINGS
+@given(data=asof_rows, direction=st.sampled_from(["backward", "forward"]))
+def test_asof_join_matches_pandas_for_any_frames(spark, data, direction):
+    """asof_join == pandas merge_asof for arbitrary (key, ts) frames, both
+    directions. Timestamps unique per (key, ts) so tie rules don't differ."""
+    import pandas as pd
+
+    from saas_analytics_pipeline_spark.operators.asof import asof_join
+
+    left_rows, right_rows = data
+    l = spark.createDataFrame(
+        [(k, s * 60) for k, s in left_rows], "key int, ts_s long"
+    ).select("key", F.timestamp_seconds("ts_s").alias("ts"))
+    r = spark.createDataFrame(
+        [(k, s * 60, v) for k, s, v in right_rows],
+        "key int, ts_s long, v int",
+    ).select("key", F.timestamp_seconds("ts_s").alias("ts"), "v")
+
+    got = {
+        (row["key"], row["ts"]): row["asof_v"]
+        for row in asof_join(
+            l, r, ts="ts", by="key", right_payload=["v"], direction=direction
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, pd.Timestamp(s * 60, unit="s")) for k, s in left_rows],
+        columns=["key", "ts"],
+    )
+    rp = pd.DataFrame(
+        [(k, pd.Timestamp(s * 60, unit="s"), v) for k, s, v in right_rows],
+        columns=["key", "ts", "v"],
+    )
+    if len(rp):
+        merged = pd.merge_asof(
+            lp.sort_values("ts"), rp.sort_values("ts"),
+            on="ts", by="key", direction=direction,
+        )
+        want = {
+            (row.key, row.ts): None if pd.isna(row.v) else int(row.v)
+            for row in merged.itertuples()
+        }
+    else:
+        want = {(row.key, row.ts): None for row in lp.itertuples()}
+    assert got == want
