@@ -300,3 +300,45 @@ def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("o_totalprice", "revenue"),
         )
     )
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    WITH bands AS (
+        SELECT * FROM (VALUES
+            ('low',    0.0,  50000.0),
+            ('mid',    50000.0, 150000.0),
+            ('high',   150000.0, 1000000.0)
+        ) AS t(band, lo, hi)
+    )
+    SELECT b.band, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: orders banded by price interval. With a tiny
+    interval table Spark plans BroadcastNestedLoopJoin — each fact row
+    tests 3 predicates scan-side, no shuffle. (For a LARGE interval table
+    the play is binning both sides to an equi-join key first; a genuine
+    theta join of two facts does not survive 100 TB.)"""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+         ("high", 150000.0, 1000000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice", "total"),
+        )
+    )

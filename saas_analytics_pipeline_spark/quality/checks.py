@@ -328,3 +328,48 @@ def observed(df: DataFrame, name: str = "metrics"):
         for c in df.columns[:8]
     ]
     return df.observe(obs, *metrics), obs
+
+
+@query(
+    "q_table_checksum",
+    oracle="""
+    WITH h AS (
+        SELECT CAST('0x' || substr(md5(
+               concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                         CAST(o_custkey AS VARCHAR), o_orderstatus,
+                         CAST(o_totalprice AS VARCHAR))), 1, 15) AS BIGINT)
+               AS rh
+        FROM orders
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(rh AS HUGEINT)) AS VARCHAR) AS checksum_sum,
+           bit_xor(rh) AS checksum_xor
+    FROM h
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint: SUM of per-row 60-bit content
+    hashes (+ row count). Two table versions compare with one number each
+    side — the cheap cross-environment recon primitive (migration checks,
+    replica drift) that avoids moving either table. Both reductions are
+    commutative+associative, so partitioning-independent: the decimal(38,0)
+    sum detects any multiset change (no overflow below ~8e19 rows); the
+    bit_xor complements it (an int64, but identical duplicate PAIRS cancel
+    — which the sum catches). Compared as strings cross-engine."""
+    from saas_analytics_pipeline_spark.functions import hash60
+
+    o = load_table(spark, sf_dir, "orders")
+    row_hash = hash60(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("string"),
+        )
+    )
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(row_hash.cast("decimal(38,0)")).cast("string").alias("checksum_sum"),
+        F.bit_xor(row_hash).alias("checksum_xor"),
+    )

@@ -205,3 +205,35 @@ def run_incremental_mart(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def clicks_to_purchases_stream(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: purchases matched to the same user's
+    clicks within the preceding hour. Both sides watermarked so the join
+    state (buffered clicks awaiting purchases and vice versa) is evicted
+    once the event-time horizon passes — bounded state, the only way a
+    stream-stream join survives unbounded input."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", horizon)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"interval {horizon}")),
+    ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts")

@@ -223,3 +223,50 @@ def test_transform_with_state_running_totals(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    from saas_analytics_pipeline_spark.streaming.jobs import (
+        clicks_to_purchases_stream,
+    )
+
+    src = tmp_path / "ss_src"
+    src.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), src / "part-000.parquet")
+    raw_schema = spark.read.parquet(str(src)).schema
+
+    stream = normalize_nanos_ts(stream_events(spark, str(src), raw_schema))
+    joined = clicks_to_purchases_stream(stream)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("ss_out").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (p.u == c.u)
+            & (c.cts <= p.pts)
+            & (c.cts >= p.pts - F.expr("interval 1 hour")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
