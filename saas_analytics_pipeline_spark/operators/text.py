@@ -14,7 +14,7 @@ hash-groupBy, the standard fuzzy-exact dedup used on web corpora.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from saas_analytics_pipeline_spark.qcatalog import query
@@ -231,4 +231,51 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.countDistinct("fingerprint").alias("n_unique_fingerprints"),
         )
+    )
+
+
+@query(
+    "q_corpus_filter",
+    oracle="""
+    WITH flagged AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS dup_rank
+        FROM documents
+    ),
+    decided AS (
+        SELECT source,
+               dup_rank = 1 AS pass_dedup,
+               n_tokens BETWEEN 30 AND 300 AS pass_length
+        FROM flagged
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN pass_dedup THEN 1 END) AS after_dedup,
+           COUNT(CASE WHEN pass_dedup AND pass_length THEN 1 END) AS kept
+    FROM decided GROUP BY source
+    """,
+)
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus filter: the composed keep/drop decision a
+    training-data pipeline applies per document — canonical-copy exact
+    dedup (keep min doc_id per content hash) then length-band gate —
+    reported as a per-source survival funnel. One window on the content
+    hash + scan-local flags; near-dup and language gates chain the same
+    way (their operators are oracle-checked separately; composition here
+    stays SQL-replayable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    flagged = docs.select(
+        "source",
+        (F.row_number().over(w) == 1).alias("pass_dedup"),
+        F.size(F.split("text", " ")).between(30, 300).alias("pass_length"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("pass_dedup"), 1)).alias("after_dedup"),
+        F.count(
+            F.when(F.col("pass_dedup") & F.col("pass_length"), 1)
+        ).alias("kept"),
     )

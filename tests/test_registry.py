@@ -64,3 +64,22 @@ def test_standard_models_build(spark, sf_dir, tmp_path):
     assert (
         built["stg_lineitem"].where("l_quantity <= 0").count() == 0
     )
+
+
+def test_parallel_build_matches_serial(spark, sf_dir, tmp_path):
+    """Wave-parallel build produces the same marts as the serial build."""
+    from saas_analytics_pipeline_spark import qcatalog
+    from saas_analytics_pipeline_spark.registry import REGISTRY, build_parallel
+
+    qcatalog.load_all()
+    register_sources(spark, sf_dir)
+
+    serial = REGISTRY.build(spark, warehouse_dir=str(tmp_path / "s"))
+    parallel = build_parallel(
+        REGISTRY, spark, warehouse_dir=str(tmp_path / "p"), max_workers=4
+    )
+    assert set(serial) == set(parallel)
+    for name in serial:
+        a = {tuple(r) for r in serial[name].collect()}
+        b = {tuple(r) for r in parallel[name].collect()}
+        assert a == b, f"mismatch in {name}"
