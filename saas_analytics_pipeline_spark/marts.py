@@ -1004,3 +1004,107 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer_ss GROUP BY c_mktsegment
         """
     )
+
+
+@query(
+    "q_month_over_month",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(m AS DATE) AS month, rev,
+           round(rev / LAG(rev) OVER (ORDER BY m) - 1, 6) AS mom_growth
+    FROM monthly
+    """,
+)
+def q_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: lag over the aggregated monthly
+    series (a |months|-row window — global ordering is fine at that
+    grain)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(money_sum("o_totalprice", "rev"))
+    w = Window.orderBy("m")
+    return monthly.select(
+        F.col("m").cast("date").alias("month"),
+        "rev",
+        F.round(F.col("rev") / F.lag("rev").over(w) - 1, 6).alias("mom_growth"),
+    )
+
+
+@query(
+    "q_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS first_m
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+           CASE WHEN date_trunc('month', o.o_orderdate) = f.first_m
+                THEN 'new' ELSE 'returning' END AS cust_kind,
+           COUNT(DISTINCT o.o_custkey) AS n_customers,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning revenue split per month: each order labeled by
+    whether its month is the customer's first. First-month assignment is
+    one agg; the label join shuffles on the customer key once."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("first_m")
+    )
+    labeled = o.join(firsts, "o_custkey").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.when(
+            F.date_trunc("month", "o_orderdate") == F.col("first_m"), "new"
+        ).otherwise("returning").alias("cust_kind"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    return labeled.groupBy("month", "cust_kind").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        money_sum("o_totalprice", "revenue"),
+    )
+
+
+@query(
+    "q_purchase_gaps",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    )
+    SELECT COUNT(gap_days) AS n_gaps,
+           round(AVG(gap_days), 4) AS avg_gap_days,
+           quantile_cont(gap_days, 0.5) AS p50_gap,
+           quantile_cont(gap_days, 0.9) AS p90_gap,
+           MAX(gap_days) AS max_gap
+    FROM gaps WHERE gap_days IS NOT NULL
+    """,
+)
+def q_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase gap distribution: per-customer lag diffs rolled into
+    exact percentiles — the repurchase-cadence mart (window on the entity
+    key, then a global percentile over the |orders|-sized gap column)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    return gaps.agg(
+        F.count("gap_days").alias("n_gaps"),
+        F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+        F.percentile("gap_days", 0.5).alias("p50_gap"),
+        F.percentile("gap_days", 0.9).alias("p90_gap"),
+        F.max("gap_days").alias("max_gap"),
+    )
