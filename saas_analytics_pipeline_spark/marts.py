@@ -1108,3 +1108,135 @@ def q_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap_days", 0.9).alias("p90_gap"),
         F.max("gap_days").alias("max_gap"),
     )
+
+
+@query(
+    "q_active_users",
+    oracle="""
+    WITH d AS (
+        SELECT COUNT(DISTINCT user_id) AS dau
+        FROM events
+        WHERE CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)
+    ),
+    w AS (
+        SELECT COUNT(DISTINCT user_id) AS wau
+        FROM events
+        WHERE CAST(ts AS DATE) > (SELECT MAX(CAST(ts AS DATE)) FROM events)
+                                  - INTERVAL 7 DAY
+    ),
+    m AS (
+        SELECT COUNT(DISTINCT user_id) AS mau
+        FROM events
+        WHERE CAST(ts AS DATE) > (SELECT MAX(CAST(ts AS DATE)) FROM events)
+                                  - INTERVAL 30 DAY
+    )
+    SELECT d.dau, w.wau, m.mau,
+           round(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+    FROM d, w, m
+    """,
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU as of the latest event day, plus stickiness (DAU/MAU) —
+    the ops-mart heartbeat. Three conditional distinct-counts over one
+    scan; at 100 TB swap countDistinct for approx_count_distinct (the
+    q_approx_distinct twin) or pre-aggregate per (day, user)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    # anchor as a broadcast 1-row frame, not a driver collect: the whole
+    # mart stays one declarative plan
+    anchor = ev.agg(F.max(d).alias("anchor"))
+    out = ev.crossJoin(F.broadcast(anchor)).agg(
+        F.countDistinct(
+            F.when(d == F.col("anchor"), F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct(
+            F.when(d > F.date_sub(F.col("anchor"), 7), F.col("user_id"))
+        ).alias("wau"),
+        F.countDistinct(
+            F.when(d > F.date_sub(F.col("anchor"), 30), F.col("user_id"))
+        ).alias("mau"),
+    )
+    return out.select(
+        "dau", "wau", "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias("stickiness"),
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    -- width_bucket(x, 0, 500000, 20) spelled arithmetically (no such
+    -- function in DuckDB): bucket width 25000, overflow buckets 0 / 21
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 500000 THEN 21
+                ELSE CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1 END
+               AS bucket,
+           COUNT(*) AS n,
+           round(MIN(o_totalprice), 2) AS lo,
+           round(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY bucket
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram via width_bucket — profiling primitive;
+    scan-local bucketing then one tiny agg (20 groups)."""
+    o = load_table(spark, sf_dir, "orders")
+    b = F.width_bucket("o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(20))
+    return o.groupBy(b.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@query(
+    "q_outliers",
+    oracle="""
+    WITH stats AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                   * CAST(o_totalprice AS DECIMAL(18,2))) AS ss
+        FROM orders GROUP BY o_orderpriority
+    ),
+    z AS (
+        SELECT o.o_orderpriority, o.o_totalprice,
+               (o.o_totalprice - CAST(st.s AS DOUBLE) / st.n)
+               / sqrt(CAST(st.ss AS DOUBLE) / st.n
+                      - (CAST(st.s AS DOUBLE) / st.n)
+                        * (CAST(st.s AS DOUBLE) / st.n)) AS zscore
+        FROM orders o JOIN stats st ON o.o_orderpriority = st.o_orderpriority
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN abs(zscore) > 3 THEN 1 END) AS n_outliers,
+           round(MAX(abs(zscore)), 4) AS max_abs_z
+    FROM z GROUP BY o_orderpriority
+    """,
+)
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outliers with ENGINE-EXACT statistics: mean and
+    variance derive from exact decimal sums (n, sum, sum-of-squares), so
+    both engines compute identical doubles and the |z|>3 cut is
+    deterministic — a float stddev_samp would drift with partition
+    summation order. Two passes over one scan shape: tiny stats agg,
+    broadcast back, scan-local z per row."""
+    o = load_table(spark, sf_dir, "orders")
+    p = money("o_totalprice")
+    stats = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(p).alias("s"),
+        F.sum(p * p).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    z = (F.col("o_totalprice") - mean) / F.sqrt(var)
+    joined = o.join(F.broadcast(stats), "o_orderpriority").select(
+        "o_orderpriority", F.abs(z).alias("abs_z")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("abs_z") > 3, 1)).alias("n_outliers"),
+        F.round(F.max("abs_z"), 4).alias("max_abs_z"),
+    )
