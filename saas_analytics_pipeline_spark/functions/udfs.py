@@ -20,12 +20,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from saas_analytics_pipeline_spark.qcatalog import query
 from saas_analytics_pipeline_spark.sources import load_table
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def readability(text: pd.Series) -> pd.Series:
     """Vectorized pseudo-Flesch score: avg words/sentence + avg chars/word
     (deterministic arithmetic only, so the oracle can replay it)."""
@@ -65,7 +66,7 @@ def q_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def weighted_median(values: pd.Series, weights: pd.Series) -> float:
     """Grouped-agg pandas UDF: exact weight-cumulative median (no Spark
     builtin). Per-group pandas — fine because groups are bounded."""

@@ -279,3 +279,124 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("pass_dedup") & F.col("pass_length"), 1)
         ).alias("kept"),
     )
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    WITH names AS (
+        SELECT c_custkey, upper(trim(c_name)) AS nm
+        FROM customer WHERE c_custkey % 500 = 0
+    )
+    SELECT a.c_custkey AS a, b.c_custkey AS b,
+           levenshtein(a.nm, b.nm) AS dist
+    FROM names a JOIN names b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.nm, b.nm) <= 3
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: normalized-name pairs within edit distance 3
+    (dirty-CRM dedup; ref: free-text billing fields,
+    generate_and_load_script.py:74). Subset %500 bounds the pair space —
+    at scale the all-pairs join is replaced by blocking (first-k chars /
+    phonetic key) exactly like the LSH pattern in dedup.py."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 500 == 0)
+    names = c.select(
+        "c_custkey", F.upper(F.trim("c_name")).alias("nm")
+    )
+    a = names.select(F.col("c_custkey").alias("a"), F.col("nm").alias("nm_a"))
+    b = names.select(F.col("c_custkey").alias("b"), F.col("nm").alias("nm_b"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.levenshtein("nm_a", "nm_b").alias("dist"))
+        .where(F.col("dist") <= 3)
+    )
+
+
+@query(
+    "q_event_bigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def q_event_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition bigrams (the Markov-ish navigation matrix): lead
+    over each user's ordered stream, then count (from, to) pairs — one
+    window shuffle + one small agg."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    return seq.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_tf_idf",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM tokens GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY tok
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tokens),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                   AS tfidf
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, tok) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (subset %25): token explode -> tf
+    per (doc, token) -> document frequency -> idf join -> per-doc top-k.
+    ln() on identical double operands is bit-identical cross-engine, so
+    the scores oracle-match at 6 dp. At 100 TB the df table is the small
+    side (vocabulary) and broadcasts; tf never leaves its doc partition
+    until the final top-k."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    tf = tokens.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tokens.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tokens.agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf")
+    )
