@@ -140,3 +140,85 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum(F.length("sentence")).alias("total_chars"),
     )
+
+
+@query(
+    "q_array_hof",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           SUM(len(list_filter(embedding, x -> x > 0))) AS total_pos,
+           round(SUM(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+               AS total_l2,
+           SUM(CASE WHEN list_bool_or(list_transform(embedding,
+               x -> abs(x) > 3.0)) THEN 1 ELSE 0 END) AS n_with_spike
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over embeddings — filter / transform /
+    aggregate / exists, all JVM-side lambda expressions (codegen'd, no
+    Python): positive-component counts, L2 norms, spike detection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.size(F.filter("embedding", lambda x: x > 0))).alias("total_pos"),
+        F.round(F.sum(l2), 4).alias("total_l2"),
+        F.sum(
+            F.when(
+                F.exists("embedding", lambda x: F.abs(x) > 3.0), 1
+            ).otherwise(0)
+        ).alias("n_with_spike"),
+    )
+
+
+@query(
+    "q_sequence_pattern",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(CASE WHEN path LIKE '%view%' THEN 1 END) AS saw_view,
+           COUNT(CASE WHEN regexp_matches(path, 'view.*click.*purchase')
+                      THEN 1 END) AS full_path,
+           COUNT(CASE WHEN regexp_matches(path, 'error') THEN 1 END)
+               AS hit_error
+    FROM seqs
+    """,
+)
+def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching: each user's ordered event path collapsed
+    to a string, regex-matched for the view->click->purchase journey (the
+    poor-man's MATCH_RECOGNIZE — one agg + scan-local regex; the ordered
+    collect rides the groupBy shuffle via sort_array over (ts, id)
+    structs, keeping determinism under any partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+        ">",
+    )
+    seqs = ev.groupBy("user_id").agg(path.alias("path"))
+    return seqs.agg(
+        F.count("*").alias("n_users"),
+        F.count(F.when(F.col("path").contains("view"), 1)).alias("saw_view"),
+        F.count(
+            F.when(F.col("path").rlike("view.*click.*purchase"), 1)
+        ).alias("full_path"),
+        F.count(F.when(F.col("path").rlike("error"), 1)).alias("hit_error"),
+    )
