@@ -220,3 +220,59 @@ def test_asof_join_matches_pandas_for_any_frames(spark, data, direction):
     else:
         want = {(row.key, row.ts): None for row in lp.itertuples()}
     assert got == want
+
+
+@SETTINGS
+@given(
+    rows=events_logs,
+    n_batches=st.integers(min_value=2, max_value=4),
+)
+def test_scd2_multi_batch_increments_equal_full_rebuild(spark, rows, n_batches):
+    """Applying a change log in ANY number of sequential time-ordered
+    batches through scd2_apply_increment ends at the same dimension as one
+    full rebuild — the incremental path never diverges."""
+    from saas_analytics_pipeline_spark.plans.incremental import (
+        scd2_apply_increment,
+    )
+
+    ev = spark.createDataFrame(
+        [(u, m * 60, i) for u, m, i in rows],
+        "key int, ts_s long, change_id int",
+    ).select("key", F.timestamp_seconds("ts_s").alias("ts"), "change_id")
+
+    cols = ["key", "change_id", "valid_from", "valid_to", "is_current", "version_n"]
+    full = build_scd2(ev, "key", "ts", "change_id").select(*cols)
+
+    # split by time into n_batches contiguous slices (ties stay together
+    # via (ts, change_id) ordering percentiles on distinct ts)
+    bounds = list(
+        ev.selectExpr(
+            *[
+                f"percentile(unix_timestamp(ts), {i / n_batches}) AS p{i}"
+                for i in range(1, n_batches)
+            ]
+        ).collect()[0]
+    )
+
+    dim = None
+    prev = None
+    for i in range(n_batches):
+        lo = bounds[i - 1] if i > 0 else None
+        hi = bounds[i] if i < n_batches - 1 else None
+        sl = ev
+        if lo is not None:
+            sl = sl.where(F.unix_timestamp("ts") > lo)
+        if hi is not None:
+            sl = sl.where(F.unix_timestamp("ts") <= hi)
+        if sl.count() == 0:
+            continue
+        if dim is None:
+            dim = build_scd2(sl, "key", "ts", "change_id").select(*cols)
+        else:
+            dim = scd2_apply_increment(
+                dim, sl, "key", "ts", attrs=["change_id"], tiebreak="change_id"
+            ).select(*cols)
+    assert dim is not None
+    assert {tuple(r) for r in dim.collect()} == {
+        tuple(r) for r in full.collect()
+    }
