@@ -400,3 +400,66 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("doc_id", "tok", "tfidf")
     )
+
+
+@query(
+    "q_repetition_score",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')), 2)),
+                   i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')
+               )) AS bigram
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    freq AS (
+        SELECT doc_id, SUM(cnt) AS n_bigrams,
+               MAX(cnt) AS top_bigram_n
+        FROM (SELECT doc_id, bigram, COUNT(*) AS cnt
+              FROM grams GROUP BY doc_id, bigram)
+        GROUP BY doc_id
+    )
+    SELECT COUNT(*) AS n_docs,
+           round(AVG(CAST(top_bigram_n AS DOUBLE) / n_bigrams), 6)
+               AS avg_top_bigram_share,
+           COUNT(CASE WHEN CAST(top_bigram_n AS DOUBLE) / n_bigrams > 0.2
+                      THEN 1 END) AS n_repetitive
+    FROM freq
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style quality gate): share of the
+    most frequent word bigram per document; docs above 20% flag as
+    repetitive boilerplate. Bigram explode -> two nested counts, all on
+    the doc_id key — one shuffle, no text movement."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    words = F.split("text", " ")
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """
+                transform(
+                    sequence(1, greatest(size(split(text, ' ')) - 1, 1)),
+                    i -> concat_ws(' ', slice(split(text, ' '), i, 2))
+                )
+                """
+            )
+        ).alias("bigram"),
+    )
+    freq = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.max("cnt").alias("top_bigram_n"),
+        )
+    )
+    share = F.col("top_bigram_n").cast("double") / F.col("n_bigrams")
+    return freq.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(share), 6).alias("avg_top_bigram_share"),
+        F.count(F.when(share > 0.2, 1)).alias("n_repetitive"),
+    )
