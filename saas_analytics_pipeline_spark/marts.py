@@ -1240,3 +1240,43 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("abs_z") > 3, 1)).alias("n_outliers"),
         F.round(F.max("abs_z"), 4).alias("max_abs_z"),
     )
+
+
+@query(
+    "q_decay_score",
+    oracle="""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders)
+    SELECT o.o_custkey,
+           round(SUM(o.o_totalprice
+                     * exp(-0.01 * date_diff('day', o.o_orderdate, a.mx))), 4)
+               AS decayed_revenue,
+           COUNT(*) AS n_orders
+    FROM orders o CROSS JOIN anchor a
+    WHERE o.o_custkey % 1000 = 0
+    GROUP BY o.o_custkey
+    """,
+)
+def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay revenue score per customer (lambda=0.01/day
+    from the latest order date) — the recency-weighted LTV shape. exp()
+    on identical double operands is bit-identical cross-engine; the
+    anchor rides as a broadcast 1-row frame (subset %1000 bounds oracle
+    cost)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 1000 == 0)
+    anchor = load_table(spark, sf_dir, "orders").agg(
+        F.max("o_orderdate").alias("mx")
+    )
+    return (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("o_totalprice")
+                    * F.exp(F.lit(-0.01) * F.datediff("mx", "o_orderdate"))
+                ),
+                4,
+            ).alias("decayed_revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )

@@ -237,3 +237,34 @@ def clicks_to_purchases_stream(events: DataFrame, horizon: str = "1 hour") -> Da
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"interval {horizon}")),
     ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
+@query(
+    "q_sliding_window",
+    oracle="""
+    WITH starts AS (
+        SELECT event_type, value, ts,
+               unnest([
+                   CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP),
+                   CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP)
+                       - INTERVAL 30 MINUTE
+               ]) AS wstart
+        FROM events
+    )
+    SELECT wstart, event_type, COUNT(*) AS n
+    FROM starts
+    WHERE ts >= wstart AND ts < wstart + INTERVAL 1 HOUR
+    GROUP BY wstart, event_type
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts (1h window, 30m slide): every event lands in
+    exactly window/slide = 2 windows — F.window expands them scan-side
+    (no self-join). Batch twin of the streaming hopping aggregation; the
+    oracle enumerates both candidate starts per event explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("wstart"), "event_type", "n")
+    )
