@@ -1280,3 +1280,115 @@ def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+
+
+@query(
+    "q_pareto",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT rev, NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+        FROM cust
+    )
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           CAST(SUM(rev) AS DOUBLE) AS revenue,
+           round(CAST(SUM(rev) AS DOUBLE)
+                 / (SELECT CAST(SUM(rev) AS DOUBLE) FROM cust), 6) AS rev_share
+    FROM ranked GROUP BY decile
+    """,
+)
+def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by customer decile (the 80/20 curve behind the
+    skew rule, pseudo_code_rules.txt:2-10): NTILE over the aggregated
+    per-customer grain, shares against a scalar-subquery total."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(money("o_totalprice")).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    ranked = cust.select("rev", F.ntile(10).over(w).alias("decile"))
+    total = cust.agg(F.sum("rev").cast("double").alias("total"))
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue",
+            F.round(F.col("revenue") / F.col("total"), 6).alias("rev_share"),
+        )
+    )
+
+
+@query(
+    "q_basket_pairs",
+    oracle="""
+    WITH lines AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 10 = 0
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+    FROM lines a JOIN lines b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in >= 2
+    orders (subset orderkey%10). The self-join is keyed on the order —
+    pair fan-out is bounded by lines-per-order squared (~tens), never
+    |lineitem|^2; heavy-hitter parts would get the salting treatment."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "k")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+    )
+
+
+@query(
+    "q_heatmap",
+    oracle="""
+    SELECT EXTRACT(isodow FROM ts) AS dow,
+           EXTRACT(hour FROM ts) AS hod,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap (ops mart staple) —
+    ISO weekday numbering matched across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").alias("dow_raw"),
+        F.hour("ts").alias("hod"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select(
+        # Spark dayofweek: 1=Sunday..7=Saturday; ISO: 1=Monday..7=Sunday
+        F.when(F.col("dow_raw") == 1, 7).otherwise(F.col("dow_raw") - 1)
+        .alias("dow"),
+        "hod",
+        "n_events",
+        "n_users",
+    )
