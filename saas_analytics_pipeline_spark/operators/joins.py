@@ -342,3 +342,41 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("o_totalprice", "total"),
         )
     )
+
+
+@query(
+    "q_null_safe_join",
+    oracle="""
+    WITH a AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderstatus END AS k,
+               COUNT(*) AS n_a
+        FROM orders GROUP BY 1
+    ),
+    b AS (
+        SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                    ELSE o_orderstatus END AS k,
+               COUNT(*) AS n_b
+        FROM orders GROUP BY 1
+    )
+    SELECT a.k, a.n_a, b.n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other — required when the join key legitimately carries "unknown"
+    (dirty staging output) and dropping those rows would silently lose
+    data. Still a hash join: null-safe equality remains an equi-key."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(
+        F.col("o_orderstatus")
+    )
+    k2 = F.when(F.col("o_orderkey") % 11 == 0, None).otherwise(
+        F.col("o_orderstatus")
+    )
+    a = o.groupBy(k.alias("k")).agg(F.count("*").alias("n_a"))
+    b = o.groupBy(k2.alias("k")).agg(F.count("*").alias("n_b"))
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "n_a", "n_b"
+    )
