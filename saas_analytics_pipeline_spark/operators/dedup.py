@@ -365,3 +365,86 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup_clusters(pairs)
     sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
     return sizes.groupBy("sz").agg(F.count("*").alias("n_clusters")).orderBy("sz")
+
+
+@query(
+    "q_crossmodal_dedup",
+    oracle="""
+    WITH txt AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM documents a JOIN documents b
+          ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    ),
+    emb AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(b.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              >= 0.95
+    )
+    SELECT (SELECT COUNT(*) FROM txt) AS n_text_pairs,
+           (SELECT COUNT(*) FROM emb) AS n_embed_pairs,
+           (SELECT COUNT(*) FROM txt JOIN emb USING (a, b)) AS n_both
+    """,
+)
+def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup agreement: exact-text duplicate pairs vs
+    embedding near-dup pairs (cosine >= 0.95, label-blocked) over the
+    SAME id space (doc_id == vec_id in the testdata) — the sanity check a
+    production dedup stack runs before trusting either signal alone.
+    Both pair sets key on content hashes / blocked cells, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    h = docs.select("doc_id", F.md5("text").alias("h"))
+    txt = (
+        h.alias("x")
+        .join(h.alias("y"), "h")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+
+    e = emb.select("vec_id", "embedding", "label")
+    dot = F.expr(
+        """aggregate(zip_with(x_emb, y_emb,
+               (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
+               CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+    )
+    def norm(col):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    pairs = (
+        e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("x_emb"),
+                 F.col("label").alias("la"))
+        .join(
+            e.select(F.col("vec_id").alias("b"),
+                     F.col("embedding").alias("y_emb"),
+                     F.col("label").alias("lb")),
+            (F.col("la") == F.col("lb")) & (F.col("a") < F.col("b")),
+        )
+        .where(
+            (dot / (norm(F.col("x_emb")) * norm(F.col("y_emb")))) >= 0.95
+        )
+        .select("a", "b")
+    )
+
+    n_text = txt.agg(F.count("*").alias("n")).select(
+        F.col("n").alias("n_text_pairs")
+    )
+    n_emb = pairs.agg(F.count("*").alias("n")).select(
+        F.col("n").alias("n_embed_pairs")
+    )
+    n_both = txt.join(pairs, ["a", "b"]).agg(F.count("*").alias("n")).select(
+        F.col("n").alias("n_both")
+    )
+    return n_text.crossJoin(n_emb).crossJoin(n_both)
