@@ -1392,3 +1392,62 @@ def q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "n_users",
     )
+
+
+@query(
+    "q_anomaly_days",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    stats AS (
+        SELECT d, CAST(rev AS DOUBLE) AS rev,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(rev) OVER w AS DOUBLE) AS s,
+               CAST(SUM(rev * rev) OVER w AS DOUBLE) AS ss
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 27 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT d, rev,
+           round((rev - s / n)
+                 / sqrt(greatest(ss / n - (s / n) * (s / n), 1e-9)), 4)
+               AS zscore
+    FROM stats
+    WHERE n >= 14
+      AND abs((rev - s / n)
+              / sqrt(greatest(ss / n - (s / n) * (s / n), 1e-9))) > 2
+    """,
+)
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue anomaly days: each day's total scored against the TRAILING
+    28-day window (excluding itself; needs >= 14 days of history), flagged
+    when |z| > 2 — the alerting mart behind "revenue dipped" pages. Window
+    mean/variance derive from exact decimal sums over a ROWS frame, so the
+    z-cut is engine-deterministic like q_outliers."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(money("o_totalprice")).alias("rev_dec")
+    )
+    w = Window.orderBy("d").rowsBetween(-27, -1)
+    stats = daily.select(
+        "d",
+        F.col("rev_dec").cast("double").alias("rev"),
+        F.count("*").over(w).alias("n"),
+        F.sum("rev_dec").over(w).cast("double").alias("s"),
+        F.sum(F.col("rev_dec") * F.col("rev_dec")).over(w)
+        .cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    z = (F.col("rev") - mean) / F.sqrt(
+        F.greatest(F.col("ss") / F.col("n") - mean * mean, F.lit(1e-9))
+    )
+    # filter on the UNROUNDED z exactly like the oracle (filtering on the
+    # rounded value would disagree on boundary rows), round only for output
+    return (
+        stats.where(F.col("n") >= 14)
+        .select("d", "rev", z.alias("z_raw"))
+        .where(F.abs(F.col("z_raw")) > 2)
+        .select("d", "rev", F.round("z_raw", 4).alias("zscore"))
+    )

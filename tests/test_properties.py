@@ -276,3 +276,41 @@ def test_scd2_multi_batch_increments_equal_full_rebuild(spark, rows, n_batches):
     assert {tuple(r) for r in dim.collect()} == {
         tuple(r) for r in full.collect()
     }
+
+
+@SETTINGS
+@given(rows=events_logs)
+def test_pandas_sessionizer_agrees_with_window_sessionizer(spark, rows):
+    """The applyInPandas sessionizer (custom-operator path) and the
+    window-function sessionizer (declarative path) produce identical
+    sessions for any event log — two independent implementations
+    cross-checking each other."""
+    from saas_analytics_pipeline_spark.streaming.stateful import (
+        SESSION_SCHEMA,
+        _sessionize_batch_pdf,
+    )
+
+    ev = spark.createDataFrame(
+        [(u, m * 60, i) for u, m, i in rows],
+        "user_id long, ts_s long, event_id int",
+    ).select("user_id", F.timestamp_seconds("ts_s").alias("ts"), "event_id")
+
+    via_pandas = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in ev.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandas(_sessionize_batch_pdf, schema=SESSION_SCHEMA)
+        .collect()
+    }
+    via_window = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(ev)
+        .groupBy("user_id", "session_n")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert via_pandas == via_window
