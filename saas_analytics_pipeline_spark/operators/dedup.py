@@ -11,8 +11,9 @@ Scale notes (100 TB):
   permutation is a partial-aggregable min). LSH banding turns all-pairs
   O(n^2) into per-bucket candidate generation; only candidates get the exact
   Jaccard verification. Band width / row count trade recall vs candidates.
-- per-permutation hashing uses hash60(j || shingle) — no (a*h+b) mod p
-  arithmetic, so no int64-overflow modmul and it stays oracle-replayable.
+- per-permutation hashing is one hash60(shingle) XOR'd with fixed salts
+  (PERM_SALTS) — one md5 per shingle total, no modmul overflow, and it
+  stays oracle-replayable via DuckDB's xor().
 - SimHash: 16-bit per-token-bit majority — explode(token) x bit is shuffled
   as (doc, bit) partial sums; at scale compute the 16 partial sums in one
   aggregation pass with conditional sums instead (same plan here).
