@@ -1451,3 +1451,42 @@ def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(F.col("z_raw")) > 2)
         .select("d", "rev", F.round("z_raw", 4).alias("zscore"))
     )
+
+
+@query(
+    "q_forecast_naive",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ),
+    joined AS (
+        SELECT a.m, a.rev, b.rev AS forecast
+        FROM monthly a JOIN monthly b ON b.m = a.m - INTERVAL 12 MONTH
+    )
+    SELECT COUNT(*) AS n_months,
+           round(AVG(abs(rev - forecast) / rev), 6) AS mape,
+           round(MAX(abs(rev - forecast) / rev), 6) AS worst_ape
+    FROM joined
+    """,
+)
+def q_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest: forecast each month as the same month last
+    year, scored by MAPE — the baseline every fancier forecaster must
+    beat, and the standing data-sanity check on seasonality drift. A
+    self-join on the shifted month key (|months| rows each side)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(money_sum("o_totalprice", "rev"))
+    lagged = monthly.select(
+        F.add_months(F.col("m"), 12).alias("m"), F.col("rev").alias("forecast")
+    )
+    joined = monthly.join(lagged, "m")
+    ape = F.abs(F.col("rev") - F.col("forecast")) / F.col("rev")
+    return joined.agg(
+        F.count("*").alias("n_months"),
+        F.round(F.avg(ape), 6).alias("mape"),
+        F.round(F.max(ape), 6).alias("worst_ape"),
+    )

@@ -463,3 +463,62 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(share), 6).alias("avg_top_bigram_share"),
         F.count(F.when(share > 0.2, 1)).alias("n_repetitive"),
     )
+
+
+PACK_BUDGET = 512  # tokens per packed sequence (context-window stand-in)
+
+
+@query(
+    "q_sequence_pack",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, n_tokens,
+               CAST(floor((SUM(n_tokens) OVER (PARTITION BY source
+                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - n_tokens)
+                    / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT source,
+           COUNT(DISTINCT bin_id) AS n_bins,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(n_tokens) AS DOUBLE)
+                 / (COUNT(DISTINCT bin_id) * {PACK_BUDGET}), 6) AS fill_rate
+    FROM packed GROUP BY source
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: greedily assign documents (in
+    stable doc_id order) to {PACK_BUDGET}-token context bins per source via
+    running token counts — bin = floor(preceding_cumsum / budget) — and
+    report bin counts + fill rates. One window per source key; the packing
+    decision never leaves the executor."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select(
+        "source",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET
+        ).alias("bin_id"),
+    )
+    return packed.groupBy("source").agg(
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double")
+            / (F.countDistinct("bin_id") * PACK_BUDGET),
+            6,
+        ).alias("fill_rate"),
+    )
