@@ -1490,3 +1490,62 @@ def q_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(ape), 6).alias("mape"),
         F.round(F.max(ape), 6).alias("worst_ape"),
     )
+
+
+@query(
+    "q_abandonment",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ),
+    converted AS (
+        -- EXISTS (not JOIN+DISTINCT) so duplicate click timestamps count
+        -- once per click row, exactly like the left-semi join
+        SELECT user_id, click_ts FROM clicks c
+        WHERE EXISTS (
+            SELECT 1 FROM events p
+            WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+              AND p.ts > c.click_ts AND p.ts <= c.click_ts + INTERVAL 24 HOUR)
+    )
+    SELECT (SELECT COUNT(*) FROM clicks) AS n_clicks,
+           (SELECT COUNT(*) FROM converted) AS n_converted,
+           (SELECT COUNT(*) FROM clicks) - (SELECT COUNT(*) FROM converted)
+               AS n_abandoned,
+           round(1.0 - CAST((SELECT COUNT(*) FROM converted) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM clicks), 6) AS abandonment_rate
+    """,
+)
+def q_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abandonment: clicks with NO purchase by the same user within 24h —
+    the negative-space funnel metric. The existence check is a windowed
+    left-semi join on the user key (never a cross join); abandoned =
+    clicks minus converted."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("interval 24 hours")),
+        "left_semi",
+    )
+    n_clicks = clicks.agg(F.count("*").alias("n_clicks"))
+    n_conv = converted.agg(F.count("*").alias("n_converted"))
+    return (
+        n_clicks.crossJoin(n_conv)
+        .select(
+            "n_clicks",
+            "n_converted",
+            (F.col("n_clicks") - F.col("n_converted")).alias("n_abandoned"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_converted").cast("double") / F.col("n_clicks"),
+                6,
+            ).alias("abandonment_rate"),
+        )
+    )
