@@ -449,3 +449,25 @@ def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_both")
     )
     return n_text.crossJoin(n_emb).crossJoin(n_both)
+
+
+@query(
+    "q_dedup_cross_source",
+    oracle="""
+    WITH h AS (SELECT DISTINCT md5(text) AS h, source FROM documents),
+    spread AS (
+        SELECT h, COUNT(*) AS n_sources FROM h GROUP BY h
+    )
+    SELECT n_sources, COUNT(*) AS n_contents
+    FROM spread GROUP BY n_sources
+    """,
+)
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate provenance: how many distinct contents
+    appear in 1, 2, ... sources — the signal that separates in-crawl
+    dupes from syndicated/mirrored content (different dedup policies
+    apply). Two hash-aggs over (hash, source); text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(F.md5("text").alias("h"), "source").distinct()
+    spread = h.groupBy("h").agg(F.count("*").alias("n_sources"))
+    return spread.groupBy("n_sources").agg(F.count("*").alias("n_contents"))

@@ -522,3 +522,32 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fill_rate"),
     )
+
+
+@query(
+    "q_vocab_head",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    )
+    SELECT tok, COUNT(*) AS n
+    FROM toks WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 20
+    """,
+)
+def q_vocab_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: global top-20 tokens by frequency (Zipf-head
+    profiling a tokenizer build starts from). Token explode -> hash-agg ->
+    TakeOrderedAndProject top-k; deterministic tie-break on the token."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
