@@ -91,3 +91,49 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("duration_s").alias("total_duration_s"),
     )
+
+
+@query(
+    "q_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sn
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, sn, COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, sn
+    )
+    SELECT COUNT(*) AS n_sessions,
+           COUNT(CASE WHEN n_events = 1 THEN 1 END) AS n_bounces,
+           round(CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS bounce_rate
+    FROM sessions
+    """,
+)
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate: share of single-event sessions — the canonical session
+    quality metric, derived from the same lag-gap sessionizer."""
+    ev = load_table(spark, sf_dir, "events")
+    per_session = sessionize(ev).groupBy("user_id", "session_n").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
+        F.round(
+            F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("bounce_rate"),
+    )

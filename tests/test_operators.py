@@ -177,3 +177,40 @@ def test_dedup_clusters_connected_components(spark):
         r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_two_phase_agg_equals_plain_agg(spark, sf_dir):
+    """Salted two-phase aggregation == plain groupBy (the skew fallback
+    must not change results)."""
+    from pyspark.sql import functions as F
+
+    from saas_analytics_pipeline_spark.operators.skew import two_phase_agg
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    plain = {
+        (r["o_orderstatus"], r["n"], r["total"])
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["o_orderstatus"], r["n"], r["total"])
+        for r in two_phase_agg(
+            o,
+            "o_orderstatus",
+            agg_cols={
+                "n": F.count("*"),
+                "total": F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+            },
+            merge_cols={
+                "n": F.sum("n"),
+                "total": F.sum("total").cast("decimal(18,2)"),
+            },
+            stable_col="o_orderkey",
+        ).collect()
+    }
+    assert plain == salted
