@@ -471,3 +471,110 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = docs.select(F.md5("text").alias("h"), "source").distinct()
     spread = h.groupBy("h").agg(F.count("*").alias("n_sources"))
     return spread.groupBy("n_sources").agg(F.count("*").alias("n_contents"))
+
+
+def _sig_est_oracle() -> str:
+    eq_terms = " + ".join(
+        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(N_PERM)
+    )
+    mins = ",\n               ".join(
+        f"MIN(xor(h, {PERM_SALTS[j]})) AS mh{j}" for j in range(N_PERM)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    hashed AS (SELECT doc_id, {hash60_sql('shingle')} AS h FROM sh),
+    sig AS (
+        SELECT doc_id, {mins}
+        FROM hashed GROUP BY doc_id
+    ),
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb,
+               ({eq_terms}) / {N_PERM}.0 AS est
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT x.doc_id AS ida, y.doc_id AS idb, COUNT(*) AS n_inter
+        FROM dsh x JOIN dsh y
+          ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_pairs,
+           round(AVG(abs(p.est
+               - COALESCE(i.n_inter, 0)::DOUBLE
+                 / (za.n + zb.n - COALESCE(i.n_inter, 0)))), 6) AS mean_abs_err,
+           round(MAX(p.est), 6) AS max_est
+    FROM pairs p
+    LEFT JOIN inter i ON p.ida = i.ida AND p.idb = i.idb
+    JOIN sizes za ON p.ida = za.doc_id
+    JOIN sizes zb ON p.idb = zb.doc_id
+    """
+
+
+@query("q_sketch_error", oracle=_sig_est_oracle())
+def q_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch validation: MinHash signature-agreement Jaccard estimate vs
+    exact shingle Jaccard over all pairs in the %10 subset, reported as
+    mean absolute error — the measurement that justifies trusting the
+    sketch at scales where exact Jaccard is unaffordable. Both estimator
+    and truth are deterministic, so even this VALIDATION is
+    oracle-replayable."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    sig = minhash_signatures(docs)
+    est_expr = sum(
+        F.when(F.col(f"a_mh{j}") == F.col(f"b_mh{j}"), 1).otherwise(0)
+        for j in range(N_PERM)
+    ) / float(N_PERM)
+    a = sig.select(
+        F.col("doc_id").alias("ida"),
+        *[F.col(f"mh{j}").alias(f"a_mh{j}") for j in range(N_PERM)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("idb"),
+        *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(N_PERM)],
+    )
+    pairs = a.join(b, F.col("ida") < F.col("idb")).select(
+        "ida", "idb", est_expr.alias("est")
+    )
+
+    dsh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles())).alias("s")
+    )
+    sizes = dsh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        dsh.alias("x")
+        .join(
+            dsh.alias("y"),
+            (F.col("x.s") == F.col("y.s"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("ida"), F.col("y.doc_id").alias("idb")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    joined = (
+        pairs.join(inter, ["ida", "idb"], "left")
+        .join(sizes.select(F.col("doc_id").alias("ida"),
+                           F.col("n").alias("na")), "ida")
+        .join(sizes.select(F.col("doc_id").alias("idb"),
+                           F.col("n").alias("nb")), "idb")
+        .select(
+            "est",
+            (
+                F.coalesce("n_inter", F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce("n_inter", F.lit(0)))
+            ).alias("exact"),
+        )
+    )
+    return joined.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg(F.abs(F.col("est") - F.col("exact"))), 6).alias(
+            "mean_abs_err"
+        ),
+        F.round(F.max("est"), 6).alias("max_est"),
+    )

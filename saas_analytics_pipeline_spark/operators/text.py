@@ -551,3 +551,35 @@ def q_vocab_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(20)
     )
+
+
+@query(
+    "q_type_token_ratio",
+    oracle="""
+    WITH per_doc AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_types
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           round(AVG(CAST(n_types AS DOUBLE) / n_tokens), 6) AS avg_ttr,
+           COUNT(CASE WHEN CAST(n_types AS DOUBLE) / n_tokens < 0.3
+                      THEN 1 END) AS n_low_diversity
+    FROM per_doc GROUP BY source
+    """,
+)
+def q_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per document (lexical diversity): low TTR flags
+    machine-generated or template text — another standard pretraining
+    quality gate, all scan-local array expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    per_doc = docs.select("source", ttr.alias("ttr"))
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+        F.count(F.when(F.col("ttr") < 0.3, 1)).alias("n_low_diversity"),
+    )
