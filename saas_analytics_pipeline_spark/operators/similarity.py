@@ -317,3 +317,66 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, centroids = ivf_fit_assign(emb)
     return ivf_topk(emb.where(F.col("vec_id") < N_QUERIES), assigned, centroids)
+
+
+@query(
+    "q_embedding_centroids",
+    oracle="""
+    WITH dims AS (
+        SELECT label, vec_id,
+               unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    centroids AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS c
+        FROM dims GROUP BY label, pos
+    ),
+    dists AS (
+        SELECT d.label, d.vec_id,
+               sqrt(SUM((CAST(d.x AS DOUBLE) - c.c)
+                        * (CAST(d.x AS DOUBLE) - c.c))) AS dist
+        FROM dims d JOIN centroids c
+          ON d.label = c.label AND d.pos = c.pos
+        GROUP BY d.label, d.vec_id
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           round(CAST(AVG(dist) AS DOUBLE), 4) AS avg_dist,
+           round(CAST(MAX(dist) AS DOUBLE), 4) AS max_dist
+    FROM dists GROUP BY label
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids + intra-cluster spread: element-wise array
+    aggregation via posexplode -> per-(label, dim) mean -> distance of
+    each vector to its centroid. Dimension means use exact decimal sums so
+    the centroid (and every distance) is identical across engines and
+    partitionings — float sums would drift with aggregation order.
+
+    Scale: (vecs x dims) narrow rows shuffle once on (label, dim); the
+    centroid table is tiny (labels x dims) and broadcasts back. Distance
+    summation groups by (label, vec) — per-vector work, no pairwise
+    blowup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos", "x")
+    )
+    centroids = dims.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(20,8)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    diff = F.col("x").cast("double") - F.col("c")
+    dists = (
+        dims.join(F.broadcast(centroids), ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(F.sqrt(F.sum(diff * diff)).alias("dist"))
+    )
+    return dists.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("dist"), 4).alias("avg_dist"),
+        F.round(F.max("dist"), 4).alias("max_dist"),
+    )
