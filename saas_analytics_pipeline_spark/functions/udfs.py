@@ -118,7 +118,7 @@ def sentences_udtf_cls():
     )
     SELECT COUNT(*) AS n_sentences,
            COUNT(DISTINCT doc_id) AS n_docs,
-           SUM(length(sentence)) AS total_chars
+           CAST(SUM(length(sentence)) AS BIGINT) AS total_chars
     FROM split WHERE sentence <> ''
     """,
 )
@@ -147,12 +147,13 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            COUNT(*) AS n_vecs,
-           SUM(len(list_filter(embedding, x -> x > 0))) AS total_pos,
+           CAST(SUM(len(list_filter(embedding, x -> x > 0))) AS BIGINT)
+               AS total_pos,
            round(SUM(sqrt(list_sum(list_transform(embedding,
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
                AS total_l2,
-           SUM(CASE WHEN list_bool_or(list_transform(embedding,
-               x -> abs(x) > 3.0)) THEN 1 ELSE 0 END) AS n_with_spike
+           CAST(SUM(CASE WHEN list_bool_or(list_transform(embedding,
+               x -> abs(x) > 3.0)) THEN 1 ELSE 0 END) AS BIGINT) AS n_with_spike
     FROM embeddings GROUP BY label
     """,
 )

@@ -23,11 +23,25 @@ Spark mapping:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 CORRUPT_COL = "_corrupt_record"
+
+
+class ContractLoad(NamedTuple):
+    """Result of a contract CSV load. ``base`` is the cached scan both
+    branches share — call :meth:`unpersist` once both have been consumed."""
+
+    valid: DataFrame
+    rejects: DataFrame
+    base: DataFrame
+
+    def unpersist(self) -> None:
+        self.base.unpersist()
 
 
 def load_csv_discovery(spark: SparkSession, path: str) -> DataFrame:
@@ -38,14 +52,15 @@ def load_csv_discovery(spark: SparkSession, path: str) -> DataFrame:
 
 def load_csv_contract(
     spark: SparkSession, path: str, schema: T.StructType
-) -> tuple[DataFrame, DataFrame]:
+) -> ContractLoad:
     """One-pass contract load: explicit schema, malformed rows routed to a
     rejects frame instead of failing the job.
 
-    Returns (valid, rejects): `valid` has the contract columns with nulls
-    where individual fields failed to parse; `rejects` holds rows that were
-    structurally malformed (wrong arity / unparseable), with the raw line
-    preserved for replay."""
+    Returns ``ContractLoad(valid, rejects, base)``: `valid` has the contract
+    columns with nulls where individual fields failed to parse; `rejects`
+    holds rows that were structurally malformed (wrong arity / unparseable),
+    with the raw line preserved for replay; `base` is the shared cached scan
+    — the caller unpersists it once both branches are consumed."""
     full = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
     )
@@ -55,12 +70,12 @@ def load_csv_contract(
         schema=full,
         mode="PERMISSIVE",
         columnNameOfCorruptRecord=CORRUPT_COL,
-    ).cache()  # one scan serves both branches; unpersist after write
+    ).cache()  # one scan serves both branches
     valid = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     rejects = df.where(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")
     )
-    return valid, rejects
+    return ContractLoad(valid, rejects, df)
 
 
 def write_table_truncate(df: DataFrame, path: str) -> None:
@@ -102,10 +117,11 @@ def csv_roundtrip_load(
 ) -> dict[str, int]:
     """Full reference-shaped load: CSV -> (valid, rejects) -> truncate-write
     -> audit row. Returns counts for the caller's logging."""
-    valid, rejects = load_csv_contract(spark, csv_path, schema)
-    write_table_truncate(valid, table_path)
+    load = load_csv_contract(spark, csv_path, schema)
+    write_table_truncate(load.valid, table_path)
     n_valid = spark.read.parquet(table_path).count()
-    n_rejects = rejects.count()
+    n_rejects = load.rejects.count()
+    load.unpersist()  # both branches consumed; release executor storage
     write_audit_row(
         spark, audit_path, table_path.rsplit("/", 1)[-1],
         n_valid + n_rejects, n_valid, load_ts,

@@ -276,11 +276,11 @@ def q_topn_orgs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
-           SUM(s_view) AS n_view,
-           SUM(CASE WHEN s_view = 1 AND s_click = 1 THEN 1 ELSE 0 END)
-               AS n_view_click,
-           SUM(CASE WHEN s_view = 1 AND s_click = 1 AND s_purchase = 1 THEN 1
-               ELSE 0 END) AS n_view_click_purchase
+           CAST(SUM(s_view) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN s_view = 1 AND s_click = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_view_click,
+           CAST(SUM(CASE WHEN s_view = 1 AND s_click = 1 AND s_purchase = 1
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
     FROM per_user
     """,
 )
@@ -387,8 +387,9 @@ def q_late_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_cust
     )
     SELECT COUNT(*) AS n_customers,
-           SUM(n_orders) AS total_orders,
-           SUM(CASE WHEN pr <= 0.05 THEN n_orders ELSE 0 END) AS top5pct_orders,
+           CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+           CAST(SUM(CASE WHEN pr <= 0.05 THEN n_orders ELSE 0 END) AS BIGINT)
+               AS top5pct_orders,
            CAST(SUM(CASE WHEN pr <= 0.05 THEN n_orders ELSE 0 END) AS DOUBLE)
                / SUM(n_orders) AS top5pct_share
     FROM ranked
@@ -631,7 +632,8 @@ def q_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.event_type,
            COUNT(*) AS n_credits,
-           SUM((p.cents * 10000) // (p.seq - 1)) AS credit_micros
+           CAST(SUM((p.cents * 10000) // (p.seq - 1)) AS BIGINT)
+               AS credit_micros
     FROM numbered t
     JOIN purchases p
       ON t.user_id = p.user_id AND t.seq < p.seq

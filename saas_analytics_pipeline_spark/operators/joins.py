@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from saas_analytics_pipeline_spark import seeds
 from saas_analytics_pipeline_spark.functions import money, money_sum
 from saas_analytics_pipeline_spark.qcatalog import query
 from saas_analytics_pipeline_spark.sources import load_table
@@ -155,19 +156,9 @@ def q_semi_paid_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FX_RATES: list[tuple[str, str]] = [
-    # region -> USD rate (seed analogue of fx_rates.csv, README.md:23)
-    ("AFRICA", "1.0800"),
-    ("AMERICA", "1.0000"),
-    ("ASIA", "0.8900"),
-    ("EUROPE", "1.1200"),
-    ("MIDDLE EAST", "0.9500"),
-]
-
-
 @query(
     "q_fx_join",
-    oracle="""
+    oracle=f"""
     SELECT r.r_name,
            CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))
                     * CAST(fx.rate AS DECIMAL(8,4))) AS DOUBLE) AS revenue_usd,
@@ -176,22 +167,23 @@ FX_RATES: list[tuple[str, str]] = [
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
-    JOIN (VALUES ('AFRICA', '1.0800'), ('AMERICA', '1.0000'),
-                 ('ASIA', '0.8900'), ('EUROPE', '1.1200'),
-                 ('MIDDLE EAST', '0.9500')) AS fx(r_name, rate)
+    JOIN {seeds.oracle_read_csv("fx_rates")} AS fx
       ON r.r_name = fx.r_name
     GROUP BY r.r_name
     """,
 )
 def q_fx_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Currency normalization against a broadcast seed (ref: fx_rates.csv
-    seed README.md:23; multi-currency data_gen/generate_and_load_script.py:
-    122). Exact decimal rate multiply; seed is broadcast."""
+    """Currency normalization against a broadcast seed loaded from the
+    checked-in fx_rates.csv (ref: fx_rates.csv seed README.md:23;
+    dbt_project.yml:52-57; multi-currency
+    data_gen/generate_and_load_script.py:122). The oracle reads the SAME
+    file, so editing the seed keeps both sides in lockstep. Exact decimal
+    rate multiply; seed is broadcast."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    fx = spark.createDataFrame(FX_RATES, "r_name string, rate string").select(
+    fx = seeds.load_seed(spark, "fx_rates").select(
         "r_name", F.col("rate").cast("decimal(8,4)").alias("rate")
     )
     return (

@@ -64,9 +64,9 @@ def sessionize(events: DataFrame, user: str = "user_id", ts: str = "ts") -> Data
     )
     SELECT COUNT(*) AS n_sessions,
            COUNT(DISTINCT user_id) AS n_users,
-           SUM(n_events) AS n_events,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
            CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events_per_session,
-           SUM(duration_s) AS total_duration_s
+           CAST(SUM(duration_s) AS BIGINT) AS total_duration_s
     FROM sessions
     """,
 )

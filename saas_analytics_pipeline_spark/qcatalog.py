@@ -40,6 +40,83 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
     return deco
 
 
+# --------------------------------------------------------------------------
+# Driver-window ordering
+#
+# The driver verifies the FIRST 50 entries of queries() per round
+# (CORRECTNESS_r01.json == the first 50 registered keys). To accumulate
+# driver-verified coverage across rounds we (a) track which keys already
+# have a green CORRECTNESS row, (b) put not-yet-verified keys first, with
+# an explicit priority list covering the SURVEY section-2 core.
+# --------------------------------------------------------------------------
+
+# Keys with a green row in CORRECTNESS_r01.json (hash_match=true), plus the
+# two no-oracle sketches whose rows-only check ran. Append per round.
+DRIVER_VERIFIED: dict[str, str] = dict.fromkeys(
+    [
+        "q_revenue_daily", "q_running_rev", "q_rollup", "q_seasonality",
+        "q_distinct_count", "q_approx_distinct", "q_topn_orgs", "q_union_all",
+        "q_late_rate", "q_order_limit", "q_except", "q_cube", "q_pivot",
+        "q_percentiles", "q_approx_percentiles", "q_ntile", "q_trailing_7d",
+        "q_gap_fill", "q_percent_rank", "q_grouping_sets", "q_intersect",
+        "q_retention", "q_rfm", "q_funnel_windowed", "q_scalar_subquery",
+        "q_month_over_month", "q_new_vs_returning", "q_purchase_gaps",
+        "q_active_users", "q_histogram", "q_outliers", "q_decay_score",
+        "q_pareto", "q_basket_pairs", "q_heatmap", "q_anomaly_days",
+        "q_forecast_naive", "q_abandonment", "q_filter_eq", "q_filter_notnull",
+        "q_stg_cast", "q_soft_delete", "q_reject_rows", "q_dedup_latest",
+        "q_json_malformed", "q_null_rate",
+    ],
+    "r01",
+)
+
+# Round-2 window: the SURVEY section-2 core (joins, SCD2, sessionize, dedup,
+# similarity, text, staging, quality, streaming) plus every oracle whose
+# dtype fix needs a fresh driver row. Exactly 50 keys.
+WINDOW_PRIORITY: list[str] = [
+    # joins (section 2.3)
+    "q_join_fk_users_orgs", "q_join_star_orders", "q_join_payments_orders",
+    "q_anti_orphans", "q_semi_paid_orders", "q_fx_join", "q_asof_payment",
+    "q_skew_join", "q_range_join", "q_null_safe_join",
+    # SCD2 / attribution / sessionize (section 2.5)
+    "q_scd2_build", "q_scd2_overlap", "q_attribution",
+    "q_sessionize", "q_bounce_rate",
+    # dedup family (section 2.11)
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",
+    "q_crossmodal_dedup", "q_dedup_cross_source", "q_sketch_error",
+    # similarity family (section 2.11)
+    "q_similarity", "q_similarity_ann", "q_dedup_embed",
+    "q_embedding_centroids",
+    # text family core (section 2.11)
+    "q_text_stats", "q_lang_id", "q_quality_score", "q_token_count",
+    "q_fingerprint",
+    # staging section-2 tail
+    "q_multiformat_date", "q_money_round", "q_negative_guard", "q_pii_scan",
+    "q_date_trunc", "q_ts_diff",
+    # data-quality checks (section 2.7)
+    "q_uniqueness", "q_payment_recon", "q_audit_recon", "q_freshness",
+    # streaming (section 2.9)
+    "q_stream_tumbling", "q_stream_session",
+    # r01 hash-fails, oracles now CAST-fixed — need fresh green rows
+    "q_funnel", "q_skew_check", "q_json_extract", "q_attribution_linear",
+    # latent HUGEINT oracles, now CAST-fixed
+    "q_variant", "q_udtf_sentences", "q_array_hof",
+]
+
+
+def ordered_keys() -> list[str]:
+    """Window order: priority list, then remaining unverified keys in
+    registration order, then already-driver-verified keys last."""
+    prio = [k for k in WINDOW_PRIORITY if k in QUERIES]
+    missing = set(WINDOW_PRIORITY) - set(prio)
+    if missing:
+        raise ValueError(f"WINDOW_PRIORITY names unknown queries: {missing}")
+    seen = set(prio)
+    rest = [k for k in QUERIES if k not in seen and k not in DRIVER_VERIFIED]
+    done = [k for k in QUERIES if k not in seen and k in DRIVER_VERIFIED]
+    return prio + rest + done
+
+
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from saas_analytics_pipeline_spark import marts, staging  # noqa: F401
@@ -59,9 +136,13 @@ def load_all() -> None:
 
 def spark_queries() -> dict[str, SparkQuery]:
     load_all()
-    return {k: e.fn for k, e in QUERIES.items()}
+    return {k: QUERIES[k].fn for k in ordered_keys()}
 
 
 def oracles() -> dict[str, str]:
     load_all()
-    return {k: e.oracle for k, e in QUERIES.items() if e.oracle is not None}
+    return {
+        k: QUERIES[k].oracle
+        for k in ordered_keys()
+        if QUERIES[k].oracle is not None
+    }

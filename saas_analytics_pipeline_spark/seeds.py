@@ -1,0 +1,73 @@
+"""Seed tables as real CSV files, loaded through the contract ingest path.
+
+The reference declares CSV seed tables (`/root/reference/dbt_project.yml:52-57`;
+`iso_countries.csv`, `fx_rates.csv` named at `/root/reference/README.md:21-23`)
+that dbt materializes into the warehouse. Here each seed is a checked-in CSV
+under ``saas_analytics_pipeline_spark/seeds/`` loaded via
+:func:`ingest.load_csv_contract` (explicit schema, PERMISSIVE, rejects
+surfaced) — editing the CSV changes the pipeline, exactly like editing a dbt
+seed.
+
+Scale note: seeds are dim-sized by definition, so every join site wraps them
+in ``F.broadcast`` — the fact side never shuffles for a seed join.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from saas_analytics_pipeline_spark.ingest import load_csv_contract
+
+SEED_DIR = Path(__file__).resolve().parent / "seeds"
+
+SEED_SCHEMAS: dict[str, T.StructType] = {
+    # rates kept as strings in the contract; call sites cast to the exact
+    # decimal they need (money math must not round-trip through float)
+    "fx_rates": T.StructType(
+        [
+            T.StructField("r_name", T.StringType()),
+            T.StructField("rate", T.StringType()),
+        ]
+    ),
+    "iso_countries": T.StructType(
+        [T.StructField("country_name", T.StringType())]
+    ),
+}
+
+
+def seed_path(name: str) -> str:
+    return str(SEED_DIR / f"{name}.csv")
+
+
+def load_seed(spark: SparkSession, name: str) -> DataFrame:
+    """Load a seed CSV under its declared schema; raise if any row is
+    malformed (a broken seed must fail the build, dbt-seed semantics).
+
+    The seed is materialized on the driver and returned as a local
+    DataFrame — dbt-seed semantics (seed file -> warehouse table), and a
+    seed is dim-sized by contract so the collect is a few KB. The returned
+    frame carries no CSV scan, which also sidesteps Spark's restriction on
+    corrupt-record-only projections."""
+    load = load_csv_contract(spark, seed_path(name), SEED_SCHEMAS[name])
+    # Materialize the cached scan once; both branch reads below hit it.
+    load.base.count()
+    bad = load.rejects.limit(1).count()
+    rows = load.valid.collect()
+    load.unpersist()
+    if bad:
+        raise ValueError(f"seed {name!r} has malformed rows")
+    return spark.createDataFrame(rows, SEED_SCHEMAS[name])
+
+
+def oracle_read_csv(name: str) -> str:
+    """DuckDB twin: read the SAME seed file the Spark side loads, with
+    pinned column types so oracle dtypes stay deterministic."""
+    cols = ", ".join(
+        f"'{f.name}': 'VARCHAR'" for f in SEED_SCHEMAS[name].fields
+    )
+    return (
+        f"read_csv('{seed_path(name)}', header=true, columns={{{cols}}})"
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from saas_analytics_pipeline_spark import seeds
 from saas_analytics_pipeline_spark.functions import EMAIL_RE, MONEY, money, money_sum
 from saas_analytics_pipeline_spark.qcatalog import query
 from saas_analytics_pipeline_spark.registry import REGISTRY, Materialization
@@ -216,7 +217,8 @@ def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+               AS BIGINT) AS sum_k,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
                / COUNT(*) AS avg_k
     FROM events
@@ -433,8 +435,9 @@ def q_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority,
            COUNT(*) AS n,
-           SUM(datediff('day', CAST(o.o_orderdate AS DATE),
-                        CAST(l.l_shipdate AS DATE))) AS total_delay_days,
+           CAST(SUM(datediff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE))) AS BIGINT)
+               AS total_delay_days,
            CAST(SUM(datediff('day', CAST(o.o_orderdate AS DATE),
                              CAST(l.l_shipdate AS DATE))) AS DOUBLE)
                / COUNT(*) AS avg_delay_days
@@ -459,13 +462,7 @@ def q_ts_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ISO_COUNTRIES_SQL = """(VALUES
-    ('ALGERIA'), ('ARGENTINA'), ('BRAZIL'), ('CANADA'), ('EGYPT'),
-    ('ETHIOPIA'), ('FRANCE'), ('GERMANY'), ('INDIA'), ('INDONESIA'),
-    ('IRAN'), ('IRAQ'), ('JAPAN'), ('JORDAN'), ('KENYA'), ('MOROCCO'),
-    ('MOZAMBIQUE'), ('PERU'), ('CHINA'), ('ROMANIA'), ('SAUDI ARABIA'),
-    ('VIETNAM'), ('RUSSIA'), ('UNITED KINGDOM'), ('UNITED STATES'))
-    AS iso(country_name)"""
+ISO_COUNTRIES_SQL = seeds.oracle_read_csv("iso_countries") + " AS iso"
 
 
 @query(
@@ -500,14 +497,7 @@ def q_country_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched to the seed. Seed join is broadcast: no fact shuffle."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    iso_names = [
-        "ALGERIA", "ARGENTINA", "BRAZIL", "CANADA", "EGYPT", "ETHIOPIA",
-        "FRANCE", "GERMANY", "INDIA", "INDONESIA", "IRAN", "IRAQ", "JAPAN",
-        "JORDAN", "KENYA", "MOROCCO", "MOZAMBIQUE", "PERU", "CHINA",
-        "ROMANIA", "SAUDI ARABIA", "VIETNAM", "RUSSIA", "UNITED KINGDOM",
-        "UNITED STATES",
-    ]
-    iso = spark.createDataFrame([(x,) for x in iso_names], "country_name string")
+    iso = seeds.load_seed(spark, "iso_countries")
     dirty = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(
@@ -676,9 +666,9 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n,
            COUNT(CASE WHEN json_valid(props) THEN 1 END) AS n_parsed,
-           SUM(CASE WHEN json_valid(props)
+           CAST(SUM(CASE WHEN json_valid(props)
                     THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
-               END) AS sum_k
+               END) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
 )

@@ -166,7 +166,7 @@ def _sessionize_batch_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         FROM numbered GROUP BY user_id, sn
     )
     SELECT COUNT(*) AS n_sessions,
-           SUM(n_events) AS n_events,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
            MIN(session_start) AS first_start,
            MAX(session_end) AS last_end
     FROM sessions

@@ -37,7 +37,7 @@ DIRTY_CSV = textwrap.dedent(
 def test_contract_load_routes_malformed_rows(spark, tmp_path):
     p = tmp_path / "orders.csv"
     p.write_text(DIRTY_CSV)
-    valid, rejects = load_csv_contract(spark, str(p), SCHEMA)
+    valid, rejects, base = load_csv_contract(spark, str(p), SCHEMA)
 
     ok = {r["order_id"] for r in valid.collect()}
     # rows 1,2,3 parse fully; rows with type garbage are rejected whole
@@ -46,6 +46,7 @@ def test_contract_load_routes_malformed_rows(spark, tmp_path):
     assert any("not_a_number" in line for line in raw)
     assert any("garbage_amount" in line for line in raw)
     assert valid.count() + rejects.count() == 5
+    base.unpersist()
 
 
 def test_discovery_load_infers_types(spark, tmp_path):
@@ -128,3 +129,27 @@ def test_custom_datasource_synth_events(spark):
         .load()
     )
     assert df.exceptAll(again).count() == 0
+
+
+def test_seed_loads_from_csv(spark):
+    from saas_analytics_pipeline_spark import seeds
+
+    fx = seeds.load_seed(spark, "fx_rates")
+    rows = {r["r_name"]: r["rate"] for r in fx.collect()}
+    assert rows["EUROPE"] == "1.1200"
+    assert len(rows) == 5
+    iso = seeds.load_seed(spark, "iso_countries")
+    assert iso.count() == 25
+
+
+def test_seed_malformed_raises(spark, tmp_path, monkeypatch):
+    from saas_analytics_pipeline_spark import seeds
+
+    bad = tmp_path / "fx_rates.csv"
+    # second row has wrong arity -> structurally malformed
+    bad.write_text("r_name,rate\nEUROPE,1.12\nonlyonefield\n")
+    monkeypatch.setattr(seeds, "SEED_DIR", tmp_path)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="malformed"):
+        seeds.load_seed(spark, "fx_rates")

@@ -83,3 +83,27 @@ def test_parallel_build_matches_serial(spark, sf_dir, tmp_path):
         a = {tuple(r) for r in serial[name].collect()}
         b = {tuple(r) for r in parallel[name].collect()}
         assert a == b, f"mismatch in {name}"
+
+
+def test_driver_window_covers_survey_core():
+    """The driver verifies only the first 50 queries() entries per round;
+    pin that window to the SURVEY section-2 core + every CAST-fixed oracle
+    so each accumulates a green CORRECTNESS row."""
+    from saas_analytics_pipeline_spark import qcatalog
+
+    qcatalog.load_all()
+    keys = qcatalog.ordered_keys()
+    assert len(keys) == len(set(keys)) == len(qcatalog.QUERIES)
+    window = set(keys[:50])
+    # the r01 hash-fails whose oracles were CAST-fixed must re-verify
+    assert {"q_funnel", "q_skew_check", "q_json_extract",
+            "q_attribution_linear"} <= window
+    # section-2 core families
+    assert {"q_join_star_orders", "q_asof_payment", "q_scd2_build",
+            "q_sessionize", "q_dedup_exact", "q_dedup_minhash",
+            "q_similarity", "q_text_stats", "q_uniqueness",
+            "q_stream_tumbling"} <= window
+    # already-verified keys are pushed behind every unverified one
+    verified_pos = [i for i, k in enumerate(keys) if k in qcatalog.DRIVER_VERIFIED]
+    unverified_pos = [i for i, k in enumerate(keys) if k not in qcatalog.DRIVER_VERIFIED]
+    assert min(verified_pos) > max(unverified_pos)

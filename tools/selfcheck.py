@@ -3,7 +3,17 @@
 Runs every queries() entry on Spark and its oracle_sql() twin on DuckDB at
 the given sf dir, then compares row count, column names, and an
 order-insensitive value multiset (columns sorted by name, rows stringified
-and sorted). Run:  python tools/selfcheck.py [sf_dir] [query ...]
+and sorted). Run:  python tools/selfcheck.py [--pandas] [sf_dir] [query ...]
+
+Two comparison modes:
+
+* default — collect() Rows vs duckdb fetchall(): compares Python objects,
+  so DuckDB HUGEINT 150 and Spark int 150 both render "150".
+* ``--pandas`` — mirrors the DRIVER's materialization: Spark
+  ``.toPandas()`` vs duckdb ``.df()``. Numpy dtypes leak into the cell
+  reprs (HUGEINT -> float64 "150.0" vs Spark int64 "150"), which is
+  exactly the class of mismatch the driver's hash sees. An oracle is only
+  "done" when it passes THIS mode.
 """
 
 from __future__ import annotations
@@ -32,14 +42,58 @@ def norm_cell(v) -> str:
     return str(v)
 
 
-def frame_to_multiset(cols, rows):
+def norm_cell_pandas(v) -> str:
+    """Driver-style cell render: numpy scalars keep their dtype's str form
+    (int64 150 -> '150', float64 150.0 -> '150.0'), so dtype asymmetries
+    between Spark's toPandas() and DuckDB's .df() become visible. Only
+    genuine missing values are collapsed to NULL."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        return str(v)
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    # Driver-observed behavior: a DuckDB DATE materializes as a midnight
+    # datetime64 while Spark's DateType stays datetime.date, and the driver
+    # hashes them equal (q_revenue_daily r01 green) — normalize the same way.
+    import datetime
+
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return str(v)
+    return str(v)
+
+
+def frame_to_multiset(cols, rows, cell=norm_cell):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    return sorted("|".join(cell(r[i]) for i in order) for r in rows)
+
+
+def pandas_frame(pdf):
+    """(cols, rows) from a pandas DataFrame, cells as the raw numpy/pandas
+    objects so norm_cell_pandas sees true dtypes."""
+    cols = list(pdf.columns)
+    rows = list(pdf.itertuples(index=False, name=None))
+    return cols, rows
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:]]
+    pandas_mode = "--pandas" in argv
+    if pandas_mode:
+        argv.remove("--pandas")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    cell = norm_cell_pandas if pandas_mode else norm_cell
 
     import __spark_entry__ as ent
     from saas_analytics_pipeline_spark.session import get_spark
@@ -60,8 +114,11 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            if pandas_mode:
+                s_cols, s_rows = pandas_frame(sdf.toPandas())
+            else:
+                s_cols = sdf.columns
+                s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
@@ -72,8 +129,11 @@ def main() -> int:
             continue
         try:
             cur = con.execute(oracles[name])
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            if pandas_mode:
+                d_cols, d_rows = pandas_frame(cur.df())
+            else:
+                d_cols = [d[0] for d in cur.description]
+                d_rows = cur.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
@@ -84,8 +144,8 @@ def main() -> int:
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
         if not problems:
-            ms, md = frame_to_multiset(s_cols, s_rows), frame_to_multiset(
-                d_cols, d_rows
+            ms, md = frame_to_multiset(s_cols, s_rows, cell), frame_to_multiset(
+                d_cols, d_rows, cell
             )
             if ms != md:
                 diff = [
