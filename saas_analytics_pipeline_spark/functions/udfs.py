@@ -184,10 +184,15 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sequence_pattern",
     oracle="""
-    WITH seqs AS (
-        SELECT user_id,
-               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
-        FROM events GROUP BY user_id
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events
+    ),
+    seqs AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ordered WHERE rn <= 1000 GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
            COUNT(CASE WHEN path LIKE '%view%' THEN 1 END) AS saw_view,
@@ -203,12 +208,20 @@ def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a string, regex-matched for the view->click->purchase journey (the
     poor-man's MATCH_RECOGNIZE — one agg + scan-local regex; the ordered
     collect rides the groupBy shuffle via sort_array over (ts, id)
-    structs, keeping determinism under any partitioning)."""
+    structs, keeping determinism under any partitioning).
+
+    The path is capped at the user's first 1000 events (slice before join)
+    so one pathological power-user cannot inflate a single row; the oracle
+    truncates identically via a row_number filter."""
     ev = load_table(spark, sf_dir, "events")
     path = F.array_join(
         F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                1,
+                1000,
             ),
             lambda s: s["event_type"],
         ),

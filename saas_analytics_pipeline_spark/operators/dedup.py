@@ -58,6 +58,15 @@ SHINGLES_SQL = f"""
 # PER PERMUTATION with hash60(j||shingle)) — a 16x scan-side compute cut,
 # and the min-agg needs no permutation explode. Salts are hash60(str(j)),
 # precomputed so the DuckDB oracle can embed them as literals.
+#
+# Bias note: XOR salts over ONE base hash are NOT an approximately min-wise
+# independent family — the 16 signature components are correlated, so the
+# Jaccard estimator carries more error/bias than true independent
+# permutations (a_j*h+b_j mod p universal hashing). Accepted deliberately
+# for the 16x compute cut; q_sketch_error measures the REALIZED estimator
+# error against exact Jaccard on a validation slice, which is the guard
+# that matters — switch to per-permutation universal hashing if recall at
+# the 0.7 threshold ever degrades there.
 import hashlib as _hashlib
 
 PERM_SALTS: list[int] = [

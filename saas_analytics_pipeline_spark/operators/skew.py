@@ -7,10 +7,16 @@ fallback for cases AQE doesn't cover (e.g. skewed aggregation keys, bucketed
 sort-merge joins, or pre-3.0 clusters):
 
 - salted_join: explode the SMALL side by the salt domain, salt the big side
-  randomly-but-deterministically (hash of a stable column, not rand(), so
+  randomly-but-deterministically (hash of row content, not rand(), so
   retries/speculative tasks agree) — classic salt-and-replicate.
 - two_phase_agg: partial agg on (key, salt) then final agg on key — caps the
   per-task combine width for hot keys.
+
+The salt must be (approximately) row-unique, NOT a function of the join/group
+key: hashing the key alone puts every row of a hot key in the same salt
+bucket, which replicates the small side for zero mitigation. Default is
+xxhash64 over ALL columns; pass ``stable_cols`` to pin specific row-level
+columns (e.g. a surrogate row id) when rows can be full duplicates.
 """
 
 from __future__ import annotations
@@ -19,11 +25,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, stable_col: str, buckets: int) -> DataFrame:
-    """Deterministic salt in [0, buckets): hash of a stable column —
-    reproducible across task retries (rand() is not)."""
+def with_salt(df: DataFrame, stable_cols: list[str], buckets: int) -> DataFrame:
+    """Deterministic salt in [0, buckets): hash of row-level columns —
+    reproducible across task retries (rand() is not). ``stable_cols`` should
+    distinguish rows WITHIN a key; full duplicates share a salt (acceptable:
+    exact-dup rows of a hot key are rare, and correctness never depends on
+    the spread)."""
     return df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(stable_col)), F.lit(buckets)).cast("int")
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in stable_cols]), F.lit(buckets)).cast(
+            "int"
+        ),
     )
 
 
@@ -32,12 +44,15 @@ def salted_join(
     small: DataFrame,
     key: str,
     buckets: int = 16,
-    stable_col: str | None = None,
+    stable_cols: list[str] | None = None,
     how: str = "inner",
 ) -> DataFrame:
     """Join a skew-keyed big side to a small side by replicating the small
-    side across `buckets` salts. Output schema = join of the originals."""
-    salted_big = with_salt(big, stable_col or key, buckets)
+    side across `buckets` salts. Output schema = join of the originals.
+
+    The big side's salt hashes all its columns by default (row-unique in
+    practice), so a hot key's rows spread across all `buckets` partitions."""
+    salted_big = with_salt(big, stable_cols or big.columns, buckets)
     salted_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
@@ -50,13 +65,15 @@ def two_phase_agg(
     agg_cols: dict[str, Column],
     merge_cols: dict[str, Column],
     buckets: int = 16,
-    stable_col: str | None = None,
+    stable_cols: list[str] | None = None,
 ) -> DataFrame:
     """Salted two-phase aggregation: groupBy(key, salt) partials, then
     groupBy(key) merge. agg_cols build partials; merge_cols re-aggregate
-    them (e.g. {'n': count(*)} then {'n': sum('n')})."""
+    them (e.g. {'n': count(*)} then {'n': sum('n')}). Salt spreads a hot
+    key's rows across `buckets` partial groups (row-content hash, see
+    with_salt)."""
     partial = (
-        with_salt(df, stable_col or key, buckets)
+        with_salt(df, stable_cols or df.columns, buckets)
         .groupBy(key, "_salt")
         .agg(*[c.alias(a) for a, c in agg_cols.items()])
     )

@@ -60,20 +60,30 @@ def accepted_values(df: DataFrame, col: str, values: list) -> DataFrame:
 
 
 def freshness(
-    df: DataFrame, loaded_at: str, now: str, warn_after_hours: int = 24
+    df: DataFrame,
+    loaded_at: str,
+    now: str,
+    warn_after_hours: int = 24,
+    error_after_hours: int | None = None,
 ) -> DataFrame:
     """Source freshness: one row per status (dbt source freshness,
-    models/schema.yml:14). `now` is supplied (no wall-clock in queries)."""
+    models/schema.yml:14). `now` is supplied (no wall-clock in queries).
+
+    Two-level SLA, dbt semantics: age > error_after -> 'error',
+    age > warn_after -> 'warn', else 'pass'. ``error_after_hours=None``
+    keeps the single warn threshold."""
     age_h = (
         F.unix_timestamp(F.lit(now).cast("timestamp"))
         - F.unix_timestamp(F.max(loaded_at))
     ) / 3600.0
+    status = F.when(
+        F.lit(error_after_hours is not None) & (age_h > (error_after_hours or 0)),
+        F.lit("error"),
+    ).when(age_h > warn_after_hours, F.lit("warn")).otherwise(F.lit("pass"))
     return df.agg(
         F.max(loaded_at).alias("max_loaded_at"),
         age_h.alias("age_hours"),
-        F.when(age_h > warn_after_hours, F.lit("warn"))
-        .otherwise(F.lit("pass"))
-        .alias("status"),
+        status.alias("status"),
     )
 
 
@@ -234,6 +244,9 @@ def q_audit_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
            (date_diff('second', MAX(ts), TIMESTAMP '2024-02-01 00:00:00')) / 3600.0
                AS age_hours,
            CASE WHEN (date_diff('second', MAX(ts),
+                      TIMESTAMP '2024-02-01 00:00:00')) / 3600.0 > 72
+                THEN 'error'
+                WHEN (date_diff('second', MAX(ts),
                       TIMESTAMP '2024-02-01 00:00:00')) / 3600.0 > 24
                 THEN 'warn' ELSE 'pass' END AS status
     FROM events
@@ -241,10 +254,11 @@ def q_audit_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source freshness vs a supplied 'now' (ref: models/schema.yml:14,
-    warn_after 24h; README.md:66). now is pinned to 2024-02-01 for
-    reproducibility — production passes the orchestrator's clock."""
+    warn_after 24h; README.md:66), with dbt's two-level warn/error SLA
+    (error_after 72h). now is pinned to 2024-02-01 for reproducibility —
+    production passes the orchestrator's clock."""
     ev = load_table(spark, sf_dir, "events")
-    return freshness(ev, "ts", "2024-02-01 00:00:00", 24)
+    return freshness(ev, "ts", "2024-02-01 00:00:00", 24, error_after_hours=72)
 
 
 @query(

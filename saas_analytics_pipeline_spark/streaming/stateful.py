@@ -179,8 +179,9 @@ def q_sessionize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming path's session math is what this oracle certifies.
 
     Scale: one shuffle on user_id; per-group work is vectorized Arrow
-    batches. Gap ties (diff == gap) stay in-session, matching
-    F.session_window and the oracle's strict >."""
+    batches. Gap ties (diff == gap) stay in-session here and in the oracle
+    (strict >); note F.session_window differs on exact ties — its window
+    end is exclusive, so a diff-==-gap event starts a NEW session there."""
     ev = load_table(spark, sf_dir, "events")
     sessions = ev.select("user_id", "ts").groupBy("user_id").applyInPandas(
         _sessionize_batch_pdf, schema=SESSION_SCHEMA

@@ -94,7 +94,7 @@ def test_salted_join_matches_plain_join(spark):
     )
     small = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, w int")
     plain = big.join(small, "k").groupBy("k").agg(F.sum("w").alias("s"))
-    salted = salted_join(big, small, "k", buckets=4, stable_col="v").groupBy(
+    salted = salted_join(big, small, "k", buckets=4, stable_cols=["v"]).groupBy(
         "k"
     ).agg(F.sum("w").alias("s"))
     assert sorted(map(tuple, plain.collect())) == sorted(
@@ -112,7 +112,7 @@ def test_two_phase_agg_matches_single_phase(spark):
         {"n": F.count("*"), "s": F.sum("v")},
         {"n": F.sum("n"), "s": F.sum("s")},
         buckets=8,
-        stable_col="v",
+        stable_cols=["v"],
     )
     want = df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
@@ -210,7 +210,27 @@ def test_two_phase_agg_equals_plain_agg(spark, sf_dir):
                 "n": F.sum("n"),
                 "total": F.sum("total").cast("decimal(18,2)"),
             },
-            stable_col="o_orderkey",
+            stable_cols=["o_orderkey"],
         ).collect()
     }
     assert plain == salted
+
+
+def test_salt_spreads_hot_key_across_buckets(spark):
+    """The salt must be row-level, not key-level: a hot key's rows have to
+    land in many salt buckets or salting mitigates nothing."""
+    from saas_analytics_pipeline_spark.operators.skew import with_salt
+
+    hot = spark.createDataFrame(
+        [("hot", i) for i in range(200)], "k string, v int"
+    )
+    # default: hash over all columns -> spread
+    n_buckets = (
+        with_salt(hot, hot.columns, 16).select("_salt").distinct().count()
+    )
+    assert n_buckets >= 8, f"hot key only hit {n_buckets}/16 salt buckets"
+    # regression guard: key-only hashing would collapse to ONE bucket
+    collapsed = (
+        with_salt(hot, ["k"], 16).select("_salt").distinct().count()
+    )
+    assert collapsed == 1
