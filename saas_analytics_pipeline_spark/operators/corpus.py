@@ -1,0 +1,230 @@
+"""Training-corpus curation operators: decontamination, deterministic
+per-stratum sampling, domain-mix planning, and PII redaction.
+
+These extend the reference's data-quality surface (PII scan README.md:59,
+dirty-data rules data_gen/pseudo_code_rules.txt:30-47) to the operations a
+large-scale LLM training-data pipeline runs over a document corpus:
+
+- **benchmark decontamination** (q_contamination): find corpus documents
+  sharing word n-grams with a held-out evaluation shard — the standard
+  guard against test-set leakage into training data.
+- **exact-k per-stratum sampling** (q_reservoir_per_key): a deterministic
+  reservoir analogue — rank rows per stratum by a content hash and keep k.
+  Complements q_hash_sample (rate-based): this one guarantees the count.
+- **domain-mix planning** (q_domain_mix): per-source token shares and the
+  resampling factor needed to hit a uniform target mix — the planning step
+  before weighted interleaving of training shards.
+- **PII redaction** (q_pii_redact): the transform side of q_pii_scan —
+  regexp-replace emails and verify zero remain.
+
+Scale notes (100 TB):
+- Contamination is an inverted-index join: only (doc_id, ngram-hash) pairs
+  shuffle, never text; the eval shard is a small fraction by construction
+  so its index broadcasts. All-pairs comparison never materializes.
+- Reservoir ranking windows per-stratum over (hash, id) — one shuffle by
+  stratum; with heavily skewed strata, pre-filter with an approximate
+  per-stratum hash threshold first, then rank survivors (two-phase top-k).
+- Domain mix aggregates to |sources| rows before any window — driver-sized.
+- Redaction is scan-local (no shuffle): regexp_replace inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from saas_analytics_pipeline_spark.functions import EMAIL_RE, hash60, hash60_sql
+from saas_analytics_pipeline_spark.qcatalog import query
+from saas_analytics_pipeline_spark.sources import load_table
+
+NGRAM_W = 5  # contamination n-gram width (words)
+EVAL_MOD = 10  # doc_id % EVAL_MOD == 0 -> held-out eval shard (10%)
+RESERVOIR_K = 5  # per-stratum sample size
+
+
+def word_ngrams(col: str = "text", w: int = NGRAM_W) -> F.Column:
+    """Sliding word n-grams as an array column (JVM-side; no Python).
+    Docs shorter than w words yield one n-gram: the whole doc."""
+    words = F.split(F.col(col), " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(w - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, w), " "),
+    )
+
+
+def _ngrams_sql(w: int = NGRAM_W) -> str:
+    """DuckDB twin of :func:`word_ngrams` (1-based inclusive list slicing)."""
+    return f"""
+        list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - {w - 2}, 2)),
+            i -> array_to_string(string_split(text, ' ')[i:i+{w - 1}], ' ')
+        )
+    """
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, doc_id % {EVAL_MOD} = 0 AS is_eval,
+               {hash60_sql("g")} AS h
+        FROM (SELECT doc_id, unnest({_ngrams_sql()}) AS g FROM documents)
+    ),
+    ev AS (SELECT DISTINCT h, doc_id AS eval_doc FROM sh WHERE is_eval),
+    co AS (SELECT DISTINCT doc_id, h FROM sh WHERE NOT is_eval)
+    SELECT co.doc_id,
+           COUNT(DISTINCT co.h) AS n_shared_ngrams,
+           COUNT(DISTINCT ev.eval_doc) AS n_eval_docs
+    FROM co JOIN ev ON co.h = ev.h
+    GROUP BY co.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing {NGRAM_W}-word
+    n-grams with the held-out eval shard (doc_id % {EVAL_MOD} == 0), with
+    how many distinct n-grams and eval docs each one collides with. These
+    are the rows a curation pipeline drops (or flags) before training.
+
+    Scale: classic inverted-index join. Each side reduces to distinct
+    (doc_id, ngram-hash60) pairs — text never shuffles — and candidate
+    pairs materialize ONLY on shared n-grams. The eval shard is a small
+    fixed fraction, so Spark broadcasts its index (AQE converts; at a real
+    100 TB corpus with a fixed benchmark suite the eval index is KBs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
+        F.explode(word_ngrams()).alias("g"),
+    ).select("doc_id", "is_eval", hash60("g").alias("h"))
+    ev = (
+        sh.where("is_eval")
+        .select(F.col("doc_id").alias("eval_doc"), "h")
+        .distinct()
+    )
+    co = sh.where(~F.col("is_eval")).select("doc_id", "h").distinct()
+    return (
+        co.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared_ngrams"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+    )
+
+
+@query(
+    "q_reservoir_per_key",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {hash60_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+               ) AS rnk
+        FROM documents
+    )
+    SELECT source, doc_id, n_chars, rnk
+    FROM ranked WHERE rnk <= {RESERVOIR_K}
+    """,
+)
+def q_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k sample per stratum: rank each source's docs by
+    a content hash (uniform, reproducible across runs/retries — rand() is
+    neither) and keep the first {RESERVOIR_K}. The distributed analogue of
+    per-key reservoir sampling with a fixed seed.
+
+    Scale: one shuffle (window partitioned by source). For pathologically
+    hot strata, two-phase it: per-partition top-k partials (any local sort)
+    then a final top-k merge — same result, bounded task memory."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash60(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "source", "doc_id", "n_chars", F.row_number().over(w).alias("rnk")
+        )
+        .where(F.col("rnk") <= RESERVOIR_K)
+    )
+
+
+@query(
+    "q_domain_mix",
+    oracle="""
+    WITH per_source AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6)
+               AS token_share,
+           round((CAST(SUM(n_tokens) OVER () AS DOUBLE)
+                  / COUNT(*) OVER ()) / n_tokens, 6) AS resample_factor
+    FROM per_source
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix planning: whitespace-token counts per source, each
+    source's share of the corpus, and the resampling factor that would
+    equalize the mix (factor > 1 -> upsample, < 1 -> downsample). This is
+    the input to weighted shard interleaving when composing training data.
+
+    Scale: the corpus aggregates to |sources| rows FIRST (map-side partial
+    token sums); the global-window share math runs on that driver-sized
+    frame, so the unpartitioned window is safe by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    return per_source.select(
+        "source",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w), 6
+        ).alias("token_share"),
+        F.round(
+            (F.sum("n_tokens").over(w).cast("double") / F.count("*").over(w))
+            / F.col("n_tokens"),
+            6,
+        ).alias("resample_factor"),
+    )
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    WITH red AS (
+        SELECT props,
+               regexp_replace(props, '{EMAIL_RE}', '[EMAIL]', 'g') AS clean
+        FROM events WHERE props IS NOT NULL
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE clean <> props) AS n_redacted_rows,
+           COUNT(*) FILTER (WHERE regexp_matches(clean, '{EMAIL_RE}'))
+               AS n_pii_after,
+           CAST(SUM(length(props) - length(clean)) AS BIGINT) AS chars_removed
+    FROM red
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (the transform q_pii_scan only detects): replace every
+    email in the payload with '[EMAIL]' and audit the result — rows
+    touched, residual PII (must be 0), characters removed. Scan-local
+    regexp_replace inside whole-stage codegen; no shuffle, no Python."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    red = ev.select(
+        "props",
+        F.regexp_replace("props", EMAIL_RE, "[EMAIL]").alias("clean"),
+    )
+    return red.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("clean") != F.col("props"), 1)).alias(
+            "n_redacted_rows"
+        ),
+        F.count(F.when(F.col("clean").rlike(EMAIL_RE), 1)).alias("n_pii_after"),
+        F.sum(F.length("props") - F.length("clean"))
+        .cast("long")
+        .alias("chars_removed"),
+    )

@@ -51,7 +51,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # --------------------------------------------------------------------------
 
 # Keys with a green row in CORRECTNESS_r01.json (hash_match=true), plus the
-# two no-oracle sketches whose rows-only check ran. Append per round.
+# two no-oracle sketches whose rows-only check ran. Later rounds are folded
+# in automatically by scanning CORRECTNESS_r*.json (see _scan_correctness),
+# so the 50-entry window rotates to fresh keys each round without edits.
 DRIVER_VERIFIED: dict[str, str] = dict.fromkeys(
     [
         "q_revenue_daily", "q_running_rev", "q_rollup", "q_seasonality",
@@ -104,16 +106,47 @@ WINDOW_PRIORITY: list[str] = [
 ]
 
 
+def _scan_correctness() -> dict[str, str]:
+    """Fold driver-verified keys from every CORRECTNESS_r*.json next to the
+    repo root into DRIVER_VERIFIED: hash_match=true is a green row;
+    err='no_oracle' with a recorded row count is the rows-only check (the
+    strongest result a no-oracle query can get)."""
+    import json
+    from pathlib import Path
+
+    verified: dict[str, str] = dict(DRIVER_VERIFIED)
+    root = Path(__file__).resolve().parent.parent
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = p.stem.split("_")[-1]
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for key, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green:
+                verified.setdefault(key, rnd)
+    return verified
+
+
 def ordered_keys() -> list[str]:
-    """Window order: priority list, then remaining unverified keys in
-    registration order, then already-driver-verified keys last."""
-    prio = [k for k in WINDOW_PRIORITY if k in QUERIES]
-    missing = set(WINDOW_PRIORITY) - set(prio)
+    """Window order: priority list (minus keys a later round already
+    verified), then remaining unverified keys in registration order, then
+    already-driver-verified keys last — so the driver's 50-entry window
+    always hits the keys with no green CORRECTNESS row yet."""
+    missing = set(WINDOW_PRIORITY) - set(QUERIES)
     if missing:
         raise ValueError(f"WINDOW_PRIORITY names unknown queries: {missing}")
+    verified = _scan_correctness()
+    prio = [k for k in WINDOW_PRIORITY if k not in verified]
     seen = set(prio)
-    rest = [k for k in QUERIES if k not in seen and k not in DRIVER_VERIFIED]
-    done = [k for k in QUERIES if k not in seen and k in DRIVER_VERIFIED]
+    rest = [k for k in QUERIES if k not in seen and k not in verified]
+    done = [k for k in QUERIES if k not in seen and k in verified]
     return prio + rest + done
 
 
@@ -121,6 +154,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from saas_analytics_pipeline_spark import marts, staging  # noqa: F401
     from saas_analytics_pipeline_spark.operators import (  # noqa: F401
+        corpus,
         dedup,
         joins,
         multimodal,

@@ -234,3 +234,32 @@ def test_salt_spreads_hot_key_across_buckets(spark):
         with_salt(hot, ["k"], 16).select("_salt").distinct().count()
     )
     assert collapsed == 1
+
+
+def test_reservoir_per_key_exact_k_and_deterministic(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.corpus import (
+        RESERVOIR_K,
+        q_reservoir_per_key,
+    )
+
+    a = q_reservoir_per_key(spark, sf_dir).collect()
+    per_src = {}
+    for r in a:
+        per_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) <= RESERVOIR_K for v in per_src.values())
+    # deterministic: a second run picks the identical sample
+    b = q_reservoir_per_key(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_contamination_flags_eval_overlap_only(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.corpus import (
+        EVAL_MOD,
+        q_contamination,
+    )
+
+    rows = q_contamination(spark, sf_dir).collect()
+    assert len(rows) > 0, "calibrated testdata must show some contamination"
+    # flagged docs are corpus docs (never members of the eval shard)
+    assert all(r["doc_id"] % EVAL_MOD != 0 for r in rows)
+    assert all(r["n_shared_ngrams"] >= 1 and r["n_eval_docs"] >= 1 for r in rows)

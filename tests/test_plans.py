@@ -117,3 +117,30 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_contamination_broadcasts_eval_index_and_never_shuffles_text(
+    spark, sf_dir
+):
+    """Decontamination must be an inverted-index join: the eval-shard index
+    broadcasts and only (doc_id, ngram-hash) pairs move — document text in
+    an Exchange would be a scale-killer at 100 TB."""
+    import re
+
+    from saas_analytics_pipeline_spark.operators.corpus import q_contamination
+
+    plan = plan_of(q_contamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert not re.search(r"Exchange[^\n]*\btext\b", plan)
+
+
+def test_pii_redact_has_no_exchange(spark, sf_dir):
+    """Redaction is scan-local: a single-stage agg over regexp_replace
+    (only the final 1-row aggregate may exchange)."""
+    from saas_analytics_pipeline_spark.operators.corpus import q_pii_redact
+
+    plan = plan_of(q_pii_redact(spark, sf_dir))
+    # no key shuffle anywhere — only the single-partition exchange feeding
+    # the global 1-row aggregate is allowed
+    assert "hashpartitioning" not in plan
+    assert "SinglePartition" in plan

@@ -94,16 +94,15 @@ def test_driver_window_covers_survey_core():
     qcatalog.load_all()
     keys = qcatalog.ordered_keys()
     assert len(keys) == len(set(keys)) == len(qcatalog.QUERIES)
+    verified = qcatalog._scan_correctness()
     window = set(keys[:50])
-    # the r01 hash-fails whose oracles were CAST-fixed must re-verify
-    assert {"q_funnel", "q_skew_check", "q_json_extract",
-            "q_attribution_linear"} <= window
-    # section-2 core families
-    assert {"q_join_star_orders", "q_asof_payment", "q_scd2_build",
-            "q_sessionize", "q_dedup_exact", "q_dedup_minhash",
-            "q_similarity", "q_text_stats", "q_uniqueness",
-            "q_stream_tumbling"} <= window
+    # every priority key that still lacks a green CORRECTNESS row must sit
+    # inside the window (the CAST-fixed r01 hash-fails and the section-2
+    # core families are all in WINDOW_PRIORITY)
+    for key in qcatalog.WINDOW_PRIORITY:
+        if key not in verified:
+            assert key in window, key
     # already-verified keys are pushed behind every unverified one
-    verified_pos = [i for i, k in enumerate(keys) if k in qcatalog.DRIVER_VERIFIED]
-    unverified_pos = [i for i, k in enumerate(keys) if k not in qcatalog.DRIVER_VERIFIED]
+    verified_pos = [i for i, k in enumerate(keys) if k in verified]
+    unverified_pos = [i for i, k in enumerate(keys) if k not in verified]
     assert min(verified_pos) > max(unverified_pos)
