@@ -78,6 +78,34 @@ def load_csv_contract(
     return ContractLoad(valid, rejects, df)
 
 
+def load_jsonl_contract(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> ContractLoad:
+    """Contract load for JSON-lines corpora (the de-facto interchange format
+    for document/training datasets): explicit schema, PERMISSIVE mode,
+    malformed lines routed to rejects with the raw line preserved — the
+    same (valid, rejects, base) contract as the CSV path, so downstream
+    audit/write plumbing is shared.
+
+    Scale: a JSONL file splits by line like CSV, so a 100 TB corpus fans
+    out across tasks; explicit schema keeps it one pass (no inference
+    scan) and prunes unprojected fields at the parser."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    df = spark.read.json(
+        path,
+        schema=full,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=CORRUPT_COL,
+    ).cache()  # one scan serves both branches
+    valid = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    rejects = df.where(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return ContractLoad(valid, rejects, df)
+
+
 def write_table_truncate(df: DataFrame, path: str) -> None:
     """Truncate-and-replace load (reference WRITE_TRUNCATE semantics) —
     full overwrite; incremental loads use plans/incremental.py instead."""

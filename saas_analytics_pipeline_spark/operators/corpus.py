@@ -40,6 +40,8 @@ from saas_analytics_pipeline_spark.sources import load_table
 NGRAM_W = 5  # contamination n-gram width (words)
 EVAL_MOD = 10  # doc_id % EVAL_MOD == 0 -> held-out eval shard (10%)
 RESERVOIR_K = 5  # per-stratum sample size
+CHUNK_TOKENS = 64  # context-chunk size (whitespace tokens)
+CHUNK_STRIDE = 48  # chunk stride (overlap = CHUNK_TOKENS - CHUNK_STRIDE)
 
 
 def word_ngrams(col: str = "text", w: int = NGRAM_W) -> F.Column:
@@ -227,4 +229,106 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("props") - F.length("clean"))
         .cast("long")
         .alias("chars_removed"),
+    )
+
+
+@query(
+    "q_chunk_docs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0, 1 + (greatest(n - {CHUNK_TOKENS}, 0)
+                                    + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}))
+                   AS chunk_idx
+        FROM t
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(toks[chunk_idx * {CHUNK_STRIDE} + 1 :
+                     chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS INT)
+               AS n_tokens,
+           {hash60_sql(f"array_to_string(toks[chunk_idx * {CHUNK_STRIDE} + 1 :"
+                       f" chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')")}
+               AS chunk_hash
+    FROM chunks
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context chunking for training prep: each document split into
+    {CHUNK_TOKENS}-token windows with {CHUNK_TOKENS - CHUNK_STRIDE}-token
+    overlap (stride {CHUNK_STRIDE}); emits one row per chunk with its token
+    count and a content hash (the hash makes the oracle verify chunk
+    CONTENT, not just counts).
+
+    Scale: pure JVM explode — sequence/slice/array_join inside codegen, no
+    Python, no shuffle (chunking is scan-local; the downstream writer
+    partitions by whatever sharding the training job wants). Fan-out is
+    bounded: ~n_tokens/stride rows per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - F.lit(CHUNK_TOKENS), F.lit(0)) + F.lit(CHUNK_STRIDE - 1))
+        / F.lit(CHUNK_STRIDE)
+    ).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        hash60(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+@query(
+    "q_unigram_lm",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ),
+    tot AS (SELECT SUM(cnt) AS n_total FROM vocab)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           round(AVG(ln(CAST(v.cnt AS DOUBLE) / tot.n_total)), 6)
+               AS avg_logprob
+    FROM tok t JOIN vocab v ON t.token = v.token CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the perplexity-proxy quality
+    filter: fit MLE unigram probabilities on the corpus itself, then score
+    each document by its mean token log-probability. Documents full of
+    rare tokens score low and are candidates for the drop list (the
+    cheap-and-cheerful stand-in for a real LM perplexity filter).
+
+    Scale: the vocabulary aggregates map-side to |vocab| rows (Zipf: far
+    smaller than the corpus) and broadcasts back onto the token stream, so
+    the only full-data shuffle is the final per-doc aggregate. Rounded to
+    6 decimals so float summation order cannot drift the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    scored = tok.join(F.broadcast(vocab), "token").join(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.avg(F.log(F.col("cnt").cast("double") / F.col("n_total"))), 6
+        ).alias("avg_logprob"),
     )

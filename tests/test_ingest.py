@@ -153,3 +153,32 @@ def test_seed_malformed_raises(spark, tmp_path, monkeypatch):
 
     with _pytest.raises(ValueError, match="malformed"):
         seeds.load_seed(spark, "fx_rates")
+
+
+def test_jsonl_contract_routes_malformed_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from saas_analytics_pipeline_spark.ingest import load_jsonl_contract
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha beta", "source": "s1"}\n'
+        '{"doc_id": 2, "text": "gamma", "source": "s2"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 3, "text": "delta epsilon zeta", "source": "s1"}\n'
+        '{"doc_id": "oops_string", "text": 42}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    load = load_jsonl_contract(spark, str(p), schema)
+    load.base.count()  # materialize shared scan before corrupt-only probes
+    ok = {r["doc_id"] for r in load.valid.collect() if r["doc_id"] is not None}
+    assert {1, 2, 3} <= ok
+    raw = [r["raw_line"] for r in load.rejects.collect()]
+    assert any("not json" in line for line in raw)
+    load.unpersist()

@@ -263,3 +263,40 @@ def test_contamination_flags_eval_overlap_only(spark, sf_dir):
     # flagged docs are corpus docs (never members of the eval shard)
     assert all(r["doc_id"] % EVAL_MOD != 0 for r in rows)
     assert all(r["n_shared_ngrams"] >= 1 and r["n_eval_docs"] >= 1 for r in rows)
+
+
+def test_chunking_covers_every_token(spark, sf_dir):
+    """Chunk windows must tile each doc: first chunk at 0, strides of
+    CHUNK_STRIDE, last chunk reaching the doc's end."""
+    from saas_analytics_pipeline_spark.operators.corpus import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        q_chunk_docs,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    lengths = {
+        r["doc_id"]: len(r["text"].split(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    chunks = {}
+    for r in q_chunk_docs(spark, sf_dir).collect():
+        chunks.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["n_tokens"]
+    assert set(chunks) == set(lengths)
+    for doc_id, by_idx in chunks.items():
+        n = lengths[doc_id]
+        idxs = sorted(by_idx)
+        assert idxs == list(range(len(idxs)))  # contiguous 0..k
+        last_start = idxs[-1] * CHUNK_STRIDE
+        assert last_start + by_idx[idxs[-1]] == n  # last chunk ends at doc end
+        assert all(by_idx[i] <= CHUNK_TOKENS for i in idxs)
+
+
+def test_unigram_lm_scores_are_valid_logprobs(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.corpus import q_unigram_lm
+
+    rows = q_unigram_lm(spark, sf_dir).collect()
+    assert len(rows) == 500
+    assert all(r["avg_logprob"] < 0 for r in rows)
+    # MLE on the corpus itself: every token is in-vocab, so no null scores
+    assert all(r["avg_logprob"] is not None for r in rows)
