@@ -99,19 +99,31 @@ def q_join_star_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_payments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact 1:N join (ref: payments->orders models/schema.yml:86-90,
-    sampled with replacement :131). Shuffle join on the key; AQE balances
-    partitions at runtime."""
+    sampled with replacement :131), with the partial-aggregation-below-join
+    rewrite Catalyst does not apply on its own: the N side first reduces to
+    one row per join key (map-side combinable), so the join shuffle carries
+    |orders| rows instead of |lineitems| — a lines-per-order x reduction of
+    the big-side shuffle at 100 TB, and measured no slower at bench scale.
+    Safe because the final aggregate (by o_orderstatus) decomposes over the
+    per-key partials (sum of sums, sum of counts). AQE balances residual
+    partition skew at runtime."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     net = money("l_extendedprice") * (
         F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
     )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("c"), F.sum(net).alias("s")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(
+            o.select("o_orderkey", "o_orderstatus"),
+            per_order.l_orderkey == F.col("o_orderkey"),
+        )
         .groupBy("o_orderstatus")
         .agg(
-            F.count("*").alias("n_lines"),
-            F.sum(net).cast("double").alias("net_revenue"),
+            F.sum("c").alias("n_lines"),
+            F.sum("s").cast("double").alias("net_revenue"),
         )
     )
 

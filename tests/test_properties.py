@@ -314,3 +314,51 @@ def test_pandas_sessionizer_agrees_with_window_sessionizer(spark, rows):
         .collect()
     }
     assert via_pandas == via_window
+
+
+@given(
+    n_tokens=st.lists(st.integers(min_value=1, max_value=300), min_size=1,
+                      max_size=8),
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunking_matches_python_reference(spark, n_tokens):
+    """q_chunk_docs' JVM chunk math == a straightforward Python reference
+    over arbitrary doc lengths (including docs shorter than one chunk)."""
+    from saas_analytics_pipeline_spark.operators.corpus import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        word_ngrams,  # noqa: F401  (module import only)
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(n_tokens)],
+        "doc_id long, text string",
+    )
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - F.lit(CHUNK_TOKENS), F.lit(0)) + F.lit(CHUNK_STRIDE - 1))
+        / F.lit(CHUNK_STRIDE)
+    ).cast("int")
+    chunked = docs.select(
+        "doc_id", toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * CHUNK_STRIDE + 1,
+                    CHUNK_TOKENS)
+    got = {
+        (r["doc_id"], r["chunk_idx"], tuple(r["c"]))
+        for r in chunked.select("doc_id", "chunk_idx", chunk.alias("c")).collect()
+    }
+
+    want = set()
+    for i, ntok in enumerate(n_tokens):
+        tokens = [f"t{j}" for j in range(ntok)]
+        k = 1 + max(0, (max(ntok - CHUNK_TOKENS, 0) + CHUNK_STRIDE - 1)
+                    // CHUNK_STRIDE)
+        for idx in range(k):
+            start = idx * CHUNK_STRIDE
+            want.add((i, idx, tuple(tokens[start:start + CHUNK_TOKENS])))
+    assert got == want
