@@ -42,6 +42,11 @@ EVAL_MOD = 10  # doc_id % EVAL_MOD == 0 -> held-out eval shard (10%)
 RESERVOIR_K = 5  # per-stratum sample size
 CHUNK_TOKENS = 64  # context-chunk size (whitespace tokens)
 CHUNK_STRIDE = 48  # chunk stride (overlap = CHUNK_TOKENS - CHUNK_STRIDE)
+N_SHARDS = 64  # training-order output shards
+BUDGET_SHIFT = 55  # 60-bit hash >> 55 -> 32 range buckets for global cumsum
+BOILER_W = 2  # boilerplate n-gram width (words)
+BOILER_PCT = 8  # n-gram is boilerplate when present in >= this % of docs
+Q_BITS_MAX = 127  # int8 symmetric quantization range
 
 
 def word_ngrams(col: str = "text", w: int = NGRAM_W) -> F.Column:
@@ -331,4 +336,244 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.avg(F.log(F.col("cnt").cast("double") / F.col("n_total"))), 6
         ).alias("avg_logprob"),
+    )
+
+
+@query(
+    "q_train_shuffle",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               {hash60_sql("'shuf1:' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    )
+    SELECT doc_id, h % {N_SHARDS} AS shard,
+           ROW_NUMBER() OVER (
+               PARTITION BY h % {N_SHARDS} ORDER BY h, doc_id
+           ) AS pos
+    FROM h
+    """,
+)
+def q_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets a
+    shard (hash % {N_SHARDS}) and a position within its shard (rank of the
+    hash). Reading shards round-robin replays the same pseudo-random
+    document order on every run — the reproducible replacement for
+    ``df.orderBy(rand())``, whose order changes across retries and task
+    re-execution. Bump the salt ('shuf1:' -> 'shuf2:') for a fresh epoch
+    permutation.
+
+    Scale: NO global sort. Ranking is windowed per shard — one shuffle on
+    the shard key into {N_SHARDS} independent sorts, each 1/{N_SHARDS} of
+    the corpus (at 100 TB raise N_SHARDS to the training shard count, e.g.
+    1024, keeping per-sort state small). The hash is uniform, so shards
+    are balanced by construction — no skew mitigation needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash60(F.concat(F.lit("shuf1:"), F.col("doc_id").cast("string")))
+    t = docs.select("doc_id", h.alias("h"), (h % N_SHARDS).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return t.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+@query(
+    "q_token_budget",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+               {hash60_sql("'tb:' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, n_tokens, cum_tokens FROM c
+    WHERE cum_tokens * 4 <= (SELECT SUM(n_tokens) FROM t)
+    """,
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling: walk the corpus in deterministic hash order
+    and keep documents until the cumulative token count reaches the budget
+    (25% of corpus tokens; the ``cum * 4 <= total`` integer compare avoids
+    float boundary drift). This is how a mixture recipe takes "the first
+    N tokens of source X" reproducibly.
+
+    Scale: a global running sum WITHOUT a global sort. The 60-bit hash is
+    RANGE-bucketed by its top 5 bits (>> {BUDGET_SHIFT} -> 32 contiguous
+    buckets), so bucket order == hash order; per-bucket cumsums are
+    windowed independently, and each bucket's starting offset is the
+    prefix sum of the 32-row bucket-total table (driver-sized, broadcast
+    back). Identical result to the oracle's single global window, but the
+    big data only ever shuffles once, by bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash60(F.concat(F.lit("tb:"), F.col("doc_id").cast("string")))
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        h.alias("h"),
+        F.shiftright(h, BUDGET_SHIFT).alias("bucket"),
+    )
+    btot = t.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(F.sum("btot").over(woff), F.lit(0)).alias("offset"),
+        F.sum("btot").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    wcum = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (F.col("offset") + F.sum("n_tokens").over(wcum)).alias("cum_tokens")
+    return (
+        t.join(F.broadcast(offsets), "bucket")
+        .select("doc_id", "n_tokens", cum, "total")
+        .where(F.col("cum_tokens") * 4 <= F.col("total"))
+        .drop("total")
+    )
+
+
+@query(
+    "q_boilerplate",
+    oracle=f"""
+    WITH g AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id, unnest({_ngrams_sql(BOILER_W)}) AS g
+            FROM documents
+        )
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    df AS (
+        SELECT g, COUNT(*) AS df FROM g GROUP BY g
+    ),
+    boiler AS (
+        SELECT g FROM df CROSS JOIN n
+        WHERE df * 100 >= {BOILER_PCT} * n_docs
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(b.g) AS n_boiler,
+           round(CAST(COUNT(b.g) AS DOUBLE) / COUNT(*), 4) AS boiler_ratio
+    FROM g LEFT JOIN boiler b ON g.g = b.g
+    GROUP BY g.doc_id
+    """,
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection by corpus-wide document frequency: a word
+    {BOILER_W}-gram appearing in >= {BOILER_PCT}% of documents is
+    boilerplate (headers, footers, license blurbs at web scale); each doc
+    reports how many of its distinct {BOILER_W}-grams are boilerplate and
+    the ratio — the curation signal for "mostly template" pages. The DF
+    threshold is a FRACTION of corpus size, so the rule is scale-invariant.
+
+    Scale: two hash aggregations over (doc_id, gram) pairs — text itself
+    never shuffles after the scan-local n-gram explode. The boilerplate
+    set is high-DF by definition, hence tiny relative to the gram
+    vocabulary (Zipf head), so Spark broadcasts it back onto the pair
+    stream; the corpus-size scalar is a 1-row broadcast cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(word_ngrams(w=BOILER_W)).alias("g")
+    ).distinct()
+    n = docs.agg(F.count("*").alias("n_docs"))
+    df = g.groupBy("g").agg(F.count("*").alias("df"))
+    boiler = (
+        df.join(F.broadcast(n))
+        .where(F.col("df") * 100 >= BOILER_PCT * F.col("n_docs"))
+        .select("g", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        g.join(F.broadcast(boiler), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("is_boiler").alias("n_boiler"),
+            F.round(
+                F.count("is_boiler").cast("double") / F.count("*"), 4
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+@query(
+    "q_embed_quantize",
+    oracle=f"""
+    WITH v AS (
+        SELECT label, embedding,
+               list_max(list_transform(
+                   embedding, x -> abs(CAST(x AS DOUBLE))
+               )) / {Q_BITS_MAX} AS scale
+        FROM embeddings
+    ),
+    e AS (
+        SELECT label, scale,
+               CASE WHEN scale > 0 THEN
+                   list_aggregate(list_transform(
+                       embedding,
+                       x -> abs(CAST(x AS DOUBLE)
+                            - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)
+                   ), 'sum') / len(embedding)
+               ELSE 0.0 END AS mae
+        FROM v
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(scale AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+               AS avg_scale,
+           CAST(SUM(CAST(mae AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+               AS avg_mae
+    FROM e GROUP BY label
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization audit: symmetric per-vector scaling
+    (scale = max|x| / {Q_BITS_MAX}), round-half-up code assignment
+    (floor(x/scale + 0.5) — spelled identically in both engines so ties
+    agree), and the reconstruction mean-absolute-error per label. This is
+    the quality gate run before shipping quantized vectors to an ANN
+    index: MAE should sit near scale/2 on average; labels far above that
+    indicate outlier dimensions needing per-dimension scales.
+
+    Scale: everything per-row inside codegen (array transform/aggregate —
+    no Python, no explode: a 64-dim corpus stays 1 row/vector); the only
+    shuffle is the |labels|-row final aggregate. Cross-row float sums go
+    through DECIMAL(18,12) so partial-aggregation order cannot drift the
+    result (house money-math rule, functions/__init__.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    xd = F.transform(x, lambda e: F.abs(e.cast("double")))
+    scale = (F.array_max(xd) / Q_BITS_MAX).alias("scale")
+    v = emb.select("label", "embedding", scale)
+    err = F.transform(
+        x,
+        lambda e: F.abs(
+            e.cast("double")
+            - F.floor(e.cast("double") / F.col("scale") + 0.5)
+            * F.col("scale")
+        ),
+    )
+    mae = (
+        F.when(
+            F.col("scale") > 0,
+            F.aggregate(err, F.lit(0.0), lambda a, b: a + b) / F.size(x),
+        )
+        .otherwise(0.0)
+        .alias("mae")
+    )
+    e = v.select("label", "scale", mae)
+    dec = lambda c: F.sum(F.col(c).cast("decimal(18,12)")).cast("double")  # noqa: E731
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        (dec("scale") / F.count("*")).alias("avg_scale"),
+        (dec("mae") / F.count("*")).alias("avg_mae"),
     )

@@ -300,3 +300,81 @@ def test_unigram_lm_scores_are_valid_logprobs(spark, sf_dir):
     assert all(r["avg_logprob"] < 0 for r in rows)
     # MLE on the corpus itself: every token is in-vocab, so no null scores
     assert all(r["avg_logprob"] is not None for r in rows)
+
+
+def test_train_shuffle_is_a_permutation_and_deterministic(spark, sf_dir):
+    """Every doc appears exactly once; (shard, pos) pairs are dense per
+    shard; a second run reproduces the identical order."""
+    from saas_analytics_pipeline_spark.operators.corpus import (
+        N_SHARDS,
+        q_train_shuffle,
+    )
+
+    a = q_train_shuffle(spark, sf_dir).collect()
+    assert len({r["doc_id"] for r in a}) == len(a) == 500
+    per_shard = {}
+    for r in a:
+        assert 0 <= r["shard"] < N_SHARDS
+        per_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in per_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    b = q_train_shuffle(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_token_budget_matches_global_cumsum_and_is_maximal(spark, sf_dir):
+    """The bucket-prefix decomposition must equal a plain Python global
+    cumsum over hash order, and the cut must be maximal: adding the next
+    doc in hash order would exceed the 25% budget."""
+    import hashlib
+
+    from saas_analytics_pipeline_spark.operators.corpus import q_token_budget
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    ordered = sorted(
+        ((h60(f"tb:{r['doc_id']}"), r["doc_id"], len(r["text"].split(" ")))
+         for r in docs)
+    )
+    total = sum(t for _, _, t in ordered)
+    want, cum = {}, 0
+    for _, doc_id, tok in ordered:
+        cum += tok
+        if cum * 4 > total:
+            next_excluded_tokens = tok
+            break
+        want[doc_id] = (tok, cum)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cum_tokens"])
+        for r in q_token_budget(spark, sf_dir).collect()
+    }
+    assert got == want
+    kept_tokens = max(c for _, c in want.values())
+    assert kept_tokens * 4 <= total < (kept_tokens + next_excluded_tokens) * 4
+
+
+def test_boilerplate_ratio_bounds_and_threshold(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.corpus import q_boilerplate
+
+    rows = q_boilerplate(spark, sf_dir).collect()
+    assert len(rows) == 500
+    assert all(0 <= r["n_boiler"] <= r["n_grams"] for r in rows)
+    assert all(0.0 <= r["boiler_ratio"] <= 1.0 for r in rows)
+    # calibrated vocab guarantees a nonempty boilerplate set at 8% DF
+    assert any(r["n_boiler"] > 0 for r in rows)
+
+
+def test_embed_quantize_error_bounded_by_half_step(spark, sf_dir):
+    """Round-half-up int8 codes are within half a quantization step of the
+    original, so per-label MAE must be <= avg_scale/2 (+ float slack)."""
+    from saas_analytics_pipeline_spark.operators.corpus import q_embed_quantize
+
+    rows = q_embed_quantize(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert sum(r["n_vecs"] for r in rows) == 500
+    for r in rows:
+        assert 0 < r["avg_scale"] < 1
+        assert 0 <= r["avg_mae"] <= r["avg_scale"] / 2 * 1.000001
