@@ -112,6 +112,38 @@ def write_table_truncate(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+# Interchange formats the engine reads/writes natively. Parquet is the
+# warehouse layout (columnar, predicate/column pushdown); ORC is the
+# columnar alternative for systems standardized on it; JSONL and CSV are
+# the row-wise interchange/dump formats (no pushdown — ingest-edge only,
+# never the layout a 100 TB query scans).
+FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table_format(df: DataFrame, path: str, fmt: str) -> None:
+    """Truncate-write in any supported interchange format."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    w = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        w = w.option("header", True)
+    w.save(path)
+
+
+def load_table_format(
+    spark: SparkSession, path: str, fmt: str, schema: T.StructType | str
+) -> DataFrame:
+    """Contract load of any supported format: explicit schema (JSON/CSV
+    carry none; enforcing one on parquet/ORC pins the reader contract
+    against file-level drift)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    r = spark.read.format(fmt).schema(schema)
+    if fmt == "csv":
+        r = r.option("header", True)
+    return r.load(path)
+
+
 AUDIT_SCHEMA = (
     "table_name string, load_rows long, warehouse_rows long, load_ts timestamp"
 )

@@ -134,6 +134,28 @@ def run_available_now(
     )
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static dimension enrichment — the streaming twin of the batch
+    star join (q_join_star_orders): each micro-batch inner-joins the static
+    dimension, which Spark re-resolves per batch (so a dim refresh between
+    batches is picked up without restarting the query). Stateless: unlike
+    stream-stream joins, no watermark or join state is kept.
+
+    Scale: the dim is user/customer-sized — Spark broadcasts it into every
+    micro-batch task; the stream side never shuffles for the join. Per-
+    segment counts aggregate in update mode downstream."""
+    return (
+        events.join(
+            F.broadcast(dim.select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment"
+            )),
+            "user_id",
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup on event_id within the watermark horizon
     (dropDuplicatesWithinWatermark): the streaming twin of staging's

@@ -182,3 +182,33 @@ def test_jsonl_contract_routes_malformed_lines(spark, tmp_path):
     raw = [r["raw_line"] for r in load.rejects.collect()]
     assert any("not json" in line for line in raw)
     load.unpersist()
+
+
+def test_format_roundtrip_all_formats(spark, sf_dir, tmp_path):
+    """Every interchange format round-trips the customer dim losslessly
+    under a contract schema (ORC/JSON/CSV beside the parquet layout)."""
+    from saas_analytics_pipeline_spark.ingest import (
+        FORMATS,
+        load_table_format,
+        write_table_format,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    dim = load_table(spark, sf_dir, "customer")
+    want = sorted(map(tuple, dim.collect()))
+    for fmt in FORMATS:
+        path = str(tmp_path / f"rt_{fmt}")
+        write_table_format(dim, path, fmt)
+        back = load_table_format(spark, path, fmt, dim.schema)
+        assert back.schema == dim.schema, fmt
+        assert sorted(map(tuple, back.collect())) == want, fmt
+
+
+def test_format_rejects_unknown(spark, tmp_path):
+    import pytest as _pytest
+
+    from saas_analytics_pipeline_spark.ingest import write_table_format
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError, match="unsupported format"):
+        write_table_format(df, str(tmp_path / "x"), "avro")

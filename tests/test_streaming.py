@@ -270,3 +270,39 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join: the streamed per-segment counts equal
+    the batch join's, and events without a dim row drop (inner join)."""
+    from saas_analytics_pipeline_spark.streaming.jobs import enrich_stream
+
+    src = tmp_path / "enrich_src"
+    src.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), src / "part-000.parquet")
+    raw_schema = spark.read.parquet(str(src)).schema
+
+    dim = load_table(spark, sf_dir, "customer")
+    stream = normalize_nanos_ts(stream_events(spark, str(src), raw_schema))
+    q = run_available_now(
+        enrich_stream(stream, dim), "enrich_out", str(tmp_path / "ckpt_enrich")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["c_mktsegment"], r["event_type"]): r["n"]
+        for r in spark.table("enrich_out").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(
+            dim.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+            "user_id",
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {
+        (r["c_mktsegment"], r["event_type"]): r["n"] for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
