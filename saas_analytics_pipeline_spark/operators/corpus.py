@@ -377,6 +377,37 @@ def q_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_cumsum(
+    t: DataFrame, weight_col: str, out_col: str = "cum_tokens"
+) -> DataFrame:
+    """Global running sum of ``weight_col`` in (h, doc_id) order WITHOUT a
+    global sort: requires a ``bucket`` column that RANGE-partitions ``h``
+    (bucket order == h order, e.g. h >> {BUDGET_SHIFT}). Windows run per
+    bucket; each bucket's offset is the prefix sum of the driver-sized
+    bucket-total table, broadcast back. Also returns the grand ``total``
+    column for budget predicates."""
+    btot = t.groupBy("bucket").agg(F.sum(weight_col).alias("btot"))
+    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(F.sum("btot").over(woff), F.lit(0)).alias("offset"),
+        F.sum("btot").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    wcum = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (F.col("offset") + F.sum(weight_col).over(wcum)).alias(out_col)
+    return t.join(F.broadcast(offsets), "bucket").select(
+        *t.columns, cum, "total"
+    )
+
+
 @query(
     "q_token_budget",
     oracle=f"""
@@ -418,28 +449,10 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.alias("h"),
         F.shiftright(h, BUDGET_SHIFT).alias("bucket"),
     )
-    btot = t.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
-    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = btot.select(
-        "bucket",
-        F.coalesce(F.sum("btot").over(woff), F.lit(0)).alias("offset"),
-        F.sum("btot").over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total"),
-    )
-    wcum = (
-        Window.partitionBy("bucket")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = (F.col("offset") + F.sum("n_tokens").over(wcum)).alias("cum_tokens")
     return (
-        t.join(F.broadcast(offsets), "bucket")
-        .select("doc_id", "n_tokens", cum, "total")
+        bucketed_cumsum(t, "n_tokens")
         .where(F.col("cum_tokens") * 4 <= F.col("total"))
-        .drop("total")
+        .select("doc_id", "n_tokens", "cum_tokens")
     )
 
 

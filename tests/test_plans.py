@@ -144,3 +144,56 @@ def test_pii_redact_has_no_exchange(spark, sf_dir):
     # the global 1-row aggregate is allowed
     assert "hashpartitioning" not in plan
     assert "SinglePartition" in plan
+
+
+def test_train_shuffle_single_exchange_no_global_sort(spark, sf_dir):
+    """The training-order shuffle must window per shard: exactly one hash
+    exchange on the shard key, and no single-partition global sort."""
+    import re
+
+    from saas_analytics_pipeline_spark.operators.corpus import q_train_shuffle
+
+    plan = plan_of(q_train_shuffle(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert re.search(r"hashpartitioning\(shard", plan)
+    assert "SinglePartition" not in plan
+
+
+def test_token_budget_broadcasts_offsets_and_partitions_by_bucket(
+    spark, sf_dir
+):
+    """The global cumsum must decompose: the doc stream exchanges ONLY on
+    the range bucket; the 32-row offset table broadcasts back."""
+    import re
+
+    from saas_analytics_pipeline_spark.operators.corpus import q_token_budget
+
+    plan = plan_of(q_token_budget(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the big side shuffles by bucket for the per-bucket window;
+    # no Exchange may carry document text
+    assert re.search(r"hashpartitioning\(bucket", plan)
+    assert not re.search(r"Exchange[^\n]*\btext\b", plan)
+
+
+def test_boilerplate_broadcasts_boiler_set_and_never_shuffles_text(
+    spark, sf_dir
+):
+    from saas_analytics_pipeline_spark.operators.corpus import q_boilerplate
+    import re
+
+    plan = plan_of(q_boilerplate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert not re.search(r"Exchange[^\n]*\btext\b", plan)
+
+
+def test_embed_quantize_single_agg_shuffle_no_explode(spark, sf_dir):
+    """Quantization audit stays in-row: no Generate (explode) node, and the
+    only exchange feeds the |labels|-row aggregate."""
+    import re
+
+    from saas_analytics_pipeline_spark.operators.corpus import q_embed_quantize
+
+    plan = plan_of(q_embed_quantize(spark, sf_dir))
+    assert "Generate" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1

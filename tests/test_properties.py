@@ -362,3 +362,40 @@ def test_chunking_matches_python_reference(spark, n_tokens):
             start = idx * CHUNK_STRIDE
             want.add((i, idx, tuple(tokens[start:start + CHUNK_TOKENS])))
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**60 - 1),  # h
+            st.integers(min_value=0, max_value=10_000),     # weight
+        ),
+        min_size=1, max_size=40, unique_by=lambda t: t[0],
+    ),
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bucketed_cumsum_equals_global_cumsum(spark, rows):
+    """The range-bucket prefix decomposition must equal a plain global
+    cumsum for ANY hash/weight distribution — including empty buckets and
+    all-in-one-bucket skew."""
+    from pyspark.sql import functions as F
+
+    from saas_analytics_pipeline_spark.operators.corpus import (
+        BUDGET_SHIFT,
+        bucketed_cumsum,
+    )
+
+    data = [(i, h, w, h >> BUDGET_SHIFT) for i, (h, w) in enumerate(rows)]
+    t = spark.createDataFrame(
+        data, "doc_id long, h long, n_tokens long, bucket long"
+    )
+    got = {
+        r["doc_id"]: r["cum"]
+        for r in bucketed_cumsum(t, "n_tokens", "cum").collect()
+    }
+    cum, want = 0, {}
+    for i, h, w, _ in sorted(data, key=lambda x: (x[1], x[0])):
+        cum += w
+        want[i] = cum
+    assert got == want
