@@ -1245,6 +1245,52 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_winsorize",
+    oracle="""
+    WITH p AS (
+        SELECT event_type, quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN e.value > p.p99 THEN 1 END) AS n_capped,
+           CAST(SUM(CAST(LEAST(e.value, p.p99) AS DECIMAL(18,6)))
+                AS DOUBLE) AS capped_sum
+    FROM events e JOIN p USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (quantile capping): clamp each event's value at its
+    type's exact p99 and report how many rows were capped plus the capped
+    sum — the standard guard against metric blow-ups from a few huge
+    values before feeding aggregates downstream.
+
+    Scale: the per-type p99 table is |event_types| rows — broadcast back
+    onto the stream, cap is scan-local. Exact percentile sorts per group;
+    at 100 TB swap in approx_percentile for the threshold (the capping
+    plan shape is unchanged). Capped sums pass through DECIMAL so both
+    engines agree bit-for-bit."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.groupBy("event_type").agg(
+        F.percentile("value", 0.99).alias("p99")
+    )
+    return (
+        e.join(F.broadcast(p), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("value") > F.col("p99"), 1)).alias(
+                "n_capped"
+            ),
+            F.sum(
+                F.least("value", "p99").cast("decimal(18,6)")
+            ).cast("double").alias("capped_sum"),
+        )
+    )
+
+
+@query(
     "q_decay_score",
     oracle="""
     WITH anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders)

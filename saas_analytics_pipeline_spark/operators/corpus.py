@@ -590,3 +590,69 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dec("scale") / F.count("*")).alias("avg_scale"),
         (dec("mae") / F.count("*")).alias("avg_mae"),
     )
+
+
+MIX_K = 200  # interleave prefix length emitted for inspection
+MIX_W_EVEN = 3  # weight for even-numbered sources
+MIX_W_ODD = 1  # weight for odd-numbered sources
+
+
+@query(
+    "q_mix_interleave",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, source,
+               CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                    THEN {MIX_W_EVEN} ELSE {MIX_W_ODD} END AS w,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {hash60_sql("'mix:' || CAST(doc_id AS VARCHAR)")},
+                            doc_id
+               ) AS src_rank
+        FROM documents
+    )
+    SELECT doc_id, source, src_rank,
+           CAST((2 * src_rank - 1) * ({MIX_W_EVEN * MIX_W_ODD * 2} // w)
+                AS BIGINT) AS priority
+    FROM r
+    ORDER BY priority, source, doc_id
+    LIMIT {MIX_K}
+    """,
+)
+def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source interleaving — the materialization step after
+    q_domain_mix's planning: every source's documents are ranked in
+    deterministic hash order, then merged into one training stream where a
+    weight-{MIX_W_EVEN} source contributes {MIX_W_EVEN}x the documents of
+    a weight-{MIX_W_ODD} source in ANY prefix (low-discrepancy virtual-
+    time schedule: doc r of a weight-w source runs at priority
+    (2r-1)/2w, scaled to exact integers so both engines order
+    identically). Emits the first {MIX_K} positions.
+
+    Scale: per-source rank windows (one shuffle by source; skewed sources
+    split fine since rank is the only state), then the global prefix is
+    top-k — TakeOrderedAndProject, per-partition take + driver merge of
+    {MIX_K}-row heaps, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        F.when(
+            F.substring("source", 4, 10).cast("int") % 2 == 0, MIX_W_EVEN
+        ).otherwise(MIX_W_ODD)
+    )
+    h = hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    r = docs.select(
+        "doc_id",
+        "source",
+        w.alias("w"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id")))
+        .alias("src_rank"),
+    )
+    priority = (
+        (2 * F.col("src_rank") - 1) * (MIX_W_EVEN * MIX_W_ODD * 2 / F.col("w"))
+    ).cast("long")
+    return (
+        r.select("doc_id", "source", "src_rank", priority.alias("priority"))
+        .orderBy("priority", "source", "doc_id")
+        .limit(MIX_K)
+    )

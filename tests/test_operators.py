@@ -378,3 +378,40 @@ def test_embed_quantize_error_bounded_by_half_step(spark, sf_dir):
     for r in rows:
         assert 0 < r["avg_scale"] < 1
         assert 0 <= r["avg_mae"] <= r["avg_scale"] / 2 * 1.000001
+
+
+def test_mix_interleave_prefix_respects_weights(spark, sf_dir):
+    """In the emitted prefix, weight-3 (even-numbered) sources must supply
+    ~3x the docs of weight-1 sources, and per-source picks must be the
+    docs ranked first within that source (no skipping)."""
+    from saas_analytics_pipeline_spark.operators.corpus import (
+        MIX_K,
+        MIX_W_EVEN,
+        MIX_W_ODD,
+        q_mix_interleave,
+    )
+
+    rows = q_mix_interleave(spark, sf_dir).collect()
+    assert len(rows) == min(MIX_K, 500)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["src_rank"])
+    even = [len(v) for s, v in by_src.items() if int(s[3:]) % 2 == 0]
+    odd = [len(v) for s, v in by_src.items() if int(s[3:]) % 2 == 1]
+    # 20 sources x 25 docs at the test sf; prefix shares track the weights
+    ratio = (sum(even) / len(even)) / (sum(odd) / len(odd))
+    assert MIX_W_EVEN / MIX_W_ODD * 0.6 <= ratio
+    # each source contributes a dense rank prefix 1..k
+    for ranks in by_src.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_winsorize_caps_about_one_percent(spark, sf_dir):
+    from saas_analytics_pipeline_spark.marts import q_winsorize
+
+    rows = q_winsorize(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # exact p99 cap: at most ~1% of rows above the threshold
+        assert r["n_capped"] <= max(2, 0.02 * r["n"])
+        assert r["capped_sum"] > 0

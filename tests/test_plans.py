@@ -197,3 +197,19 @@ def test_embed_quantize_single_agg_shuffle_no_explode(spark, sf_dir):
     plan = plan_of(q_embed_quantize(spark, sf_dir))
     assert "Generate" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_mix_interleave_plans_take_ordered(spark, sf_dir):
+    """The global prefix must be top-k (per-partition take + driver merge),
+    never a global sort of the ranked corpus."""
+    from saas_analytics_pipeline_spark.operators.corpus import q_mix_interleave
+
+    plan = plan_of(q_mix_interleave(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_winsorize_broadcasts_threshold_table(spark, sf_dir):
+    from saas_analytics_pipeline_spark.marts import q_winsorize
+
+    plan = plan_of(q_winsorize(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
