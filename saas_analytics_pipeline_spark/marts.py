@@ -1597,3 +1597,66 @@ def q_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abandonment_rate"),
         )
     )
+
+
+@query(
+    "q_robust_zscore",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           round(ANY_VALUE(d.med), 6) AS med,
+           round(ANY_VALUE(m.mad), 6) AS mad,
+           COUNT(CASE WHEN 0.6745 * d.adev / m.mad > 3.5 THEN 1 END)
+               AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via the modified z-score
+    0.6745*(x - median)/MAD — unlike q_outliers' mean/stddev z-scores,
+    median and MAD are not dragged by the very outliers being hunted, so
+    this survives the reference's deliberate heavy-tail skew
+    (pseudo_code_rules.txt:2-10).
+
+    Scale: two grouped exact percentiles (each one shuffle to |event_types|
+    rows, sort per group confined to one type's values) with the tiny
+    median/MAD tables broadcast back; the flag comparison is scan-local.
+    At 100 TB swap percentile -> approx_percentile (mergeable sketch, no
+    per-group sort) without changing the plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.count(
+                F.when(0.6745 * F.col("adev") / F.col("mad") > 3.5, 1)
+            ).alias("n_outliers"),
+        )
+    )

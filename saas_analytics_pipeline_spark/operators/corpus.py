@@ -656,3 +656,74 @@ def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "source", "doc_id")
         .limit(MIX_K)
     )
+
+
+SPLIT_TRAIN_PCT = 80  # hash-bucket < 80 -> train
+SPLIT_VAL_PCT = 90  # 80..89 -> val, 90..99 -> test
+
+
+@query(
+    "q_stratified_split",
+    oracle=f"""
+    WITH b AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_tokens,
+               {hash60_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+                   AS bucket
+        FROM documents
+    ),
+    tagged AS (
+        SELECT source, n_tokens,
+               CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN bucket < {SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    )
+    SELECT source, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY source), 6) AS share
+    FROM tagged GROUP BY source, split
+    """,
+)
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split: every document lands
+    in a split by content-independent hash bucket (hash60 of its id), so
+    the assignment is reproducible across runs, retries, and repartitions
+    — rand()-based splits are none of those. Reports per source x split
+    document and token counts plus the realized share, the audit that each
+    stratum actually got its 80/10/10.
+
+    Scale: the bucket is scan-local; the aggregate is |sources| x 3 rows,
+    and the share window runs over that driver-sized frame only. The split
+    column doubles as a partition key for the downstream write
+    (``partitionBy('split')``), so training readers prune to their shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    agg = (
+        docs.select(
+            "source",
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("toks"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("source")
+    return agg.select(
+        "source", "split", "n_docs", "n_tokens",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("share"),
+    )

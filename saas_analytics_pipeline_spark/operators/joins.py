@@ -384,3 +384,73 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(
         a["k"].alias("k"), "n_a", "n_b"
     )
+
+
+INTERVAL_BUCKET_S = 7200  # 2-hour lookback == bucket width
+
+
+@query(
+    "q_interval_join_bucketed",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id, p.user_id,
+           CAST(COUNT(c.c_ts) AS BIGINT) AS n_clicks_2h
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.c_ts > p.ts - INTERVAL {INTERVAL_BUCKET_S} SECOND
+     AND c.c_ts <= p.ts
+    GROUP BY p.purchase_id, p.user_id
+    """,
+)
+def q_interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact interval join at scale: clicks within the 2 hours before
+    each purchase, by user. A naive time-range join of two FACT tables is
+    a nested-loop (the q_range_join BNLJ only works because its interval
+    side is tiny); the scalable form coarsens time into buckets the width
+    of the lookback, explodes the probe side to its 2 candidate buckets,
+    and equi-joins on (user_id, bucket) — hash-partitionable, AQE-
+    balanceable — then applies the exact range predicate scan-side.
+
+    Plan contract (tests/test_plans.py): NO BroadcastNestedLoopJoin, no
+    CartesianProduct — the join is a plain shuffle equi-join whose key
+    cardinality (users x buckets) grows with data, so partitions stay
+    bounded at any scale. Probe amplification is exactly 2x."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp("ts") / INTERVAL_BUCKET_S)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        bucket.alias("b"),
+    )
+    pb = p.withColumn(
+        "bucket", F.explode(F.array(F.col("b"), F.col("b") - 1))
+    ).drop("b")
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.floor(F.unix_timestamp("ts") / INTERVAL_BUCKET_S).alias("bucket"),
+    )
+    hits = (
+        pb.join(c, ["user_id", "bucket"])
+        .where(
+            (F.col("c_ts") > F.col("ts") - F.expr(f"interval {INTERVAL_BUCKET_S} second"))
+            & (F.col("c_ts") <= F.col("ts"))
+        )
+        .groupBy("purchase_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        p.join(hits, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_clicks_2h"),
+        )
+    )

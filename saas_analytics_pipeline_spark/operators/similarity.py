@@ -380,3 +380,143 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("dist"), 4).alias("avg_dist"),
         F.round(F.max("dist"), 4).alias("max_dist"),
     )
+
+
+# --------------------------------------------------------------------------
+# random-hyperplane LSH (SimHash-for-cosine) candidate search
+# --------------------------------------------------------------------------
+EMBED_DIM = 64
+RP_PLANES = 16  # sign bits per vector
+RP_BANDS = 4  # 4 bands x 4 bits -> 16-value buckets per band
+
+
+def _rp_signs() -> list[list[float]]:
+    """Deterministic Rademacher (+-1) hyperplanes, pinned by md5 so both
+    engines share identical literals — no RNG, no engine hash calls."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp:{p}:{d}".encode()).hexdigest()[:15], 16) % 2
+            == 0
+            else -1.0
+            for d in range(EMBED_DIM)
+        ]
+        for p in range(RP_PLANES)
+    ]
+
+
+RP_SIGNS = _rp_signs()
+
+
+def _rp_bit_spark(p: int) -> str:
+    arr = "array(" + ",".join(f"{s}D" for s in RP_SIGNS[p]) + ")"
+    return (
+        f"CASE WHEN aggregate(zip_with(embedding, {arr}, "
+        f"(x, s) -> CAST(x AS DOUBLE) * s), CAST(0.0 AS DOUBLE), "
+        f"(a, v) -> a + v) > 0 THEN 1 ELSE 0 END"
+    )
+
+
+def _rp_bit_sql(p: int) -> str:
+    arr = "[" + ",".join(str(s) for s in RP_SIGNS[p]) + "]"
+    return (
+        f"CASE WHEN list_sum(list_transform(list_zip(embedding, {arr}), "
+        f"p -> CAST(p[1] AS DOUBLE) * p[2])) > 0 THEN 1 ELSE 0 END"
+    )
+
+
+def _rp_band(bit_of, b: int) -> str:
+    """Pack 4 sign bits into one band bucket value (0..15)."""
+    return " + ".join(
+        f"({bit_of(4 * b + j)}) * {1 << j}" for j in range(4)
+    )
+
+
+@query(
+    "q_similarity_rp_lsh",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id,
+               unnest([{", ".join(_rp_band(_rp_bit_sql, b) for b in range(RP_BANDS))}])
+                   AS band_val,
+               unnest([0, 1, 2, 3]) AS band_idx
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+        FROM sig q JOIN sig c
+          ON q.band_idx = c.band_idx AND q.band_val = c.band_val
+        WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.vec_id,
+               {DOT_SQL} / ({_norm_sql('q')} * {_norm_sql('c')}) AS cos
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.query_id
+        JOIN embeddings c ON c.vec_id = cand.vec_id
+    )
+    SELECT query_id, vec_id, round(cos, 6) AS cos_r, rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def q_similarity_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: each vector gets {RP_PLANES} sign bits
+    (dot against pinned +-1 hyperplanes), packed into {RP_BANDS} band
+    buckets; candidates are corpus vectors sharing >= 1 band bucket with
+    the query, then exact cosine re-ranks the candidates. The third ANN
+    strategy next to cell-pruning (q_similarity_ann) and learned IVF
+    (q_similarity_ivf) — this one needs no training pass and no label.
+
+    Scale: signatures are scan-local codegen ({RP_PLANES}x{EMBED_DIM}
+    multiply-adds per row); the bucket table shuffles only (vec_id,
+    band_idx, band_val) — never embeddings; candidate pairs materialize
+    only inside shared buckets (banding tuned so that's ~N/16 per band,
+    vs N for brute force); exact scoring re-joins embeddings by id. At
+    100 TB raise bits-per-band so buckets stay bounded, and store the
+    bucket table sorted by (band_idx, band_val) for co-located joins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bands = F.array(
+        *[F.expr(_rp_band(_rp_bit_spark, b)) for b in range(RP_BANDS)]
+    )
+    sig = emb.select("vec_id", F.posexplode(bands).alias("band_idx", "band_val"))
+    q_sig = sig.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band_idx", "band_val"
+    )
+    cand = (
+        F.broadcast(q_sig)
+        .join(sig, ["band_idx", "band_val"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q_emb = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c_emb = emb.select("vec_id", F.col("embedding").alias("c_emb"))
+    scored = (
+        cand.join(F.broadcast(q_emb), "query_id")
+        .join(c_emb, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.expr(DOT_EXPR)
+                / (
+                    F.expr(NORM_EXPR.format(col="q_emb"))
+                    * F.expr(NORM_EXPR.format(col="c_emb"))
+                )
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos_r"), "rnk")
+    )

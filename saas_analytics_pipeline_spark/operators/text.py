@@ -583,3 +583,204 @@ def q_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("ttr"), 6).alias("avg_ttr"),
         F.count(F.when(F.col("ttr") < 0.3, 1)).alias("n_low_diversity"),
     )
+
+
+@query(
+    "q_char_entropy",
+    oracle="""
+    WITH per_doc AS (
+        SELECT doc_id, source,
+               round(-list_sum(list_transform(
+                   list_sort(list_distinct(string_split(text, ''))),
+                   c -> (CAST(len(list_filter(string_split(text, ''),
+                                              x -> x = c)) AS DOUBLE)
+                         / len(string_split(text, '')))
+                        * ln(CAST(len(list_filter(string_split(text, ''),
+                                                  x -> x = c)) AS DOUBLE)
+                             / len(string_split(text, ''))))), 6)
+               AS entropy
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(entropy AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*)
+               AS avg_entropy,
+           COUNT(CASE WHEN entropy < 2.0 THEN 1 END) AS n_low_entropy
+    FROM per_doc GROUP BY source
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (nats), aggregated per
+    source — the standard cheap detector for degenerate text (repeated
+    characters, binary junk, key-mashing) before it reaches training data.
+    Natural-language text sits near 2.5-3.2 nats; flat or near-zero entropy
+    flags garbage.
+
+    Determinism contract: the per-doc fold runs over the SORTED distinct
+    character set in both engines (identical summation order), is rounded
+    to 6 decimals, and cross-row averaging goes through DECIMAL sums, so
+    float association cannot drift the hash.
+
+    Scale: entirely scan-local (O(chars x distinct_chars) per row inside
+    codegen, no shuffle until the |sources|-row aggregate) — runs at
+    parquet-scan speed at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    n = F.size(chars).cast("double")
+    dch = F.array_sort(F.array_distinct(chars))
+    p_of = lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double") / n  # noqa: E731
+    ent = -F.aggregate(
+        dch,
+        F.lit(0.0),
+        lambda acc, c: acc + p_of(c) * F.log(p_of(c)),
+    )
+    per_doc = docs.select("source", F.round(ent, 6).alias("entropy"))
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.col("entropy").cast("decimal(12,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_entropy"),
+        F.count(F.when(F.col("entropy") < 2.0, 1)).alias("n_low_entropy"),
+    )
+
+
+@query(
+    "q_vocab_overlap",
+    oracle="""
+    WITH v AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS vocab FROM v GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM v a JOIN v b ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b,
+           sa.vocab AS vocab_a, sb.vocab AS vocab_b, i.n_shared,
+           round(CAST(i.n_shared AS DOUBLE)
+                 / (sa.vocab + sb.vocab - i.n_shared), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+)
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source vocabulary overlap (Jaccard over distinct tokens) —
+    the corpus diagnostic behind mix planning: sources with near-identical
+    vocabularies add less diversity than their token counts suggest.
+
+    Scale: vocabulary is sublinear in corpus size (Heaps' law), and the
+    distinct is partial-aggregated map-side, so only (source, token) pairs
+    shuffle — never documents. The intersection self-join keys on token;
+    pairs materialize only for shared tokens, and the final matrix is
+    |sources|^2 rows (driver-sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    sizes = v.groupBy("source").agg(F.count("*").alias("vocab"))
+    a = v.select(F.col("source").alias("src_a"), "token")
+    b = v.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, ["token"])
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("vocab").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("vocab").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b", "vocab_a", "vocab_b", "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "q_bigram_lm",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(toks), 2)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM tok WHERE len(toks) >= 2
+    ),
+    bc AS (SELECT bigram, COUNT(*) AS c12 FROM big GROUP BY bigram),
+    uni AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    uc AS (SELECT token, COUNT(*) AS c1 FROM uni GROUP BY token),
+    vsize AS (SELECT COUNT(*) AS v FROM uc)
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           round(AVG(ln((CAST(bc.c12 AS DOUBLE) + 1)
+                        / (uc.c1 + vsize.v))), 6) AS avg_logprob
+    FROM big b
+    JOIN bc ON bc.bigram = b.bigram
+    JOIN uc ON uc.token = string_split(b.bigram, ' ')[1]
+    CROSS JOIN vsize
+    GROUP BY b.doc_id
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram language model scoring — the step up from
+    q_unigram_lm: fit corpus bigram/unigram counts, then score each doc by
+    its mean smoothed bigram log-probability p(w2|w1) = (c12+1)/(c1+V).
+    Low scorers have locally-implausible token sequences (shuffled or
+    machine-mangled text) that a unigram model cannot see.
+
+    Scale: bigram and unigram count tables are vocabulary-sized (Zipf) and
+    broadcast back onto the bigram stream; the only full-data shuffle is
+    the per-doc aggregate. avg is rounded to 6 decimals so summation order
+    cannot drift the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+        ),
+    )
+    big = (
+        docs.where(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    bc = big.groupBy("bigram").agg(F.count("*").alias("c12"))
+    uc = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c1"))
+    )
+    vsize = uc.agg(F.count("*").alias("v"))
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    scored = (
+        big.join(F.broadcast(bc), "bigram")
+        .join(F.broadcast(uc), w1 == F.col("token"))
+        .join(F.broadcast(vsize))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.avg(
+                F.log(
+                    (F.col("c12").cast("double") + 1)
+                    / (F.col("c1") + F.col("v"))
+                )
+            ),
+            6,
+        ).alias("avg_logprob"),
+    )

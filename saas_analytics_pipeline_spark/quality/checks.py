@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from saas_analytics_pipeline_spark.functions import money
@@ -386,4 +386,89 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(row_hash.cast("decimal(38,0)")).cast("string").alias("checksum_sum"),
         F.bit_xor(row_hash).alias("checksum_xor"),
+    )
+
+
+# Benford first-digit expectations log10(1 + 1/d), pinned as shared literals
+# so both engines render bit-identical doubles (no engine-side log10 calls).
+BENFORD_EXPECTED: dict[int, float] = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({v!r} AS DOUBLE)" for d, v in BENFORD_EXPECTED.items()
+) + " END"
+
+
+@query(
+    "q_benford",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(substr(regexp_replace(
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                   '[^1-9]', '', 'g'), 1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice > 0
+    )
+    SELECT digit,
+           COUNT(*) AS n,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (), 6) AS share,
+           {_BENFORD_CASE_SQL} AS expected,
+           round(abs(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER ()
+                     - {_BENFORD_CASE_SQL}), 6) AS abs_dev
+    FROM d WHERE digit IS NOT NULL
+    GROUP BY digit
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over order totals — the
+    classic fraud/fabrication screen for financial facts: organic amounts
+    follow log10(1+1/d); fabricated or truncated feeds drift. Emits the
+    observed vs expected share per leading digit.
+
+    The digit comes from the DECIMAL(18,2) string form (strip everything
+    but 1-9, take the first char) — identical rendering in both engines,
+    no log10 on data. Expectations are pinned Python literals, so no
+    engine transcendental calls at all.
+
+    Scale: scan-local digit extraction, one hash-agg to <= 9 rows; the
+    share window runs over those 9 rows on the driver-sized frame."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = (
+        F.substring(
+            F.regexp_replace(
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                "[^1-9]",
+                "",
+            ),
+            1,
+            1,
+        ).cast("int")
+    )
+    agg = (
+        o.where(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .where(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    expected = F.lit(None).cast("double")
+    for d, v in BENFORD_EXPECTED.items():
+        expected = F.when(F.col("digit") == d, F.lit(v)).otherwise(expected)
+    w = Window.partitionBy()
+    share = F.col("n").cast("double") / F.sum("n").over(w)
+    return agg.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        expected.alias("expected"),
+        F.round(F.abs(share - expected), 6).alias("abs_dev"),
     )

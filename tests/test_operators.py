@@ -415,3 +415,129 @@ def test_winsorize_caps_about_one_percent(spark, sf_dir):
         # exact p99 cap: at most ~1% of rows above the threshold
         assert r["n_capped"] <= max(2, 0.02 * r["n"])
         assert r["capped_sum"] > 0
+
+
+def test_char_entropy_in_natural_range(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.text import q_char_entropy
+
+    rows = q_char_entropy(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # word-corpus text: entropy well above degenerate, below log(70)
+        assert 1.5 < r["avg_entropy"] < 4.5
+        assert r["n_low_entropy"] == 0
+
+
+def test_vocab_overlap_full_pair_matrix(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.text import q_vocab_overlap
+
+    rows = q_vocab_overlap(spark, sf_dir).collect()
+    srcs = {r["src_a"] for r in rows} | {r["src_b"] for r in rows}
+    n = len(srcs)
+    # shared synthetic vocabulary: every source pair overlaps
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert 0 < r["jaccard"] <= 1
+        assert r["n_shared"] <= min(r["vocab_a"], r["vocab_b"])
+
+
+def test_bigram_lm_scores_bounded(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.text import q_bigram_lm
+
+    rows = q_bigram_lm(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert -20 < r["avg_logprob"] < 0
+        assert r["n_bigrams"] >= 1
+
+
+def test_stratified_split_shares_track_80_10_10(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.corpus import (
+        q_stratified_split,
+    )
+
+    rows = q_stratified_split(spark, sf_dir).collect()
+    by_src: dict[str, dict[str, float]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], {})[r["split"]] = r["share"]
+    for shares in by_src.values():
+        assert abs(sum(shares.values()) - 1.0) < 1e-6
+        # 25 docs/source at test sf: loose banding around 80/10/10
+        assert shares.get("train", 0) > 0.5
+
+
+def test_benford_shares_and_expectations(spark, sf_dir):
+    from saas_analytics_pipeline_spark.quality.checks import q_benford
+
+    rows = q_benford(spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0 < r["expected"] < 0.31
+        assert r["abs_dev"] >= 0
+
+
+def test_robust_zscore_outliers_are_rare(spark, sf_dir):
+    from saas_analytics_pipeline_spark.marts import q_robust_zscore
+
+    rows = q_robust_zscore(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["mad"] > 0
+        assert r["n_outliers"] <= 0.05 * r["n"]
+
+
+def test_rp_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH top-k must recover a meaningful share of the exact top-k (banding
+    gives ~50%+ for the closest pairs) and never invent ids."""
+    from saas_analytics_pipeline_spark.operators.similarity import (
+        q_similarity,
+        q_similarity_rp_lsh,
+    )
+
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in q_similarity(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in q_similarity_rp_lsh(spark, sf_dir).collect()
+    }
+    assert len(approx) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2
+
+
+def test_interval_join_bucketed_matches_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from saas_analytics_pipeline_spark.operators.joins import (
+        INTERVAL_BUCKET_S,
+        q_interval_join_bucketed,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    got = {
+        r["purchase_id"]: r["n_clicks_2h"]
+        for r in q_interval_join_bucketed(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    brute = {
+        r["pid"]: r["n"]
+        for r in p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") > F.col("pts") - F.expr(f"interval {INTERVAL_BUCKET_S} second"))
+            & (F.col("cts") <= F.col("pts")),
+            "left",
+        )
+        .groupBy("pid")
+        .agg(F.count("cts").alias("n"))
+        .collect()
+    }
+    assert got == brute

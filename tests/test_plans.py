@@ -213,3 +213,33 @@ def test_winsorize_broadcasts_threshold_table(spark, sf_dir):
 
     plan = plan_of(q_winsorize(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_interval_join_bucketed_is_equi_join(spark, sf_dir):
+    """The scalable interval join must plan hash-partitionable equi-joins —
+    no nested loop, no cartesian product anywhere."""
+    from saas_analytics_pipeline_spark.operators.joins import (
+        q_interval_join_bucketed,
+    )
+
+    plan = plan_of(q_interval_join_bucketed(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rp_lsh_no_cartesian(spark, sf_dir):
+    """LSH candidate generation joins on bucket keys; the brute-force cross
+    join must NOT appear."""
+    from saas_analytics_pipeline_spark.operators.similarity import (
+        q_similarity_rp_lsh,
+    )
+
+    plan = plan_of(q_similarity_rp_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_robust_zscore_broadcasts_thresholds(spark, sf_dir):
+    from saas_analytics_pipeline_spark.marts import q_robust_zscore
+
+    plan = plan_of(q_robust_zscore(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
