@@ -784,3 +784,323 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_logprob"),
     )
+
+
+# --------------------------------------------------------------------------
+# corpus-statistics family: KL drift, Zipf fit, PMI collocations, fertility
+# --------------------------------------------------------------------------
+ZIPF_TOP = 500  # tokens in the Zipf regression
+PMI_MIN_COUNT = 5  # bigram support threshold
+PMI_MIN = 0.3  # keep collocations with PMI >= this (nats)
+
+
+@query(
+    "q_kl_sources",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    sc AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+        FROM tok GROUP BY source, tok
+    ),
+    gc AS (
+        SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM sc GROUP BY tok
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_t) AS BIGINT) AS n_global FROM gc
+    ),
+    ns AS (
+        SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM sc
+        GROUP BY source
+    ),
+    terms AS (
+        SELECT sc.source,
+               CAST(round((CAST(sc.c_st AS DOUBLE) / ns.n_s)
+                    * ln((CAST(sc.c_st AS DOUBLE) / ns.n_s)
+                         / (CAST(gc.c_t AS DOUBLE) / tot.n_global)), 8)
+                    AS DECIMAL(20,8)) AS term
+        FROM sc
+        JOIN gc USING (tok)
+        JOIN ns ON ns.source = sc.source
+        CROSS JOIN tot
+    )
+    SELECT s.source, ns.n_s AS n_tokens,
+           round(CAST(SUM(s.term) AS DOUBLE), 6) AS kl_nats
+    FROM terms s JOIN ns ON ns.source = s.source
+    GROUP BY s.source, ns.n_s
+    """,
+)
+def q_kl_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: exact KL(p_source || p_corpus)
+    in nats, summed over the source's own support (tokens with p=0
+    contribute 0, so truncation IS the full KL; every support token exists
+    globally, so q>0 needs no smoothing). The standing check that one
+    ingest source hasn't drifted from the corpus mixture — the
+    distributional cousin of q_vocab_overlap's set-based Jaccard.
+
+    Determinism contract: each summand is computed from integer-count
+    ratios (bit-identical ln in both engines), rounded to 8 decimals, and
+    cross-row summed as DECIMAL — identical addends, exact addition, so
+    float association cannot drift the hash (q_char_entropy pattern).
+
+    Scale: one shuffle to (source, token) counts; global token counts
+    derive from that aggregate (second, smaller shuffle on token) — raw
+    text never moves. Totals are single-row broadcasts. Vocabulary is
+    Zipf-bounded, so the count tables stay far below the fact table."""
+    docs = load_table(spark, sf_dir, "documents")
+    sc = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("c_st"))
+    )
+    gc = sc.groupBy("tok").agg(F.sum("c_st").cast("long").alias("c_t"))
+    ns = sc.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
+    tot = gc.agg(F.sum("c_t").cast("long").alias("n_global"))
+    p = F.col("c_st").cast("double") / F.col("n_s")
+    q = F.col("c_t").cast("double") / F.col("n_global")
+    term = F.round(p * F.log(p / q), 8).cast("decimal(20,8)")
+    return (
+        sc.join(gc, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("source", F.col("n_s").alias("n_tokens"), term.alias("term"))
+        .groupBy("source", "n_tokens")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("kl_nats"))
+    )
+
+
+@query(
+    "q_zipf_fit",
+    oracle=f"""
+    WITH gc AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY tok
+        ORDER BY cnt DESC, tok
+        LIMIT {ZIPF_TOP}
+    ),
+    xy AS (
+        SELECT CAST(round(ln(CAST(ROW_NUMBER()
+                   OVER (ORDER BY cnt DESC, tok) AS DOUBLE)), 10)
+                   AS DECIMAL(28,10)) AS x,
+               CAST(round(ln(CAST(cnt AS DOUBLE)), 10)
+                   AS DECIMAL(28,10)) AS y
+        FROM gc
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM xy
+    )
+    SELECT n AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM s
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-{ZIPF_TOP} token frequencies: OLS slope
+    of ln(freq) on ln(rank) plus R² — natural corpora fit ~ -1 with high
+    R²; synthetic, templated, or spam-heavy corpora bend away. A one-row
+    corpus fingerprint for drift dashboards.
+
+    Determinism contract: ranks use a total order (count desc, token asc);
+    ln terms are computed from integers, rounded to 10 decimals, and all
+    five power sums run as DECIMAL over identical addends — exact
+    addition, order-free. Regression algebra happens once, in the final
+    single-row projection.
+
+    Scale: token counting is the usual map-side-combinable shuffle; the
+    top-{ZIPF_TOP} cut is TakeOrderedAndProject (per-partition top-k, tiny
+    driver merge — no global sort), and the rank window orders only those
+    {ZIPF_TOP} rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    gc = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(ZIPF_TOP)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    dec = lambda c: F.round(c, 10).cast("decimal(28,10)")  # noqa: E731
+    xy = gc.select(
+        dec(F.log(F.row_number().over(w).cast("double"))).alias("x"),
+        dec(F.log(F.col("cnt").cast("double"))).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = n * sxy - sx * sy
+    return s.select(
+        n.alias("n_terms"),
+        F.round(num / (n * sxx - sx * sx), 4).alias("zipf_slope"),
+        F.round(num * num / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+        .alias("r2"),
+    )
+
+
+@query(
+    "q_pmi_bigrams",
+    oracle=f"""
+    WITH w AS (
+        SELECT string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    bg AS (
+        SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        FROM w WHERE len(ws) >= 2
+    ),
+    bc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM bg GROUP BY w1, w2
+    ),
+    uc AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY tok
+    ),
+    tot AS (
+        SELECT CAST((SELECT SUM(c_xy) FROM bc) AS BIGINT) AS b,
+               CAST((SELECT SUM(c) FROM uc) AS BIGINT) AS n
+    ),
+    scored AS (
+        SELECT bc.w1, bc.w2, bc.c_xy,
+               ln((CAST(bc.c_xy AS DOUBLE) / tot.b)
+                  / ((CAST(u1.c AS DOUBLE) / tot.n)
+                     * (CAST(u2.c AS DOUBLE) / tot.n))) AS pmi
+        FROM bc
+        JOIN uc u1 ON u1.tok = bc.w1
+        JOIN uc u2 ON u2.tok = bc.w2
+        CROSS JOIN tot
+        WHERE bc.c_xy >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, c_xy, round(pmi, 4) AS pmi
+    FROM scored WHERE pmi >= {PMI_MIN}
+    """,
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent token
+    pairs, PMI = ln(p(xy)/(p(x)p(y))), keeping supported (count >=
+    {PMI_MIN_COUNT}) pairs with PMI >= {PMI_MIN} nats — the classic
+    detector for multiword units ("machine learning") and for templated
+    boilerplate whose PMI saturates.
+
+    Every PMI is a per-row function of four integer counts — no cross-row
+    float sums at all, so both engines agree bit-for-bit before the
+    4-decimal display rounding; the threshold compares identical doubles.
+
+    Scale: bigram fan-out is scan-local (arrays_zip of two slices);
+    counting shuffles (w1, w2) pairs once; the two unigram joins key on
+    token against the Zipf-bounded vocab table. No window, no all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    pairs = (
+        docs.select(ws.alias("ws"))
+        .where(F.size("ws") >= 2)
+        .select(
+            F.slice("ws", 1, F.size("ws") - 1).alias("a1"),
+            F.slice("ws", 2, F.size("ws") - 1).alias("a2"),
+        )
+        .select(F.explode(F.arrays_zip("a1", "a2")).alias("z"))
+        .select(F.col("z.a1").alias("w1"), F.col("z.a2").alias("w2"))
+    )
+    bc = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c_xy")
+    )
+    uc = (
+        docs.select(F.explode(ws).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = bc.agg(F.sum("c_xy").cast("long").alias("b")).crossJoin(
+        uc.agg(F.sum("c").cast("long").alias("n"))
+    )
+    u1 = uc.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c_xy").cast("double") / F.col("b"))
+        / (
+            (F.col("c1").cast("double") / F.col("n"))
+            * (F.col("c2").cast("double") / F.col("n"))
+        )
+    )
+    return (
+        bc.where(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c_xy", pmi.alias("pmi"))
+        .where(F.col("pmi") >= PMI_MIN)
+        .select("w1", "w2", "c_xy", F.round("pmi", 4).alias("pmi"))
+    )
+
+
+@query(
+    "q_fertility",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_toks,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS bpe_toks,
+               n_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws_toks) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe_toks) AS BIGINT) AS bpe_tokens,
+           round(CAST(SUM(n_chars) AS DOUBLE) / SUM(bpe_toks), 6)
+               AS chars_per_token,
+           round(CAST(SUM(bpe_toks) AS DOUBLE) / SUM(ws_toks), 6)
+               AS fertility
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish regex tokens per
+    whitespace word, plus characters per token — the standard audit for
+    how expensive each language is under a tokenizer (high fertility =
+    more tokens per word = costlier training/serving for that slice).
+
+    Ratios come from exact BIGINT token/char sums; doubles appear only in
+    the final per-language projection.
+
+    Scale: both tokenizations are scan-local regex/split inside codegen
+    (no Python); the only shuffle is the |langs|-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("ws_toks"),
+        F.size(tokenize_regex()).cast("long").alias("bpe_toks"),
+        "n_chars",
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ws_toks").cast("long").alias("ws_tokens"),
+        F.sum("bpe_toks").cast("long").alias("bpe_tokens"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("bpe_toks"), 6
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum("bpe_toks").cast("double") / F.sum("ws_toks"), 6
+        ).alias("fertility"),
+    )

@@ -161,6 +161,7 @@ def load_all() -> None:
         scd2,
         sessionize,
         similarity,
+        stats,
         text,
     )
     from saas_analytics_pipeline_spark.functions import udfs  # noqa: F401

@@ -541,3 +541,104 @@ def test_interval_join_bucketed_matches_bruteforce(spark, sf_dir):
         .collect()
     }
     assert got == brute
+
+
+def test_psi_drift_parts_nonnegative_and_total_consistent(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.stats import q_psi_drift
+
+    rows = q_psi_drift(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 8
+    total = rows[0]["psi_total"]
+    for r in rows:
+        # (cur-base)*ln(cur/base) has matching signs -> every part >= 0
+        assert r["psi_part"] >= 0
+        assert r["psi_total"] == total
+    assert abs(sum(r["psi_part"] for r in rows) - total) < 1e-5
+    assert abs(sum(r["base_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["cur_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_ab_test_z_sign_matches_lift(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.stats import q_ab_test
+
+    [r] = q_ab_test(spark, sf_dir).collect()
+    assert r["n_control"] > 0 and r["n_treatment"] > 0
+    assert 0 <= r["rate_control"] <= 1 and 0 <= r["rate_treatment"] <= 1
+    assert r["conv_control"] <= r["n_control"]
+    if r["z_score"] is not None:
+        assert (r["z_score"] > 0) == (r["lift"] > 0) or r["lift"] == 0
+        assert r["significant"] == (abs(r["z_score"]) > 1.96)
+
+
+def test_corr_metrics_bounded(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.stats import q_corr_metrics
+
+    [r] = q_corr_metrics(spark, sf_dir).collect()
+    assert r["n_days"] > 0
+    for k in ("corr_views_purchases", "corr_clicks_revenue"):
+        assert -1.0 <= r[k] <= 1.0
+
+
+def test_snapshot_diff_partitions_users(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from saas_analytics_pipeline_spark.operators.stats import q_snapshot_diff
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    rows = q_snapshot_diff(spark, sf_dir).collect()
+    by = {r["status"]: r for r in rows}
+    assert set(by) <= {"added", "changed", "unchanged"}
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+    if "unchanged" in by:
+        assert by["unchanged"]["delta_events"] == 0
+    if "changed" in by:
+        assert by["changed"]["delta_events"] >= by["changed"]["n_users"]
+
+
+def test_kl_sources_nonnegative(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.text import q_kl_sources
+
+    rows = q_kl_sources(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # KL >= 0 up to the 8-decimal term rounding
+        assert r["kl_nats"] >= -1e-5
+        assert r["n_tokens"] > 0
+
+
+def test_zipf_fit_slope_negative(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.text import q_zipf_fit
+
+    [r] = q_zipf_fit(spark, sf_dir).collect()
+    assert r["n_terms"] > 0
+    assert r["zipf_slope"] < 0
+    assert 0 <= r["r2"] <= 1
+
+
+def test_pmi_bigrams_thresholds(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.text import (
+        PMI_MIN,
+        PMI_MIN_COUNT,
+        q_pmi_bigrams,
+    )
+
+    rows = q_pmi_bigrams(spark, sf_dir).collect()
+    for r in rows:
+        assert r["c_xy"] >= PMI_MIN_COUNT
+        assert r["pmi"] >= PMI_MIN
+
+
+def test_fertility_ratios_sane(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.text import q_fertility
+
+    rows = q_fertility(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["bpe_tokens"] >= r["ws_tokens"] * 0.8
+        assert r["chars_per_token"] > 0
+        assert r["fertility"] > 0

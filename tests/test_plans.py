@@ -243,3 +243,56 @@ def test_robust_zscore_broadcasts_thresholds(spark, sf_dir):
 
     plan = plan_of(q_robust_zscore(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_psi_drift_single_scan_one_shuffle(spark, sf_dir):
+    """PSI reads the fact table exactly once; bin+period flags are
+    scan-local, the only exchange feeds the |bins|-row aggregate (plus the
+    single-partition window over that tiny frame)."""
+    import re
+
+    from saas_analytics_pipeline_spark.operators.stats import q_psi_drift
+
+    plan = plan_of(q_psi_drift(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_corr_metrics_no_window_no_join(spark, sf_dir):
+    """Power-sum correlation is two stacked aggregates — no window over raw
+    facts, no join, single fact scan."""
+    import re
+
+    from saas_analytics_pipeline_spark.operators.stats import q_corr_metrics
+
+    plan = plan_of(q_corr_metrics(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_snapshot_diff_single_pass(spark, sf_dir):
+    """Both as-of snapshots come from one scan with conditional aggregates
+    — no self-join of the event table."""
+    import re
+
+    from saas_analytics_pipeline_spark.operators.stats import q_snapshot_diff
+
+    plan = plan_of(q_snapshot_diff(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_zipf_fit_take_ordered_not_global_sort(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.text import q_zipf_fit
+
+    plan = plan_of(q_zipf_fit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pmi_no_cartesian_on_vocab(spark, sf_dir):
+    """PMI joins key on tokens; only the single-row totals frame may
+    broadcast-cross — no cartesian between row-bearing tables."""
+    from saas_analytics_pipeline_spark.operators.text import q_pmi_bigrams
+
+    plan = plan_of(q_pmi_bigrams(spark, sf_dir))
+    assert "CartesianProduct" not in plan
