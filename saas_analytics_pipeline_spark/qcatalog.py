@@ -163,6 +163,7 @@ def load_all() -> None:
         similarity,
         stats,
         text,
+        tpch,
     )
     from saas_analytics_pipeline_spark.functions import udfs  # noqa: F401
     from saas_analytics_pipeline_spark.quality import checks  # noqa: F401

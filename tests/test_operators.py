@@ -642,3 +642,47 @@ def test_fertility_ratios_sane(spark, sf_dir):
         assert r["bpe_tokens"] >= r["ws_tokens"] * 0.8
         assert r["chars_per_token"] > 0
         assert r["fertility"] > 0
+
+
+def test_tpch_pricing_groups_and_averages(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.tpch import q_tpch_pricing
+
+    rows = q_tpch_pricing(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 6
+    for r in rows:
+        assert abs(r["avg_qty"] - r["sum_qty"] / r["count_order"]) < 1e-4
+        assert r["sum_charge"] >= r["sum_disc_price"] >= 0
+        assert 0 <= r["avg_disc"] <= 0.2
+
+
+def test_tpch_shipping_deterministic_topk(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.tpch import q_tpch_shipping
+
+    rows = q_tpch_shipping(spark, sf_dir).collect()
+    assert len(rows) <= 10
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_tpch_top_supplier_is_argmax(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.tpch import q_tpch_top_supplier
+
+    rows = q_tpch_top_supplier(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    assert len({r["total_revenue"] for r in rows}) == 1
+
+
+def test_tpch_big_orders_threshold(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.tpch import q_tpch_big_orders
+
+    for r in q_tpch_big_orders(spark, sf_dir).collect():
+        assert r["sum_qty"] > 150
+
+
+def test_tpch_promo_share_bounded(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.tpch import q_tpch_promo_share
+
+    [r] = q_tpch_promo_share(spark, sf_dir).collect()
+    if r["n_items"]:
+        assert 0 <= r["promo_share"] <= 100
+        assert r["n_promo_items"] <= r["n_items"]

@@ -296,3 +296,62 @@ def test_pmi_no_cartesian_on_vocab(spark, sf_dir):
 
     plan = plan_of(q_pmi_bigrams(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_pricing_single_scan_no_join(spark, sf_dir):
+    """Q1 is one pushed-filter scan feeding a partial+final aggregate."""
+    import re
+
+    from saas_analytics_pipeline_spark.operators.tpch import q_tpch_pricing
+
+    plan = plan_of(q_tpch_pricing(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_tpch_shipping_topk_and_broadcast(spark, sf_dir):
+    """Q3: customer broadcasts; top-10 is TakeOrderedAndProject, never a
+    global Sort+Limit."""
+    from saas_analytics_pipeline_spark.operators.tpch import q_tpch_shipping
+
+    plan = plan_of(q_tpch_shipping(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_local_volume_all_dims_broadcast(spark, sf_dir):
+    """Q5: supplier/nation/region/customer all broadcast — the only
+    non-broadcast join is orders<->lineitem."""
+    from saas_analytics_pipeline_spark.operators.tpch import q_tpch_local_volume
+
+    plan = plan_of(q_tpch_local_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_promo_share_prunes_part_columns(spark, sf_dir):
+    """Q14 reads only (p_partkey, p_type) from part — pruning reaches the
+    scan; unused part columns never leave parquet."""
+    from saas_analytics_pipeline_spark.operators.tpch import q_tpch_promo_share
+
+    plan = plan_of(q_tpch_promo_share(spark, sf_dir))
+    assert "p_retailprice" not in plan
+    assert "p_brand" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_big_orders_preaggregates_below_join(spark, sf_dir):
+    """Q18: lineitem collapses to per-order sums (with the >150 filter)
+    before joining orders — the join never sees raw lineitems."""
+    import re
+
+    from saas_analytics_pipeline_spark.operators.tpch import q_tpch_big_orders
+
+    plan = plan_of(q_tpch_big_orders(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+    assert "CartesianProduct" not in plan
+    # the lineitem branch aggregates before any join node consumes it
+    assert "HashAggregate" in plan
