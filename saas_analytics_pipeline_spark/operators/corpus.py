@@ -727,3 +727,180 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
         ).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# cross-document duplicate-span fraction + perplexity-proxy bucketing
+# --------------------------------------------------------------------------
+DUP_FLAG_FRAC = 0.3  # doc flagged when > this fraction of its shingles dup
+
+
+@query(
+    "q_dup_span_fraction",
+    oracle=f"""
+    WITH shx AS (
+        SELECT doc_id, source, unnest(list_distinct({_ngrams_sql()})) AS sh
+        FROM documents
+    ),
+    dfc AS (
+        SELECT sh, CAST(COUNT(*) AS BIGINT) AS ndocs FROM shx GROUP BY sh
+    ),
+    per_doc AS (
+        SELECT s.doc_id, s.source,
+               COUNT(*) AS n_sh,
+               SUM(CASE WHEN dfc.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM shx s JOIN dfc USING (sh)
+        GROUP BY s.doc_id, s.source
+    ),
+    frac AS (
+        SELECT source,
+               CAST(round(CAST(n_dup AS DOUBLE) / n_sh, 8)
+                    AS DECIMAL(12,8)) AS f,
+               CAST(n_dup AS DOUBLE) / n_sh > {DUP_FLAG_FRAC} AS flagged
+        FROM per_doc
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           round(CAST(SUM(f) AS DOUBLE) / COUNT(*), 6) AS avg_dup_frac,
+           CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged
+    FROM frac GROUP BY source
+    """,
+)
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span fraction (the Gopher/Dolma-style
+    "fraction of n-grams also found elsewhere" signal): for each document,
+    the share of its distinct {NGRAM_W}-word shingles that occur in >= 2
+    documents; rolled up per source with a >{DUP_FLAG_FRAC} flag count.
+    Complements q_dedup_* (which find WHICH docs are near-dups) with a
+    corpus-health measure of HOW duplicated each source is.
+
+    Determinism: per-doc fraction is a single division of two BIGINTs
+    (bit-identical), rounded to 8 decimals and DECIMAL-summed across docs
+    — exact addition, order-free (q_char_entropy pattern).
+
+    Scale: the inverted-index pattern (q_dedup_ngram) — (doc, shingle)
+    pairs shuffle on shingle to learn document frequency; raw text never
+    moves past the scan-side explode, and the two branches read
+    column-pruned scans (the frequency branch reads only `text`). Shingle
+    doc-frequency tables are Zipf-bounded and broadcast when small. No
+    pairwise doc x doc blowup anywhere: duplication is measured per
+    shingle, not per pair; cache/persist shx to collapse the two scans
+    into one when the corpus scan dominates."""
+    docs = load_table(spark, sf_dir, "documents")
+    shx = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(word_ngrams())).alias("sh"),
+    )
+    dfc = shx.groupBy("sh").agg(F.count("*").cast("long").alias("ndocs"))
+    per_doc = (
+        shx.join(dfc, "sh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    ratio = F.col("n_dup").cast("double") / F.col("n_sh")
+    frac = per_doc.select(
+        "source",
+        F.round(ratio, 8).cast("decimal(12,8)").alias("f"),
+        (ratio > DUP_FLAG_FRAC).alias("flagged"),
+    )
+    return frac.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("f").cast("double") / F.count("*"), 6).alias("avg_dup_frac"),
+        F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+    )
+
+
+@query(
+    "q_perplexity_buckets",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS n_total FROM vocab),
+    per_doc AS (
+        SELECT t.doc_id,
+               round(AVG(ln(CAST(v.cnt AS DOUBLE) / tot.n_total)), 6)
+                   AS avg_logprob
+        FROM tok t JOIN vocab v USING (token) CROSS JOIN tot
+        GROUP BY t.doc_id
+    ),
+    cuts AS (
+        SELECT quantile_cont(avg_logprob, 0.33) AS c_tail,
+               quantile_cont(avg_logprob, 0.67) AS c_mid
+        FROM per_doc
+    ),
+    bucketed AS (
+        SELECT d.doc_id, p.avg_logprob,
+               CASE WHEN p.avg_logprob <= cuts.c_tail THEN 'tail'
+                    WHEN p.avg_logprob <= cuts.c_mid THEN 'middle'
+                    ELSE 'head' END AS bucket,
+               d.source
+        FROM per_doc p
+        JOIN documents d USING (doc_id)
+        CROSS JOIN cuts
+    )
+    SELECT source, bucket, COUNT(*) AS n_docs,
+           MIN(avg_logprob) AS min_lp, MAX(avg_logprob) AS max_lp
+    FROM bucketed GROUP BY source, bucket
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score each doc with the corpus
+    unigram LM (q_unigram_lm's proxy), cut the score distribution into
+    head/middle/tail at the 33rd/67th percentiles, and count docs per
+    (source, bucket) — the standard quality-tiering step before sampling
+    training data by tier.
+
+    Determinism: per-doc scores are rounded to 6 decimals BEFORE the
+    percentile, so both engines interpolate cutoffs from identical
+    doubles with the identical quantile_cont formula; bucket boundaries
+    compare those same doubles.
+
+    Scale: vocab is Zipf-bounded and broadcasts back onto the token
+    stream (one per-doc shuffle); the percentile runs over the per-DOC
+    score table (1 row per doc, not per token). Exact percentile at this
+    profile; swap to approx_percentile's t-digest at 100 TB — the bucket
+    edges move within sketch error, the tiers don't change meaning."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n_total"))
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("cnt").cast("double") / F.col("n_total"))), 6
+            ).alias("avg_logprob")
+        )
+    )
+    cuts = per_doc.agg(
+        F.percentile("avg_logprob", 0.33).alias("c_tail"),
+        F.percentile("avg_logprob", 0.67).alias("c_mid"),
+    )
+    bucketed = (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            "source",
+            "avg_logprob",
+            F.when(F.col("avg_logprob") <= F.col("c_tail"), "tail")
+            .when(F.col("avg_logprob") <= F.col("c_mid"), "middle")
+            .otherwise("head")
+            .alias("bucket"),
+        )
+    )
+    return bucketed.groupBy("source", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("avg_logprob").alias("min_lp"),
+        F.max("avg_logprob").alias("max_lp"),
+    )

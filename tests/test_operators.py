@@ -686,3 +686,34 @@ def test_tpch_promo_share_bounded(spark, sf_dir):
     if r["n_items"]:
         assert 0 <= r["promo_share"] <= 100
         assert r["n_promo_items"] <= r["n_items"]
+
+
+def test_dup_span_fraction_bounds(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.corpus import q_dup_span_fraction
+
+    rows = q_dup_span_fraction(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r["avg_dup_frac"] <= 1.0
+        assert 0 <= r["n_flagged"] <= r["n_docs"]
+
+
+def test_perplexity_buckets_partition_and_order(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.corpus import (
+        q_perplexity_buckets,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    rows = q_perplexity_buckets(spark, sf_dir).collect()
+    assert {r["bucket"] for r in rows} <= {"head", "middle", "tail"}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # global cutoffs: every tail score <= every middle score <= every head
+    tails = [r["max_lp"] for r in rows if r["bucket"] == "tail"]
+    mids_lo = [r["min_lp"] for r in rows if r["bucket"] == "middle"]
+    mids_hi = [r["max_lp"] for r in rows if r["bucket"] == "middle"]
+    heads = [r["min_lp"] for r in rows if r["bucket"] == "head"]
+    if tails and mids_lo:
+        assert max(tails) <= min(mids_lo)
+    if mids_hi and heads:
+        assert max(mids_hi) <= min(heads)

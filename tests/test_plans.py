@@ -355,3 +355,28 @@ def test_tpch_big_orders_preaggregates_below_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the lineitem branch aggregates before any join node consumes it
     assert "HashAggregate" in plan
+
+
+def test_dup_span_single_doc_scan_no_pairs(spark, sf_dir):
+    """Duplicate-span fraction never forms doc x doc pairs: two
+    column-pruned documents scans (frequency branch reads only text),
+    shingle-keyed joins only."""
+    import re
+
+    from saas_analytics_pipeline_spark.operators.corpus import q_dup_span_fraction
+
+    plan = plan_of(q_dup_span_fraction(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_perplexity_buckets_vocab_broadcast(spark, sf_dir):
+    """Vocab and cutoffs broadcast back onto the streams; no shuffle join
+    of token-level data against token-level data."""
+    from saas_analytics_pipeline_spark.operators.corpus import (
+        q_perplexity_buckets,
+    )
+
+    plan = plan_of(q_perplexity_buckets(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
