@@ -1660,3 +1660,146 @@ def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# reshape + exact rolling-distinct + gaps-and-islands
+# --------------------------------------------------------------------------
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS DOUBLE) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS max_price
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'revenue', revenue FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'max_price', max_price FROM wide
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape via native DataFrame.unpivot (melt) — the
+    inverse of q_pivot: a per-priority metrics block flattened to
+    (priority, metric, value) rows for metric-agnostic sinks/dashboards.
+
+    Scale: unpivot is a scan-side Expand of the ALREADY-AGGREGATED wide
+    frame (|priorities| rows) — 3x row fan-out of a tiny aggregate, zero
+    extra shuffle; the oracle's UNION ALL twin would instead re-scan the
+    wide frame per metric."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        money_sum("o_totalprice", "revenue"),
+        F.max(money("o_totalprice")).cast("double").alias("max_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "revenue", "max_price"],
+        "metric",
+        "value",
+    )
+
+
+@query(
+    "q_rolling_active_users",
+    oracle="""
+    WITH da AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM da)
+    SELECT days.d AS day, COUNT(DISTINCT da.user_id) AS active_7d
+    FROM days
+    JOIN da ON da.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day distinct active users per observed day — the
+    rolling-DAU/WAU metric. countDistinct cannot run over a window frame,
+    and a day x day range self-join of user sets explodes; instead each
+    (user, active-day) pair is exploded scan-side to the <= 7 window-end
+    days it contributes to, turning the rolling distinct into a plain
+    groupBy-countDistinct on (day).
+
+    Scale: input to the explode is the DISTINCT (day, user) frame (far
+    smaller than raw events); fan-out is a fixed 7x of that. One shuffle
+    for the distinct, one for the final count — both on bounded keys. At
+    100 TB swap countDistinct for approx_count_distinct (HLL) and the
+    whole explode disappears into mergeable per-day sketches
+    (q_approx_distinct pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    da = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = da.select("d").distinct().withColumnRenamed("d", "day")
+    contrib = da.select(
+        F.explode(F.sequence("d", F.date_add("d", 6))).alias("day"), "user_id"
+    )
+    return (
+        contrib.join(days, "day")  # only days that actually occur
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+
+
+@query(
+    "q_streaks",
+    oracle="""
+    WITH da AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS grp
+        FROM da
+    ),
+    runs AS (
+        SELECT user_id, COUNT(*) AS streak_days,
+               MIN(d) AS streak_start
+        FROM isl GROUP BY user_id, grp
+    ),
+    best AS (
+        SELECT user_id, streak_days, streak_start,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY streak_days DESC, streak_start)
+                   AS rn
+        FROM runs
+    )
+    SELECT user_id, streak_days, streak_start
+    FROM best WHERE rn = 1
+    ORDER BY streak_days DESC, user_id
+    LIMIT 20
+    """,
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days (top-20 users). The classic d - row_number() island key — two
+    window/group passes sharing one user_id partitioning.
+
+    Scale: operates on the distinct (user, day) frame; windows partition
+    by user_id (bounded per-key state, no global window). The top-20 is
+    TakeOrderedAndProject with (streak, user) tiebreak. Earliest streak
+    start breaks within-user ties deterministically."""
+    ev = load_table(spark, sf_dir, "events")
+    da = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = da.withColumn("grp", F.date_sub("d", F.row_number().over(w)))
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count("*").alias("streak_days"), F.min("d").alias("streak_start")
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("streak_start")
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select("user_id", "streak_days", "streak_start")
+        .orderBy(F.desc("streak_days"), F.asc("user_id"))
+        .limit(20)
+    )

@@ -717,3 +717,41 @@ def test_perplexity_buckets_partition_and_order(spark, sf_dir):
         assert max(tails) <= min(mids_lo)
     if mids_hi and heads:
         assert max(mids_hi) <= min(heads)
+
+
+def test_unpivot_metric_coverage(spark, sf_dir):
+    from saas_analytics_pipeline_spark.marts import q_unpivot
+
+    rows = q_unpivot(spark, sf_dir).collect()
+    prios = {r["o_orderpriority"] for r in rows}
+    assert {r["metric"] for r in rows} == {"n_orders", "revenue", "max_price"}
+    assert len(rows) == 3 * len(prios)
+
+
+def test_rolling_active_users_dominates_daily(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from saas_analytics_pipeline_spark.marts import q_rolling_active_users
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    roll = {r["day"]: r["active_7d"] for r in q_rolling_active_users(spark, sf_dir).collect()}
+    daily = {
+        r["day"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(roll) == set(daily)
+    for day, n in daily.items():
+        assert roll[day] >= n  # 7-day distinct >= same-day distinct
+
+
+def test_streaks_are_maximal_runs(spark, sf_dir):
+    from saas_analytics_pipeline_spark.marts import q_streaks
+
+    rows = q_streaks(spark, sf_dir).collect()
+    assert len(rows) <= 20
+    vals = [r["streak_days"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    assert all(v >= 1 for v in vals)

@@ -380,3 +380,35 @@ def test_perplexity_buckets_vocab_broadcast(spark, sf_dir):
     plan = plan_of(q_perplexity_buckets(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_unpivot_expands_aggregate_not_fact(spark, sf_dir):
+    """Unpivot is an Expand over the aggregated frame — one scan, no join,
+    no extra exchange for the reshape."""
+    import re
+
+    from saas_analytics_pipeline_spark.marts import q_unpivot
+
+    plan = plan_of(q_unpivot(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_rolling_active_users_no_range_self_join(spark, sf_dir):
+    """Rolling distinct comes from a scan-side explode + equi-join on day,
+    never a BNLJ/cartesian day-range self-join."""
+    from saas_analytics_pipeline_spark.marts import q_rolling_active_users
+
+    plan = plan_of(q_rolling_active_users(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_streaks_topk_and_user_partitioned_windows(spark, sf_dir):
+    from saas_analytics_pipeline_spark.marts import q_streaks
+
+    plan = plan_of(q_streaks(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
