@@ -587,3 +587,136 @@ def q_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("est"), 6).alias("max_est"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup APPLY steps: survivorship + incremental new-batch-vs-corpus
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_survivors",
+    oracle="""
+    WITH grp AS (
+        SELECT l_orderkey, l_linenumber
+        FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    ranked AS (
+        SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+                   AS l_extendedprice,
+               COUNT(*) OVER (PARTITION BY l.l_orderkey, l.l_linenumber)
+                   AS n_members,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.l_orderkey, l.l_linenumber
+                   ORDER BY l.l_shipdate DESC, l.l_extendedprice DESC,
+                            l.l_quantity DESC, l.l_discount, l.l_tax,
+                            l.l_returnflag, l.l_linestatus,
+                            l.l_partkey, l.l_suppkey
+               ) AS rn
+        FROM lineitem l
+        JOIN grp USING (l_orderkey, l_linenumber)
+    )
+    SELECT l_orderkey, l_linenumber, n_members, l_shipdate, l_extendedprice
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship — the APPLY step of exact dedup: for every duplicated
+    (l_orderkey, l_linenumber) natural key (the reference's injected dup
+    rows, `/root/reference/data_gen/pseudo_code_rules.txt:39-47`), pick ONE
+    canonical row by an explicit precedence rule (latest shipdate, then
+    highest price, then the full remaining column list so the pick is
+    total-order deterministic), and report the group size. Complements
+    q_dedup_exact/q_dedup_latest, which COUNT or keep-latest but don't
+    express a multi-criteria survivorship policy.
+
+    Scale: the HAVING pre-aggregation keys the dup groups first, so the
+    window ranks only rows belonging to duplicated keys (~survivor-set
+    sized, not fact-sized); both the group-by and the window share the
+    same (orderkey, linenumber) hash partitioning — one shuffle of the
+    slim key columns, one of the dup rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    grp = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") >= 2)
+    )
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        F.desc("l_shipdate"), F.desc("l_extendedprice"), F.desc("l_quantity"),
+        F.asc("l_discount"), F.asc("l_tax"), F.asc("l_returnflag"),
+        F.asc("l_linestatus"), F.asc("l_partkey"), F.asc("l_suppkey"),
+    )
+    return (
+        li.join(grp, ["l_orderkey", "l_linenumber"])
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "n_members",
+            "l_shipdate",
+            F.col("l_extendedprice").cast("decimal(18,2)").cast("double")
+            .alias("l_extendedprice"),
+        )
+    )
+
+
+INCR_CUTOFF = "2000-01-01 00:00:00"  # corpus < cutoff <= new batch
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH old AS (
+        SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '{INCR_CUTOFF}'
+    ),
+    batch AS (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{INCR_CUTOFF}'
+    )
+    SELECT COUNT(*) AS n_batch,
+           CAST(SUM(CASE WHEN o.l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN o.l_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM batch b
+    LEFT JOIN old o USING (l_orderkey, l_linenumber)
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the daily-load APPLY step: rows arriving after
+    the cutoff are dropped when their natural key was already loaded in
+    the historical corpus (replayed/duplicated deliveries landing in a
+    later period). The production shape of q_dedup_exact: dedup the NEW
+    batch against the EXISTING corpus without re-deduping history.
+
+    Scale: only the (orderkey, linenumber) key columns of each side
+    shuffle — the corpus is pre-DISTINCTed (map-side partial) before the
+    join. At 100 TB the corpus key-set read prunes to the partitions the
+    batch's keys could collide with, and a bloom filter built from the
+    batch keys pre-filters the corpus scan (Spark does this automatically
+    via runtime row-group filtering when the join is selective); the
+    anti-join itself stays a hash equi-join on bounded keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+    old = (
+        li.where(F.col("l_shipdate") < cutoff)
+        .select("l_orderkey", "l_linenumber")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    batch = li.where(F.col("l_shipdate") >= cutoff).select(
+        "l_orderkey", "l_linenumber"
+    )
+    joined = batch.join(old, ["l_orderkey", "l_linenumber"], "left")
+    return joined.agg(
+        F.count("*").alias("n_batch"),
+        F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("seen").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )

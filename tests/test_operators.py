@@ -755,3 +755,20 @@ def test_streaks_are_maximal_runs(spark, sf_dir):
     vals = [r["streak_days"] for r in rows]
     assert vals == sorted(vals, reverse=True)
     assert all(v >= 1 for v in vals)
+
+
+def test_dedup_survivors_groups(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.dedup import q_dedup_survivors
+
+    rows = q_dedup_survivors(spark, sf_dir).collect()
+    keys = {(r["l_orderkey"], r["l_linenumber"]) for r in rows}
+    assert len(keys) == len(rows)  # exactly one survivor per dup key
+    assert all(r["n_members"] >= 2 for r in rows)
+
+
+def test_dedup_incremental_partitions_batch(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.dedup import q_dedup_incremental
+
+    [r] = q_dedup_incremental(spark, sf_dir).collect()
+    assert r["n_kept"] + r["n_dropped"] == r["n_batch"]
+    assert r["n_batch"] > 0

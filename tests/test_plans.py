@@ -412,3 +412,23 @@ def test_streaks_topk_and_user_partitioned_windows(spark, sf_dir):
     plan = plan_of(q_streaks(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_survivors_shared_partitioning(spark, sf_dir):
+    """Group-by and window share the (orderkey, linenumber) partitioning;
+    no cartesian, no broadcast of the fact."""
+    from saas_analytics_pipeline_spark.operators.dedup import q_dedup_survivors
+
+    plan = plan_of(q_dedup_survivors(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_dedup_incremental_key_only_join(spark, sf_dir):
+    """Anti-join style incremental dedup: scans are pruned to the key and
+    date columns — text/payload columns never shuffle."""
+    from saas_analytics_pipeline_spark.operators.dedup import q_dedup_incremental
+
+    plan = plan_of(q_dedup_incremental(spark, sf_dir))
+    assert "l_extendedprice" not in plan  # payload pruned from both scans
+    assert "CartesianProduct" not in plan
