@@ -520,3 +520,60 @@ def q_similarity_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", F.round("cos", 6).alias("cos_r"), "rnk")
     )
+
+
+@query(
+    "q_embed_norm_stats",
+    oracle="""
+    WITH norms AS (
+        SELECT label,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           round(CAST(SUM(CAST(round(nrm, 8) AS DECIMAL(20,8))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_norm,
+           round(MIN(nrm), 6) AS min_norm,
+           round(MAX(nrm), 6) AS max_norm,
+           CAST(SUM(CASE WHEN nrm < 1e-12 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_degenerate
+    FROM norms GROUP BY label
+    """,
+)
+def q_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health audit: per-label L2-norm distribution
+    (avg/min/max) plus degenerate (near-zero) vector counts — the standing
+    check that an upstream encoder change didn't silently rescale or
+    zero-out a shard before similarity/dedup consume it.
+
+    Determinism: each norm is an IN-ROW sequential fold over the vector
+    (identical addend order in both engines — the q_similarity dot-product
+    contract); the cross-row average uses round-then-DECIMAL-sum.
+
+    Scale: scan-local per-row math (codegen'd higher-order function, no
+    Python), then a |labels|-row aggregate — one tiny shuffle; vectors
+    never leave their scan partitions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    norms = emb.select("label", nrm.alias("nrm"))
+    return norms.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum(F.round(F.col("nrm"), 8).cast("decimal(20,8)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.sum(F.when(F.col("nrm") < 1e-12, 1).otherwise(0))
+        .cast("long")
+        .alias("n_degenerate"),
+    )

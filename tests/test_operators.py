@@ -772,3 +772,35 @@ def test_dedup_incremental_partitions_batch(spark, sf_dir):
     [r] = q_dedup_incremental(spark, sf_dir).collect()
     assert r["n_kept"] + r["n_dropped"] == r["n_batch"]
     assert r["n_batch"] > 0
+
+
+def test_embed_norm_stats_bounds(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.similarity import (
+        q_embed_norm_stats,
+    )
+
+    rows = q_embed_norm_stats(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["min_norm"] <= r["avg_norm"] <= r["max_norm"]
+        assert 0 <= r["n_degenerate"] <= r["n_vecs"]
+
+
+def test_tpch_order_priority_semi_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from saas_analytics_pipeline_spark.operators.tpch import (
+        q_tpch_order_priority,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    rows = q_tpch_order_priority(spark, sf_dir).collect()
+    quarter = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .count()
+    )
+    assert sum(r["n_orders"] for r in rows) <= quarter

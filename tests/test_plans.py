@@ -432,3 +432,31 @@ def test_dedup_incremental_key_only_join(spark, sf_dir):
     plan = plan_of(q_dedup_incremental(spark, sf_dir))
     assert "l_extendedprice" not in plan  # payload pruned from both scans
     assert "CartesianProduct" not in plan
+
+
+def test_embed_norm_stats_scan_local(spark, sf_dir):
+    """Norms are in-row folds: no join, no window, single scan feeding a
+    |labels|-row aggregate."""
+    import re
+
+    from saas_analytics_pipeline_spark.operators.similarity import (
+        q_embed_norm_stats,
+    )
+
+    plan = plan_of(q_embed_norm_stats(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_tpch_order_priority_semi_join_no_bnlj(spark, sf_dir):
+    """EXISTS compiles to LeftSemi on the orderkey equi-join; the date
+    predicate rides it — no nested loop."""
+    from saas_analytics_pipeline_spark.operators.tpch import (
+        q_tpch_order_priority,
+    )
+
+    plan = plan_of(q_tpch_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
