@@ -133,13 +133,24 @@ def q_running_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-grain rollup region -> nation -> total (ref: 'rollups'
-    README.md:39). Dims broadcast; Spark expands grouping sets in one pass."""
+    README.md:39). Spark expands grouping sets in one pass.
+
+    Scale: customer is sf-scaled — no broadcast hint. The fact collapses
+    to custkey partials below the join (count + exact decimal sum, both
+    map-side combinable), shuffle-joins customer, then the constant dims
+    (nation 25, region 5) broadcast. The rollup's grouping-set expansion
+    runs over custkey-grain partials instead of raw orders, and every
+    grain decomposes over them exactly."""
     o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("part_orders"),
+        F.sum(money("o_totalprice")).alias("part_rev"),
+    )
     joined = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -147,8 +158,8 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("r_name", "n_name")
         .agg(
             F.grouping_id("r_name", "n_name").alias("lvl"),
-            F.count("*").alias("n_orders"),
-            money_sum("o_totalprice", "revenue"),
+            F.sum("part_orders").alias("n_orders"),
+            F.sum("part_rev").cast("double").alias("revenue"),
         )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
@@ -238,16 +249,21 @@ def q_topn_orgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew rule pseudo_code_rules.txt:3). Deterministic tie-break (rev desc,
     custkey asc); decimal revenue so rank order is engine-identical. The
     window input is the aggregated (segment, customer) grain — small — never
-    the raw fact table."""
+    the raw fact table.
+
+    Scale: customer is sf-scaled — no broadcast hint. Orders aggregate to
+    custkey grain FIRST (map-side partials), then shuffle-join customer on
+    its key; c_custkey is unique so the per-customer agg needs no regroup
+    after the join. The segment window still sees only the customer-grain
+    frame."""
     o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_mktsegment", "c_custkey")
-        .agg(
-            F.sum(money("o_totalprice")).alias("rev_dec"),
-            F.count("*").alias("n_orders"),
-        )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(money("o_totalprice")).alias("rev_dec"),
+        F.count("*").alias("n_orders"),
+    )
+    rev = per_cust.join(c, per_cust.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "c_custkey", "rev_dec", "n_orders"
     )
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("rev_dec"), F.asc("c_custkey")

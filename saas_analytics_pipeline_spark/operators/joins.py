@@ -5,9 +5,12 @@ The reference pins join semantics through dbt `relationships` tests
 (`/root/reference/data_gen/generate_and_load_script.py:83,117-119,131`).
 
 Scale notes (100 TB):
-- Dim joins (nation/region/customer-at-small-SF) are broadcast — no shuffle
-  of the fact side. `F.broadcast` is explicit where the dim is known-small;
-  AQE converts others at runtime.
+- Hard `F.broadcast` hints are reserved for CONSTANT-size dims (nation=25,
+  region=5, seeds) and provably-tiny derived sides. sf-scaled tables
+  (customer, supplier, part) never carry one — a hard hint bypasses
+  `autoBroadcastJoinThreshold` and fails at the 8 GB broadcast limit at
+  100x scale. Facts pre-aggregate to the join-key grain below such joins
+  where the final agg decomposes; otherwise AQE picks the strategy.
 - The fact-fact join (lineitem x orders) shuffles both sides on the key;
   AQE skew-join splits oversized partitions (the reference's top-5%-orgs
   skew, pseudo_code_rules.txt:2-10). For repeated co-located joins, bucket
@@ -68,19 +71,32 @@ def q_join_fk_users_orgs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_star_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join fact -> 3 dims (ref: relationships models/schema.yml:59-73).
-    All dims broadcast; the fact is scanned once, never shuffled pre-agg."""
+
+    Scale: customer scales WITH the fact (TPC-H sf x 150k), so it must not
+    carry a hard broadcast hint — at the 100 TB target it exceeds Spark's
+    8 GB broadcast limit. Instead the fact pre-aggregates to custkey grain
+    below the join (map-side combinable; the shuffle carries one partial
+    per customer, not one row per order), then shuffle-joins customer on
+    its key — AQE may still broadcast at small SF, but nothing forces it.
+    nation (25 rows) and region (5 rows) are constant-size dims and keep
+    explicit hints. The final agg decomposes over the partials (sum of
+    counts, sum of exact decimal sums)."""
     o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("part_orders"),
+        F.sum(money("o_totalprice")).alias("part_rev"),
+    )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.count("*").alias("n_orders"),
-            money_sum("o_totalprice", "revenue"),
+            F.sum("part_orders").alias("n_orders"),
+            F.sum("part_rev").cast("double").alias("revenue"),
         )
     )
 
@@ -189,26 +205,36 @@ def q_fx_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked-in fx_rates.csv (ref: fx_rates.csv seed README.md:23;
     dbt_project.yml:52-57; multi-currency
     data_gen/generate_and_load_script.py:122). The oracle reads the SAME
-    file, so editing the seed keeps both sides in lockstep. Exact decimal
-    rate multiply; seed is broadcast."""
+    file, so editing the seed keeps both sides in lockstep.
+
+    Scale: customer is sf-scaled so it carries NO broadcast hint — the fact
+    pre-aggregates to custkey grain (exact decimal partial sums) and
+    shuffle-joins customer on its key; nation/region/fx keep hints (25/5/
+    |regions| rows, constant). The rate multiply distributes exactly over
+    the decimal partial sum (rate is constant within the final r_name
+    group), so sum(price_i * rate) == sum_partial * rate bit-for-bit."""
     o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     fx = seeds.load_seed(spark, "fx_rates").select(
         "r_name", F.col("rate").cast("decimal(8,4)").alias("rate")
     )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(money("o_totalprice")).alias("part_rev"),
+        F.count("*").alias("part_orders"),
+    )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .join(F.broadcast(fx), "r_name")
         .groupBy("r_name")
         .agg(
-            F.sum(money("o_totalprice") * F.col("rate"))
+            F.sum(F.col("part_rev") * F.col("rate"))
             .cast("double")
             .alias("revenue_usd"),
-            F.count("*").alias("n_orders"),
+            F.sum("part_orders").alias("n_orders"),
         )
     )
 

@@ -138,12 +138,15 @@ def q_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping priority (TPC-H Q3 shape): top-10 unshipped BUILDING-segment
     orders by outstanding revenue as of the cutoff date.
 
-    Scale: customer is the selective dim (segment filter applied BEFORE the
-    join) and broadcasts, so orders never shuffles for it; orders <->
-    lineitem is the one key shuffle. The top-10 is TakeOrderedAndProject —
-    each partition keeps 10 rows, the driver merges 10, no global sort.
-    Ties are broken by (orderdate, orderkey) so the limit is deterministic
-    under any partitioning."""
+    Scale: customer contributes ONLY its segment filter (no output columns),
+    so it rides a LEFT SEMI join — the shuffle carries just c_custkey, and
+    no broadcast hint is needed on an sf-scaled table (segment-filtered
+    customer is still sf x 30k rows; at the 100 TB target that exceeds the
+    8 GB broadcast limit). AQE may still pick broadcast at small SF.
+    orders <-> lineitem is the one fact shuffle. The top-10 is
+    TakeOrderedAndProject — each partition keeps 10 rows, the driver merges
+    10, no global sort. Ties are broken by (orderdate, orderkey) so the
+    limit is deterministic under any partitioning."""
     cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
     c = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
@@ -151,7 +154,7 @@ def q_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_semi")
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
@@ -186,12 +189,14 @@ def q_tpch_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic 6-way join with a non-FK equality (c_nationkey =
     s_nationkey) folded into the supplier join.
 
-    Scale: region -> nation -> supplier prune FIRST (ASIA suppliers only),
-    then broadcast; customer broadcasts with its nationkey carried so the
-    locality predicate evaluates inside the supplier join. The only
-    shuffle is orders <-> lineitem on orderkey; everything else is
-    broadcast hash joins on the fact scan."""
-    c = load_table(spark, sf_dir, "customer")
+    Scale: region -> nation -> supplier prune FIRST (ASIA suppliers only —
+    nation/region keep hints, they are 25/5 constant rows). customer and
+    the pruned supplier set both scale with sf, so neither carries a hard
+    broadcast hint: orders shuffle-joins customer on custkey, lineitem on
+    orderkey, and the supplier match is an equi-join on (suppkey,
+    nationkey). AQE converts any side that is actually small at runtime;
+    nothing forces an sf-scaled table through the 8 GB broadcast limit."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
@@ -207,10 +212,10 @@ def q_tpch_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_nationkey", "n_name")
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s_asia),
+            s_asia,
             (li.l_suppkey == s_asia.s_suppkey)
             & (c.c_nationkey == s_asia.s_nationkey),
         )
@@ -241,10 +246,12 @@ def q_tpch_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promotion revenue share (TPC-H Q14 shape): percentage of one ship-
     month's discounted revenue attributable to PROMO-type parts.
 
-    Scale: part is the broadcast dim (only p_partkey/p_type are read —
-    column pruning reaches the scan); the month filter pushes down on the
-    fact. Conditional sums are exact decimal partials; the ratio is one
-    final-row double division."""
+    Scale: part is sf-scaled (sf x 200k) so it carries NO hard broadcast
+    hint — only p_partkey/p_type are read (column pruning reaches the
+    scan) and AQE broadcasts the pruned side when it actually fits; at
+    100 TB this is a partkey shuffle join of a month-filtered fact against
+    a two-column dim. Conditional sums are exact decimal partials; the
+    ratio is one final-row double division."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
@@ -252,7 +259,7 @@ def q_tpch_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     promo = F.when(F.col("p_type") == "PROMO", _disc_price())
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -294,7 +301,9 @@ def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     anything else touches it; the max is a 1-row broadcast compared
     scan-side (no global window, no second scan of the fact). Exact
     decimal sums make the equality-with-max safe — both sides are the
-    same bit-identical double."""
+    same bit-identical double. supplier is sf-scaled, so the broadcast
+    hint sits on the max-filtered winner rows (>= 1 row, ties only), and
+    supplier is probed on its key without a hard hint."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
@@ -304,12 +313,14 @@ def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_disc_price()).cast("double").alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
-    return (
+    winners = (
         rev.crossJoin(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("l_suppkey", "total_revenue")
     )
+    return s.join(
+        F.broadcast(winners), winners.l_suppkey == s.s_suppkey
+    ).select("s_suppkey", "s_name", "total_revenue")
 
 
 @query(
@@ -337,11 +348,13 @@ def q_tpch_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the HAVING pre-aggregation runs FIRST — lineitem collapses to
     per-order quantity sums (map-side partials) and the >150 filter drops
     ~90% of orders before any join, so the join input is the small
-    survivor set, not the raw fact. Customer broadcasts; orders joins the
-    survivors on its key."""
+    survivor set, not the raw fact. customer is sf-scaled so it carries
+    NO hard broadcast hint — the survivor side is the small one by
+    construction, and AQE sees its runtime size and broadcasts IT if it
+    fits; at worst this is a custkey shuffle join of two reduced sides."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(money("l_quantity")).alias("qty_dec"))
@@ -350,7 +363,7 @@ def q_tpch_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .select(
             "c_name",
             "c_custkey",
