@@ -59,6 +59,9 @@ def get_spark(
         #     physical int64 and convert to micros in sources.load_table
         #     (DuckDB's reader truncates nanos->micros the same way) ---
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- plain timestamp[us] parquet must read as TIMESTAMP (UTC
+        #     session), not TIMESTAMP_NTZ: watermarks/unix_millis need it ---
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # --- Arrow for pandas-UDF exchange ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

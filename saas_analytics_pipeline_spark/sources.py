@@ -50,6 +50,11 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # all reference timestamps are UTC (generate_and_load_script.py:58-61)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # plain timestamp[us] parquet (isAdjustedToUTC=false) would otherwise
+    # infer as TIMESTAMP_NTZ in Spark 4, which breaks unix_millis/watermarks;
+    # with the session TZ pinned UTC the instant values are identical either
+    # way, so read everything as TIMESTAMP.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -60,13 +65,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_nanos_ts(df: DataFrame) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as int64
-    under spark.sql.legacy.parquet.nanosAsLong (session.py) — normalize to
-    a microsecond timestamp exactly like DuckDB's reader does (truncate)."""
+    """Normalize event-time encodings to a plain (UTC) TIMESTAMP column.
+
+    Two encodings appear in the wild testdata:
+    - TIMESTAMP(NANOS) read as int64 under spark.sql.legacy.parquet.
+      nanosAsLong (session.py) — truncate to micros exactly like DuckDB's
+      reader does;
+    - plain timestamp[us] (isAdjustedToUTC=false) read as TIMESTAMP_NTZ when
+      a frame was built before ensure_session_confs disabled NTZ inference —
+      cast to TIMESTAMP (session TZ is pinned UTC, so the instant is
+      unchanged). Watermarks/unix_millis require TIMESTAMP, not NTZ."""
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             # integer div: float division would lose precision at 1e18 nanos
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
