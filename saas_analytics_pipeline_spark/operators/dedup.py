@@ -364,12 +364,84 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
-@query("q_dedup_clusters", oracle=None)  # iterative: rows-only check
+def _clusters_oracle() -> str:
+    """DuckDB twin of q_dedup_clusters: replays the FULL pipeline —
+    md5-based minhash signatures, the 8x2 narrow LSH banding, exact-Jaccard
+    verification at 0.5 — then replaces the iterative label propagation
+    with a recursive-CTE transitive closure (every node's cluster id is the
+    MIN doc_id reachable through verified pairs, which is exactly what the
+    propagation converges to)."""
+    mins = ",\n               ".join(
+        f"MIN(xor(h, {PERM_SALTS[j]})) AS mh{j}" for j in range(N_PERM)
+    )
+    n_bands = N_PERM // 2
+    bands = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(concat_ws(',', mh{2 * b}, mh{2 * b + 1})) AS bucket FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH RECURSIVE sh_raw AS (
+        SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM (SELECT doc_id, {hash60_sql('shingle')} AS h FROM sh_raw)
+        GROUP BY doc_id
+    ),
+    bands AS (
+        {bands}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x
+        JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+                    AND x.doc_id < y.doc_id
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle AS s FROM sh_raw),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.a, c.b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a
+        JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+        GROUP BY c.a, c.b
+    ),
+    pairs AS (
+        SELECT i.a, i.b
+        FROM inter i
+        JOIN sizes za ON i.a = za.doc_id
+        JOIN sizes zb ON i.b = zb.doc_id
+        WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter)
+              >= 0.5
+    ),
+    edges AS (
+        SELECT a AS x, b AS y FROM pairs
+        UNION SELECT b, a FROM pairs
+    ),
+    reach(x, y) AS (
+        SELECT x, y FROM edges
+        UNION
+        SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+    ),
+    clus AS (
+        SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster_id
+        FROM reach GROUP BY x
+    ),
+    csz AS (SELECT cluster_id, COUNT(*) AS sz FROM clus GROUP BY cluster_id)
+    SELECT sz, COUNT(*) AS n_clusters FROM csz GROUP BY sz ORDER BY sz
+    """
+
+
+@query("q_dedup_clusters", oracle=_clusters_oracle())
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster summary: LSH candidates -> exact-Jaccard pairs ->
     connected components -> cluster size histogram. The end-to-end
-    keep-one-per-cluster dedup a training pipeline runs. Iterative
-    (label propagation), so no SQL oracle; invariants are pytest-pinned."""
+    keep-one-per-cluster dedup a training pipeline runs. The label
+    propagation is iterative, but its fixpoint (min doc_id per component)
+    is replayable as a recursive-CTE transitive closure — see
+    _clusters_oracle."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = near_dup_pairs(docs, jaccard_threshold=0.5)
     clusters = dedup_clusters(pairs)

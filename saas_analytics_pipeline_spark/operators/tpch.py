@@ -15,10 +15,13 @@ Scale notes (100 TB):
 - Money math is exact DECIMAL end-to-end (functions.money): partial sums
   are exact so any partitioning/AQE re-plan is bit-deterministic; the cast
   to DOUBLE happens once, in the final projection.
-- Dims (region/nation/supplier/part/customer at this profile) broadcast —
-  the fact tables never shuffle for dim joins. At a scale where customer
-  or part outgrow broadcast, AQE falls back to shuffle join and the
-  bucketed-write path (plans/writers.py) co-locates the repeat joins.
+- Hard broadcast hints ONLY on constant-size dims (region=5, nation=25
+  rows) and on provably-bounded derived frames (1-row maxes, argmax
+  winners). sf-scaled dims (customer/part/supplier) carry NO hard hint —
+  they rely on pre-aggregation below the join plus AQE, which broadcasts
+  a side only when its runtime size actually fits (same policy as
+  joins.py). The bucketed-write path (plans/writers.py) co-locates
+  repeat joins where even shuffle joins get expensive.
 - The one unavoidable fact-fact shuffle is orders <-> lineitem on
   orderkey; every query aggregates BELOW the join where possible (Q18
   pre-aggregates lineitem per orderkey before touching orders) so the
@@ -146,7 +149,13 @@ def q_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders <-> lineitem is the one fact shuffle. The top-10 is
     TakeOrderedAndProject — each partition keeps 10 rows, the driver merges
     10, no global sort. Ties are broken by (orderdate, orderkey) so the
-    limit is deterministic under any partitioning."""
+    limit is deterministic under any partitioning.
+
+    Equivalence note: the semi-join rewrite of the oracle's inner join is
+    value-identical ONLY because c_custkey is unique (an inner join against
+    duplicate dim keys would multiply fact rows; a semi join would not).
+    q_uniqueness / quality.checks guards that PK, so a dirty dim fails the
+    DQ gate rather than silently diverging from the oracle."""
     cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
     c = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
@@ -205,7 +214,9 @@ def q_tpch_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    # ASIA suppliers with their nation name — a tiny broadcast table
+    # ASIA suppliers with nation name — sf-scaled, so no hard hint on the
+    # result; only nation(25)/region(5) are hint-broadcast into the prune.
+    # AQE broadcasts the pruned supplier set downstream if it proves small.
     s_asia = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

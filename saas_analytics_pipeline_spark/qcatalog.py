@@ -106,6 +106,15 @@ WINDOW_PRIORITY: list[str] = [
 ]
 
 
+# Keys whose check was UPGRADED after their last driver row (e.g. a
+# rows-only query that gained a real SQL oracle): treat as unverified so
+# the window re-runs them and records the stronger result.
+REVERIFY: set[str] = {
+    # r03 rows-only; now has a recursive-CTE connected-components oracle
+    "q_dedup_clusters",
+}
+
+
 def _scan_correctness() -> dict[str, str]:
     """Fold driver-verified keys from every CORRECTNESS_r*.json next to the
     repo root into DRIVER_VERIFIED: hash_match=true is a green row;
@@ -142,7 +151,9 @@ def ordered_keys() -> list[str]:
     missing = set(WINDOW_PRIORITY) - set(QUERIES)
     if missing:
         raise ValueError(f"WINDOW_PRIORITY names unknown queries: {missing}")
-    verified = _scan_correctness()
+    verified = {
+        k: v for k, v in _scan_correctness().items() if k not in REVERIFY
+    }
     prio = [k for k in WINDOW_PRIORITY if k not in verified]
     seen = set(prio)
     rest = [k for k in QUERIES if k not in seen and k not in verified]

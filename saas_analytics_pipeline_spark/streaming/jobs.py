@@ -63,7 +63,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
         SELECT user_id, ts,
                CASE WHEN LAG(ts) OVER w IS NULL
-                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS is_new
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -79,12 +79,12 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming sessionizer, batch twin. Cross-validates the lag-gap
     sessionizer (q_sessionize): total session counts agree.
 
-    Note the gap semantics: a session spans [event, event + gap) with an
-    EXCLUSIVE end, so an event landing exactly gap after the previous one
-    starts a NEW session — the oracle's flag uses >= to mirror that. The
-    lag-gap sessionizers (q_sessionize and the pandas/stateful ones) use
-    strict >, so the two families can diverge on exact-gap ties; counts are
-    cross-checked, not asserted equal, for that reason.
+    Gap-tie semantics: F.session_window MERGES an event landing exactly
+    gap after the previous one (sessions merge when the new window's start
+    is <= the open window's end), i.e. a new session requires diff > gap —
+    identical to the lag-gap sessionizers' strict >. All sessionizer
+    families therefore agree on exact-gap ties; the oracle's flag uses
+    strict > to match, and tests/test_operators.py pins the tie case.
     """
     ev = load_table(spark, sf_dir, "events")
     sessions = ev.groupBy(

@@ -179,9 +179,10 @@ def q_sessionize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming path's session math is what this oracle certifies.
 
     Scale: one shuffle on user_id; per-group work is vectorized Arrow
-    batches. Gap ties (diff == gap) stay in-session here and in the oracle
-    (strict >); note F.session_window differs on exact ties — its window
-    end is exclusive, so a diff-==-gap event starts a NEW session there."""
+    batches. Gap ties (diff == gap) stay in-session here, in the oracle,
+    AND in F.session_window (which merges a window starting exactly at the
+    open window's end) — all families use effectively strict >; the tie
+    case is pinned by tests/test_operators.py."""
     ev = load_table(spark, sf_dir, "events")
     sessions = ev.select("user_id", "ts").groupBy("user_id").applyInPandas(
         _sessionize_batch_pdf, schema=SESSION_SCHEMA

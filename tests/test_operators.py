@@ -54,6 +54,36 @@ def test_sessionize_gap(spark):
     assert sess[(2, 4)] == 1
 
 
+def test_sessionize_exact_gap_tie(spark):
+    """Pins the diff == gap boundary: an event landing EXACTLY 30 min after
+    the previous one stays in-session for BOTH the lag-gap sessionizers
+    (strict >) and F.session_window (which merges a window starting exactly
+    at the open window's end) — while 30 min + 1 s splits in both."""
+    ev = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00:00"), 1),
+            (1, ts("2024-01-01 00:30:00"), 2),  # exactly gap later: merges
+            (2, ts("2024-01-01 00:00:00"), 3),
+            (2, ts("2024-01-01 00:30:01"), 4),  # one past gap: splits
+        ],
+        "user_id int, ts timestamp, event_id int",
+    )
+    lag_gap = {r["event_id"]: r["session_n"] for r in sessionize(ev).collect()}
+    assert lag_gap[1] == 1 and lag_gap[2] == 1  # tie stays in-session
+    assert lag_gap[3] == 1 and lag_gap[4] == 2  # past-gap splits
+
+    native = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    per_user = {}
+    for r in native:
+        per_user.setdefault(r["user_id"], []).append(r["n"])
+    assert per_user[1] == [2]  # tie merged into one 2-event session
+    assert sorted(per_user[2]) == [1, 1]  # past-gap split into two
+
+
 def test_shingles(spark):
     df = spark.createDataFrame([("a b c d",), ("x y",)], "text string")
     got = [r[0] for r in df.select(shingles()).collect()]
