@@ -20,7 +20,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-HEADLINE = [
+# The original 15-query headline set (r01-r03): totals are comparable
+# round-over-round, surfaced as compat_r03_total below.
+HEADLINE_CORE = [
     "q_revenue_daily",
     "q_join_star_orders",
     "q_join_payments_orders",
@@ -37,6 +39,21 @@ HEADLINE = [
     "q_similarity",
     "q_text_stats",
 ]
+
+# r04+: the decision-support suite — the 6-way-join / argmax / semi-join
+# shapes that dominate at 100x scale; tracked so a future plan regression
+# (a lost pushdown, a forced broadcast) shows up as a timing step.
+HEADLINE_TPCH = [
+    "q_tpch_pricing",
+    "q_tpch_shipping",
+    "q_tpch_local_volume",
+    "q_tpch_promo_share",
+    "q_tpch_top_supplier",
+    "q_tpch_big_orders",
+    "q_tpch_order_priority",
+]
+
+HEADLINE = HEADLINE_CORE + HEADLINE_TPCH
 
 
 def main() -> None:
@@ -82,6 +99,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # total over the unchanged r01-r03 15-query set: the
+                # round-over-round comparable number (value above now also
+                # includes the TPC-H suite added in r04)
+                "compat_r03_total": round(
+                    sum(timings[n] for n in HEADLINE_CORE), 3
+                ),
             }
         )
     )

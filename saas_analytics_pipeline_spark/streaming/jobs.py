@@ -184,10 +184,14 @@ def upsert_daily_event_counts(
         f.endswith(".parquet") or f.startswith("dt=")
         for f in os.listdir(target_path)
     ):
-        days = [r["dt"] for r in daily.select("dt").distinct().collect()]
+        # the batch's distinct days as a join predicate, not a driver-side
+        # collect: dynamic partition pruning restricts the mart read to the
+        # touched dt= partitions, and nothing about the day list ever has
+        # to fit on (or round-trip through) the driver
+        batch_days = daily.select("dt").distinct()
         old = (
             spark.read.parquet(target_path)
-            .where(F.col("dt").isin(days))  # partition-pruned read
+            .join(F.broadcast(batch_days), "dt", "left_semi")
             .select("dt", "event_type", "n")
         )
         daily = (
