@@ -109,8 +109,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     co = sh.where(~F.col("is_eval")).select("doc_id", "h").distinct()
+    # the eval index here is a MODULO fraction of the corpus (sf-scaled),
+    # unlike a real fixed benchmark suite — so no hard hint; AQE broadcasts
+    # it at any realistic eval-set size
     return (
-        co.join(F.broadcast(ev), "h")
+        co.join(ev, "h")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("h").alias("n_shared_ngrams"),
@@ -323,14 +326,17 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap-and-cheerful stand-in for a real LM perplexity filter).
 
     Scale: the vocabulary aggregates map-side to |vocab| rows (Zipf: far
-    smaller than the corpus) and broadcasts back onto the token stream, so
-    the only full-data shuffle is the final per-doc aggregate. Rounded to
+    smaller than the corpus) and joins back onto the token stream without
+    a hard hint (AQE broadcasts while it fits), so the only full-data
+    shuffle is the final per-doc aggregate. Rounded to
     6 decimals so float summation order cannot drift the hash."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n_total"))
-    scored = tok.join(F.broadcast(vocab), "token").join(F.broadcast(total))
+    # vocab is Zipf-sublinear but unbounded — no hard hint (AQE broadcasts
+    # when it fits); the 1-row total keeps its hint
+    scored = tok.join(vocab, "token").join(F.broadcast(total))
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.round(
@@ -864,8 +870,8 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles with the identical quantile_cont formula; bucket boundaries
     compare those same doubles.
 
-    Scale: vocab is Zipf-bounded and broadcasts back onto the token
-    stream (one per-doc shuffle); the percentile runs over the per-DOC
+    Scale: vocab is Zipf-sublinear and joins back onto the token stream
+    hint-free (AQE broadcasts while it fits); the percentile runs over the per-DOC
     score table (1 row per doc, not per token). Exact percentile at this
     profile; swap to approx_percentile's t-digest at 100 TB — the bucket
     edges move within sketch error, the tiers don't change meaning."""
@@ -874,7 +880,7 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
     tot = vocab.agg(F.sum("cnt").alias("n_total"))
     per_doc = (
-        tok.join(F.broadcast(vocab), "token")
+        tok.join(vocab, "token")  # vocab unbounded: AQE decides, no hint
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

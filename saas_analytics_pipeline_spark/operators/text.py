@@ -743,9 +743,10 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Low scorers have locally-implausible token sequences (shuffled or
     machine-mangled text) that a unigram model cannot see.
 
-    Scale: bigram and unigram count tables are vocabulary-sized (Zipf) and
-    broadcast back onto the bigram stream; the only full-data shuffle is
-    the per-doc aggregate. avg is rounded to 6 decimals so summation order
+    Scale: bigram and unigram count tables are vocabulary-sized (Zipf-
+    sublinear but unbounded) — they join back onto the bigram stream with
+    no hard hint (AQE broadcasts while they fit, key-shuffle beyond); the
+    only full-data shuffle is the per-doc aggregate. avg is rounded to 6 decimals so summation order
     cannot drift the hash."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -767,9 +768,13 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vsize = uc.agg(F.count("*").alias("v"))
     w1 = F.split(F.col("bigram"), " ").getItem(0)
+    # bc/uc are vocabulary-sized (sublinear but UNBOUNDED — a web-scale
+    # bigram vocab is GBs): no hard broadcast hint; AQE broadcasts them
+    # when they fit, else these are key-shuffle joins. Only the 1-row
+    # vocab-size scalar keeps its hint.
     scored = (
-        big.join(F.broadcast(bc), "bigram")
-        .join(F.broadcast(uc), w1 == F.col("token"))
+        big.join(bc, "bigram")
+        .join(uc, w1 == F.col("token"))
         .join(F.broadcast(vsize))
     )
     return scored.groupBy("doc_id").agg(

@@ -115,7 +115,14 @@ def scd2_apply_increment(
         "version_n",
     )
 
-    base_version = dim.groupBy(key).agg(F.max("version_n").alias("_base_v"))
+    # restrict the per-key max-version scan to CHANGED keys before
+    # aggregating: the result is batch-bounded (and safely broadcastable),
+    # instead of a per-key frame over the whole sf-scaled dimension
+    base_version = (
+        dim.join(F.broadcast(changed_keys), key, "left_semi")
+        .groupBy(key)
+        .agg(F.max("version_n").alias("_base_v"))
+    )
     new_versions = (
         changes.join(F.broadcast(base_version), key, "left")
         .fillna(0, subset=["_base_v"])

@@ -141,14 +141,14 @@ def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     batches is picked up without restarting the query). Stateless: unlike
     stream-stream joins, no watermark or join state is kept.
 
-    Scale: the dim is user/customer-sized — Spark broadcasts it into every
-    micro-batch task; the stream side never shuffles for the join. Per-
-    segment counts aggregate in update mode downstream."""
+    Scale: the dim is sf-scaled (customer), so it carries NO hard
+    broadcast hint — Spark re-plans the static side per micro-batch and
+    broadcasts it while it fits; past the broadcast limit the play is a
+    pre-bucketed dim or a keyed state store, not a forced 8 GB+ broadcast.
+    Per-segment counts aggregate in update mode downstream."""
     return (
         events.join(
-            F.broadcast(dim.select(
-                F.col("c_custkey").alias("user_id"), "c_mktsegment"
-            )),
+            dim.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
             "user_id",
         )
         .groupBy("c_mktsegment", "event_type")
