@@ -426,3 +426,146 @@ def q_tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@query(
+    "q_tpch_revenue_change",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-revenue-change (TPC-H Q6 shape): what revenue would have
+    been kept had mid-band discounts been dropped for small 1996 orders.
+
+    Scale: the canonical single-scan aggregate — every predicate
+    (shipdate range, discount band, quantity cap) pushes into the parquet
+    scan, only (extendedprice, discount) leave it, and the sum is a
+    map-side-combinable partial. No join, no wide shuffle; the whole plan
+    is one WholeStageCodegen span feeding a 1-row final aggregate. The
+    discount band compares the raw DOUBLE (generator emits exact 0.01
+    steps; both engines see identical bit patterns), while the money
+    product itself is exact DECIMAL per functions.money."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(money("l_extendedprice") * F.col("l_discount").cast(RATE))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "q_tpch_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): top-20 customers by
+    revenue lost to returns in 1996 Q4.
+
+    Scale: revenue is aggregated to custkey grain BELOW the customer join
+    — orders (quarter-pruned) shuffle-join lineitem (returnflag-pruned) on
+    orderkey, collapse to per-custkey sums, and only then join the
+    sf-scaled customer dim (no hard hint; AQE may broadcast the quarter's
+    custkey aggregate if it is small at runtime). nation (25 rows) is
+    hint-broadcast. The top-20 is TakeOrderedAndProject with a c_custkey
+    tie-break, so the limit is deterministic under any partitioning."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    per_cust = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_disc_price()).alias("rev"))
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("rev").cast("double").alias("revenue"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_quantity_bands",
+    oracle=f"""
+    SELECT CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 25)
+       OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def q_tpch_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted-revenue bands (TPC-H Q19 shape): disjunctive
+    brand x quantity-band predicates that only resolve after the
+    part join.
+
+    Scale: the OR spans both tables, so it cannot push below the join —
+    but its brand arm CAN: part pre-filters to the 3 named brands
+    (partkey+brand only), shrinking the build side by ~9x before the
+    equi-join on partkey carries the residual band predicate. part is
+    sf-scaled so no hard hint; AQE broadcasts the 3-brand slice when it
+    fits. lineitem prunes l_quantity to the overall [1, 35] hull
+    scan-side, the disjunction evaluates post-join in codegen."""
+    brands = ("Brand#1", "Brand#2", "Brand#3")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand").isin(*brands))
+        .select("p_partkey", "p_brand")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 35)
+    )
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 35))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(band)
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

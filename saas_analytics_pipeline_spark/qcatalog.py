@@ -172,6 +172,7 @@ def load_all() -> None:
         scd2,
         sessionize,
         similarity,
+        sqlops,
         stats,
         text,
         tpch,
