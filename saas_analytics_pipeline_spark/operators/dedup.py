@@ -792,3 +792,123 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_dropped"),
     )
+
+
+@query(
+    "q_dedup_prefix",
+    oracle="""
+    WITH pref AS (
+        SELECT doc_id, source,
+               md5(array_to_string(string_split(text, ' ')[1:16], ' ')) AS ph
+        FROM documents
+    )
+    SELECT ph AS prefix_hash,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(doc_id) AS survivor_id
+    FROM pref
+    GROUP BY ph
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix dedup: documents sharing an identical first-16-token prefix
+    (mirror/boilerplate detection — near-identical pages differing only in
+    a tail, which full-content hashing misses and MinHash may under-rank
+    when the shared prefix is short relative to the doc).
+
+    Scale: the prefix hash is scan-local (slice + md5); only
+    (hash, doc_id, source) shuffles — same contract as q_dedup_exact, the
+    text never moves. Survivor = min doc_id, consistent with
+    q_dedup_survivors' keep-first rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    ph = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 16)))
+    return (
+        docs.select("doc_id", "source", ph.alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("survivor_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def _lsh_skew_oracle() -> str:
+    """DuckDB twin of the NARROW (2-row x 8-band) candidate banding used
+    by near_dup_pairs, aggregated to per-band bucket-size stats."""
+    n_bands = N_PERM // 2
+    mins = ",\n               ".join(
+        f"MIN(xor(h, {PERM_SALTS[j]})) AS mh{j}" for j in range(N_PERM)
+    )
+    band_rows = "\n        UNION ALL\n".join(
+        f"        SELECT {b} AS band, md5(concat_ws(',', mh{2 * b}, "
+        f"mh{2 * b + 1})) AS bucket FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    hashed AS (
+        SELECT doc_id, {hash60_sql('shingle')} AS h FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+{band_rows}
+    ),
+    buckets AS (
+        SELECT band, bucket, COUNT(*) AS sz
+        FROM bands GROUP BY band, bucket
+    )
+    SELECT band,
+           COUNT(*) AS n_buckets,
+           CAST(MAX(sz) AS BIGINT) AS max_bucket,
+           CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS n_cand_pairs,
+           CAST(MAX(sz) AS DOUBLE) / SUM(sz) AS top_share
+    FROM buckets GROUP BY band
+    """
+
+
+@query("q_lsh_bucket_skew", oracle=_lsh_skew_oracle())
+def q_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-skew audit over the candidate banding (2 rows x 8 bands,
+    the exact layout near_dup_pairs generates candidates from; subset
+    doc_id%10=0 matching q_dedup_minhash's oracle bound): per band, bucket
+    count, largest bucket, implied candidate-pair load sum(sz choose 2),
+    and the top bucket's occupancy share.
+
+    This is the 100 TB go/no-go gauge for the dedup run itself: one hot
+    bucket (e.g. a boilerplate shingle flooding a band) turns per-bucket
+    candidate generation quadratic — this audit is how that gets caught
+    BEFORE the pair join runs, and its output is what a salting/bucket-cap
+    mitigation keys on.
+
+    Scale: signatures are the same scan-side min-aggregates as
+    q_dedup_minhash; the bucket rollup shuffles (band, bucket) pairs —
+    16 bytes per doc per band — and the per-band stats are 8 rows."""
+    n_bands = N_PERM // 2
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    sig = minhash_signatures(docs)
+    bands = sig.select(
+        F.posexplode(
+            F.array(*[band_key(b, n_bands) for b in range(n_bands)])
+        ).alias("band", "bucket")
+    )
+    buckets = bands.groupBy(
+        F.col("band").cast("long").alias("band"), "bucket"
+    ).agg(F.count("*").alias("sz"))
+    return buckets.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.sum(
+            (F.col("sz") * (F.col("sz") - 1) / 2).cast("long")
+        ).cast("long").alias("n_cand_pairs"),
+        (F.max("sz").cast("double") / F.sum("sz")).alias("top_share"),
+    )

@@ -246,3 +246,47 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_frames").cast("long").alias("total_frames"),
         F.sum("n_sampled").cast("long").alias("sampled_frames"),
     )
+
+
+@query(
+    "q_dedup_binary",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, source, md5(text) AS h FROM documents
+    )
+    SELECT h AS payload_hash,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(doc_id) AS survivor_id
+    FROM hashed
+    GROUP BY h
+    ORDER BY n_copies DESC, payload_hash
+    LIMIT 20
+    """,
+)
+def q_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-payload dedup over the media frame: top duplicated
+    payloads by copy count, with provenance spread and a keep-first
+    survivor — the media twin of q_dedup_exact (images/audio dedup by
+    content digest before any decode).
+
+    Scale: md5 runs directly on the binary column scan-side; only the
+    (hash, doc_id, source) triple ever shuffles — payload bytes stay in
+    the scan, which is the entire point at 100 TB of media. The top-20 is
+    TakeOrderedAndProject with a hash tie-break (deterministic under any
+    partitioning). Oracle note: Spark hashes the payload BYTES
+    (utf-8-encoded text, see build_media_frame); DuckDB's md5(text) hashes
+    the same utf-8 byte stream, so the digests agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = build_media_frame(docs)
+    return (
+        media.select("doc_id", "source", F.md5("payload").alias("payload_hash"))
+        .groupBy("payload_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("survivor_id"),
+        )
+        .orderBy(F.desc("n_copies"), F.asc("payload_hash"))
+        .limit(20)
+    )

@@ -479,3 +479,125 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d_events").cast("long").alias("delta_events"),
         F.sum("d_cents").cast("long").alias("delta_cents"),
     )
+
+
+@query(
+    "q_chi_square",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, EXTRACT(isodow FROM ts) AS dow, COUNT(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, dow, o,
+               SUM(o) OVER (PARTITION BY event_type) AS rt,
+               SUM(o) OVER (PARTITION BY dow) AS ct,
+               SUM(o) OVER () AS n
+        FROM cells
+    ),
+    terms AS (
+        SELECT event_type, o,
+               CAST(ROUND(
+                   (o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n), 6
+               ) AS DECIMAL(18,6)) AS term
+        FROM tot
+    )
+    SELECT event_type,
+           CAST(SUM(o) AS BIGINT) AS n_events,
+           CAST(SUM(term) AS DOUBLE) AS chi2_contrib
+    FROM terms GROUP BY event_type
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit: is event-type volume independent of
+    ISO weekday? Emits each event type's contribution to the statistic —
+    the per-dimension readout a seasonality monitor alerts on.
+
+    Determinism contract (same pattern as q_corr_metrics): observed/row/
+    column/grand totals are exact BIGINT counts; the per-cell
+    (o-e)^2/e term is a scalar DOUBLE from those integers (bit-identical
+    in both engines), rounded to DECIMAL(18,6) so the cross-cell SUM is
+    exact-decimal — no float-summation order dependence under any
+    partitioning.
+
+    Scale: one shuffle to the |types|x7 cell grid; every window/total
+    runs over that driver-sized frame. The raw fact contributes only
+    map-side count partials."""
+    ev = load_table(spark, sf_dir, "events")
+    dow_raw = F.dayofweek("ts")
+    cells = ev.groupBy(
+        "event_type",
+        F.when(dow_raw == 1, 7).otherwise(dow_raw - 1).cast("long").alias("dow"),
+    ).agg(F.count("*").alias("o"))
+    tot = cells.select(
+        "event_type",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("ct"),
+        F.sum("o").over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    term = F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).cast(
+        "decimal(18,6)"
+    )
+    return tot.select("event_type", "o", term.alias("term")).groupBy(
+        "event_type"
+    ).agg(
+        F.sum("o").cast("long").alias("n_events"),
+        F.sum("term").cast("double").alias("chi2_contrib"),
+    )
+
+
+@query(
+    "q_gini",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i
+        FROM rev
+    )
+    SELECT COUNT(*) AS n_customers,
+           CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+           CAST(2 * SUM(i * rev) - (COUNT(*) + 1) * SUM(rev) AS DOUBLE)
+               / CAST(COUNT(*) * SUM(rev) AS DOUBLE) AS gini
+    FROM ranked
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    single-number inequality readout beside q_pareto's decile table.
+    Formula: G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over
+    revenues ranked ascending with a custkey tie-break.
+
+    Determinism: revenues and the rank-weighted sum are exact DECIMAL
+    (i * rev is bigint x decimal); only the final ratio is DOUBLE, from
+    two exactly-computed operands.
+
+    Scale: the fact collapses to customer grain first (one map-side
+    combinable shuffle); the global rank then runs over the |customers|
+    aggregate — a range-partitioned sort at scale (same contract as
+    q_ntile/q_mix_interleave: global order only ever over the
+    dim-grain frame, never raw facts)."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = rev.select("rev", F.row_number().over(w).alias("i"))
+    return ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("rev").cast("double").alias("total_revenue"),
+        (
+            (2 * F.sum(F.col("i") * F.col("rev"))
+             - (F.count("*") + 1) * F.sum("rev")).cast("double")
+            / (F.count("*") * F.sum("rev")).cast("double")
+        ).alias("gini"),
+    )

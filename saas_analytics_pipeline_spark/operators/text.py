@@ -1109,3 +1109,79 @@ def q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bpe_toks").cast("double") / F.sum("ws_toks"), 6
         ).alias("fertility"),
     )
+
+
+@query(
+    "q_token_len_hist",
+    oracle="""
+    WITH toks AS (
+        SELECT len(unnest(string_split(text, ' '))) AS tok_len
+        FROM documents
+    ),
+    hist AS (
+        SELECT tok_len, COUNT(*) AS n_tokens FROM toks GROUP BY tok_len
+    )
+    SELECT tok_len, n_tokens,
+           CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS share
+    FROM hist
+    """,
+)
+def q_token_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token-length histogram with shares — the tokenizer-
+    design diagnostic (length distribution drives BPE vocab sizing and
+    packing efficiency estimates).
+
+    Scale: explode + length are scan-local; the shuffle carries
+    (tok_len, partial-count) only, and the share window runs over the
+    ~|max token length|-row aggregate. Share is a ratio of exact BIGINTs
+    so it is bit-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy(F.length("tok").cast("long").alias("tok_len"))
+        .agg(F.count("*").alias("n_tokens"))
+    )
+    total = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.select(
+        "tok_len",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.sum("n_tokens").over(total)).alias(
+            "share"
+        ),
+    )
+
+
+@query(
+    "q_doc_lang_matrix",
+    oracle="""
+    SELECT source,
+           COUNT(CASE WHEN lang = 'de' THEN 1 END) AS de,
+           COUNT(CASE WHEN lang = 'en' THEN 1 END) AS en,
+           COUNT(CASE WHEN lang = 'es' THEN 1 END) AS es,
+           COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+           COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS zh,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q_doc_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x language crosstab — the corpus-mix contingency table a
+    multilingual training run is planned from (complements q_domain_mix's
+    token shares with doc counts on the language axis).
+
+    Scale: a pivot with an EXPLICIT value list is one groupBy job (no
+    values-discovery pass) and the output is |sources| x |langs| — tiny.
+    Count partials combine map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    return (
+        docs.groupBy("source")
+        .pivot("lang", langs)
+        .count()
+        .na.fill(0, langs)
+        .join(
+            docs.groupBy("source").agg(F.count("*").alias("n_docs")), "source"
+        )
+    )
