@@ -910,3 +910,132 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("avg_logprob").alias("min_lp"),
         F.max("avg_logprob").alias("max_lp"),
     )
+
+
+@query(
+    "q_split_leakage",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT md5(text) AS h,
+               CASE WHEN {hash60_sql("'split:' || CAST(doc_id AS VARCHAR)")}
+                         % 100 < {SPLIT_TRAIN_PCT}
+                    THEN 'train' ELSE 'heldout' END AS split
+        FROM documents
+    ),
+    grouped AS (
+        SELECT h,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT split) AS n_splits
+        FROM tagged GROUP BY h
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_contents,
+           CAST(COUNT(CASE WHEN n_splits > 1 THEN 1 END) AS BIGINT)
+               AS n_leaky,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+               AS n_docs_in_leaky
+    FROM grouped
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/heldout split-leakage audit: content hashes that appear on
+    BOTH sides of the q_stratified_split boundary (train vs val+test).
+    Identical documents crossing the split silently inflate eval scores —
+    this is the release gate a training pipeline runs after splitting and
+    BEFORE training (complement of q_contamination, which checks against
+    an external benchmark rather than the pipeline's own split).
+
+    Scale: hash + split tag are scan-local; one shuffle of
+    (content-hash, split) pairs — text never moves — and the verdict is a
+    single row. Same hash-bucket split rule as q_stratified_split, so
+    this audits the ACTUAL production assignment, not a reimplementation."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    )
+    tagged = docs.select(
+        F.md5("text").alias("h"),
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .otherwise("heldout")
+        .alias("split"),
+    )
+    grouped = tagged.groupBy("h").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("split").alias("n_splits"),
+    )
+    leaky = F.col("n_splits") > 1
+    return grouped.agg(
+        F.count("*").cast("long").alias("n_contents"),
+        F.count(F.when(leaky, 1)).cast("long").alias("n_leaky"),
+        F.sum(F.when(leaky, F.col("n_docs")).otherwise(0))
+        .cast("long")
+        .alias("n_docs_in_leaky"),
+    )
+
+
+_GRAMS5_SQL = """
+        list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 3, 2)),
+            i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')
+        )
+"""
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH grams AS (
+        SELECT DISTINCT source,
+               {hash60_sql('unnest(' + _GRAMS5_SQL + ')')} AS g
+        FROM documents
+    ),
+    spread AS (
+        SELECT g, COUNT(*) AS n_sources FROM grams GROUP BY g
+    )
+    SELECT gr.source,
+           COUNT(*) AS n_grams,
+           CAST(COUNT(CASE WHEN sp.n_sources = 1 THEN 1 END) AS BIGINT)
+               AS n_exclusive,
+           round(CAST(COUNT(CASE WHEN sp.n_sources = 1 THEN 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM grams gr JOIN spread sp ON gr.g = sp.g
+    GROUP BY gr.source
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 5-gram novelty: the fraction of a source's distinct
+    5-gram hashes found in NO other source — the data-mixing signal for
+    "what does this source add that the rest of the corpus lacks"
+    (high novelty earns a source its sampling weight; near-zero novelty
+    means it is re-serving the others' content).
+
+    Scale: grams hash scan-side and only (source, hash60) pairs shuffle
+    (map-side DISTINCT collapses within-source repeats first). The spread
+    table is one count per distinct gram; the join keys on the gram hash —
+    an inverted-index plan like q_dup_span_fraction, never doc x doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams5 = F.expr(
+        """
+        transform(
+            sequence(1, greatest(size(split(text, ' ')) - 4, 1)),
+            i -> concat_ws(' ', slice(split(text, ' '), i, 5))
+        )
+        """
+    )
+    grams = (
+        docs.select("source", F.explode(grams5).alias("gram"))
+        .select("source", hash60("gram").alias("g"))
+        .distinct()
+    )
+    spread = grams.groupBy("g").agg(F.count("*").alias("n_sources"))
+    excl = F.when(F.col("n_sources") == 1, 1)
+    return (
+        grams.join(spread, "g")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(excl).cast("long").alias("n_exclusive"),
+            F.round(
+                F.count(excl).cast("double") / F.count("*"), 6
+            ).alias("novelty"),
+        )
+    )

