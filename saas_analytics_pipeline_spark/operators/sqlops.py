@@ -272,3 +272,120 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_gap_ms") <= 3600000)
         .drop("_gap_ms")
     )
+
+
+@query(
+    "q_percentile_disc",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                    THEN value END) AS p50_disc,
+           MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                    THEN value END) AS p95_disc,
+           MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                    THEN value END) AS p99_disc
+    FROM ranked GROUP BY event_type
+    """,
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (percentile_disc semantics: the smallest
+    ACTUAL value with cumulative share >= p — row ceil(p*n) of the sorted
+    group) per event type, completing the quantile family next to the
+    interpolated q_percentiles and the sketched q_approx_percentiles.
+    Discrete quantiles are what SLA/limit policies want: a value that
+    really occurred, not an interpolation between two.
+
+    Implemented via explicit rank selection (identical semantics in both
+    engines — native percentile_disc null/tie handling differs) with an
+    event_id tie-break so equal values rank deterministically.
+
+    Scale: one shuffle on event_type; at 100 TB swap approx_percentile
+    (mergeable sketch) exactly as q_percentiles documents — the exact
+    rank-selection form stays as the audit twin."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    n = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(
+            n.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    def pick(p: float, alias: str):
+        at = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == at, F.col("value"))).alias(alias)
+    return ranked.groupBy("event_type").agg(
+        pick(0.50, "p50_disc"), pick(0.95, "p95_disc"), pick(0.99, "p99_disc")
+    )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id, value,
+               epoch_ms(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+                   - epoch_ms(ts) AS dur_ms
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CAST(ROUND(value * dur_ms, 3) AS DECIMAL(28,3)))
+                AS DOUBLE)
+               / CAST(SUM(dur_ms) AS DOUBLE) AS twa_value,
+           CAST(SUM(dur_ms) AS BIGINT) AS observed_ms,
+           COUNT(*) AS n_segments
+    FROM seg
+    WHERE dur_ms IS NOT NULL AND dur_ms > 0
+    GROUP BY user_id
+    HAVING user_id % 25 = 0
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user (subset user_id%25=0):
+    each reading holds until the next one, so it weighs by its holding
+    duration — the correct mean for irregularly-sampled telemetry
+    (a plain AVG over-counts burst periods). The last reading of each
+    user has no successor and drops out (no duration).
+
+    Determinism: value*duration products are rounded to 3 dp and summed
+    as DECIMAL(28,3) — exact cross-row accumulation, no float-order
+    dependence; both divisions are single double ops on exact operands.
+
+    Scale: one shuffle on user_id for the lead() window (bounded per-user
+    frames), then a map-side-combinable per-user aggregate. This is the
+    hypertable time_weight() shape re-expressed as lead + weighted sums."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        "value",
+        (F.unix_millis(F.lead("ts").over(w)) - F.unix_millis("ts")).alias(
+            "dur_ms"
+        ),
+    ).where(F.col("dur_ms").isNotNull() & (F.col("dur_ms") > 0))
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("value") * F.col("dur_ms"), 3).cast(
+                        "decimal(28,3)"
+                    )
+                ).cast("double")
+                / F.sum("dur_ms").cast("double")
+            ).alias("twa_value"),
+            F.sum("dur_ms").cast("long").alias("observed_ms"),
+            F.count("*").alias("n_segments"),
+        )
+        .where(F.col("user_id") % 25 == 0)
+    )
