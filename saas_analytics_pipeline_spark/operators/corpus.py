@@ -1010,8 +1010,9 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: grams hash scan-side and only (source, hash60) pairs shuffle
     (map-side DISTINCT collapses within-source repeats first). The spread
-    table is one count per distinct gram; the join keys on the gram hash —
-    an inverted-index plan like q_dup_span_fraction, never doc x doc."""
+    count is a count-over-window keyed on the gram hash — an inverted-index
+    plan like q_dup_span_fraction, never doc x doc, and the corpus is
+    scanned/shingled exactly once."""
     docs = load_table(spark, sf_dir, "documents")
     grams5 = F.expr(
         """
@@ -1026,16 +1027,19 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", hash60("gram").alias("g"))
         .distinct()
     )
-    spread = grams.groupBy("g").agg(F.count("*").alias("n_sources"))
+    # count-over-window instead of a spread-table self-join: the corpus is
+    # scanned and shingled ONCE; the per-gram source count is a second slim
+    # shuffle of (source, g) pairs only (a join formulation would re-scan
+    # and re-hash the full corpus for the other branch — 2x scan at 100 TB)
+    spread_w = Window.partitionBy("g")
+    tagged = grams.select(
+        "source", F.count("*").over(spread_w).alias("n_sources")
+    )
     excl = F.when(F.col("n_sources") == 1, 1)
-    return (
-        grams.join(spread, "g")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.count(excl).cast("long").alias("n_exclusive"),
-            F.round(
-                F.count(excl).cast("double") / F.count("*"), 6
-            ).alias("novelty"),
-        )
+    return tagged.groupBy("source").agg(
+        F.count("*").alias("n_grams"),
+        F.count(excl).cast("long").alias("n_exclusive"),
+        F.round(F.count(excl).cast("double") / F.count("*"), 6).alias(
+            "novelty"
+        ),
     )
