@@ -1043,3 +1043,97 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty"
         ),
     )
+
+
+@query(
+    "q_quality_ensemble",
+    oracle="""
+    WITH sig AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop,
+               n_chars
+        FROM documents
+    ),
+    scored AS (
+        SELECT source,
+               CASE WHEN n_tok BETWEEN 30 AND 500 THEN 4 ELSE 0 END
+             + CASE WHEN n_stop * 50 >= n_tok THEN 2 ELSE 0 END
+             + CASE WHEN n_uniq * 10 >= n_tok * 3 THEN 2 ELSE 0 END
+             + CASE WHEN 3 * n_tok <= n_chars AND n_chars <= 12 * n_tok
+                    THEN 2 ELSE 0 END AS pts,
+               CASE WHEN n_tok BETWEEN 30 AND 500 THEN 0 ELSE 1 END AS f_len,
+               CASE WHEN n_stop * 50 >= n_tok THEN 0 ELSE 1 END AS f_stop,
+               CASE WHEN n_uniq * 10 >= n_tok * 3 THEN 0 ELSE 1 END AS f_ttr,
+               CASE WHEN 3 * n_tok <= n_chars AND n_chars <= 12 * n_tok
+                    THEN 0 ELSE 1 END AS f_toklen
+        FROM sig
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(CASE WHEN pts >= 6 THEN 1 END) AS BIGINT) AS n_keep,
+           round(CAST(COUNT(CASE WHEN pts >= 6 THEN 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS keep_rate,
+           CAST(SUM(f_len) AS BIGINT) AS n_fail_len,
+           CAST(SUM(f_stop) AS BIGINT) AS n_fail_stop,
+           CAST(SUM(f_ttr) AS BIGINT) AS n_fail_ttr,
+           CAST(SUM(f_toklen) AS BIGINT) AS n_fail_toklen
+    FROM scored GROUP BY source
+    """,
+)
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted quality-filter ensemble with per-signal failure accounting:
+    length band (weight 4), stopword floor (2), type-token-ratio floor (2),
+    mean-token-length band (2); keep = score >= 6 of 10. This is the
+    composed keep/drop gate a pre-training pipeline actually ships (the
+    single-signal operators q_quality_score / q_type_token_ratio /
+    q_repetition_score are its components), and the per-source failure
+    columns say WHY a source loses documents — the tuning feedback loop.
+
+    Determinism: every predicate is an integer cross-multiplication
+    (n_stop*50 >= n_tok is the 2% floor; n_uniq*10 >= n_tok*3 the 0.3
+    TTR floor) — no float thresholds anywhere, so keep decisions are
+    bit-stable across engines and partitionings.
+
+    Scale: all signals are in-row array folds computed scan-side; one
+    map-side-combinable shuffle to |sources| rows. Text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and")))
+    ok_len = n_tok.between(30, 500)
+    ok_stop = n_stop * 50 >= n_tok
+    ok_ttr = n_uniq * 10 >= n_tok * 3
+    ok_toklen = (3 * n_tok <= F.col("n_chars")) & (
+        F.col("n_chars") <= 12 * n_tok
+    )
+    pts = (
+        F.when(ok_len, 4).otherwise(0)
+        + F.when(ok_stop, 2).otherwise(0)
+        + F.when(ok_ttr, 2).otherwise(0)
+        + F.when(ok_toklen, 2).otherwise(0)
+    )
+    flag = lambda ok: F.when(ok, 0).otherwise(1)  # noqa: E731
+    scored = docs.select(
+        "source",
+        pts.alias("pts"),
+        flag(ok_len).alias("f_len"),
+        flag(ok_stop).alias("f_stop"),
+        flag(ok_ttr).alias("f_ttr"),
+        flag(ok_toklen).alias("f_toklen"),
+    )
+    keep = F.when(F.col("pts") >= 6, 1)
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(keep).cast("long").alias("n_keep"),
+        F.round(F.count(keep).cast("double") / F.count("*"), 6).alias(
+            "keep_rate"
+        ),
+        F.sum("f_len").cast("long").alias("n_fail_len"),
+        F.sum("f_stop").cast("long").alias("n_fail_stop"),
+        F.sum("f_ttr").cast("long").alias("n_fail_ttr"),
+        F.sum("f_toklen").cast("long").alias("n_fail_toklen"),
+    )

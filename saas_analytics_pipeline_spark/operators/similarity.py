@@ -577,3 +577,68 @@ def q_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_degenerate"),
     )
+
+
+@query(
+    "q_embed_dim_variance",
+    oracle="""
+    WITH c AS (
+        SELECT unnest(list_transform(embedding,
+                                     (x, i) -> {'dim': i, 'x': x})) AS cell
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT CAST(cell.dim AS BIGINT) AS dim,
+               CAST(ROUND(CAST(cell.x AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
+        FROM c
+    ),
+    sums AS (
+        SELECT dim, COUNT(*) AS n,
+               SUM(x) AS sx,
+               SUM(x * x) AS sx2
+        FROM cells GROUP BY dim
+    )
+    SELECT dim,
+           CAST(n AS BIGINT) AS n,
+           CAST(sx AS DOUBLE) / n AS mean,
+           (CAST(sx2 AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n AS variance
+    FROM sums
+    """,
+)
+def q_embed_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding matrix — the collapse
+    detector for embedding pipelines (a dimension whose variance goes to
+    zero carries no information; a drifting mean flags a normalization
+    bug). Complements q_embed_norm_stats (per-vector norms) with the
+    per-dimension view.
+
+    Determinism: cells round to 6 dp once (float->double is exact in both
+    engines) and accumulate as DECIMAL power sums — exact under any
+    partitioning; mean/variance are scalar double ops on those exact sums
+    (same contract as q_corr_metrics).
+
+    Scale: posexplode emits (dim, value) pairs scan-side; the power sums
+    are map-side combinable and the output is |dims| rows. One shuffle,
+    no window, no driver collection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.round(F.col("xf").cast("double"), 6).cast("decimal(18,6)").alias("x"),
+    )
+    sums = cells.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    return sums.select(
+        "dim",
+        n.cast("long").alias("n"),
+        (sx / n).alias("mean"),
+        ((sx2 - sx * sx / n) / n).alias("variance"),
+    )
