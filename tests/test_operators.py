@@ -914,3 +914,71 @@ def test_lsh_bucket_skew_pair_load_matches_buckets(spark, sf_dir):
     expect_pairs = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
     assert per_band[b]["n_cand_pairs"] == expect_pairs
     assert per_band[b]["n_buckets"] == len(sizes)
+
+
+def test_time_weighted_avg_constant_invariant(spark, sf_dir):
+    """TWA of any user whose value never changes equals that constant —
+    checked against per-user min/max from the raw events."""
+    from saas_analytics_pipeline_spark.operators.sqlops import (
+        q_time_weighted_avg,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    out = {r["user_id"]: r for r in q_time_weighted_avg(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    )
+    for r in ev:
+        if r["user_id"] in out:
+            twa = out[r["user_id"]]["twa_value"]
+            # TWA is a convex combination of observed values
+            assert r["lo"] - 1e-9 <= twa <= r["hi"] + 1e-9
+
+
+def test_percentile_disc_returns_observed_values(spark, sf_dir):
+    """Discrete percentiles are ACTUAL observed values (the whole point
+    vs interpolation), and they are monotone p50 <= p95 <= p99."""
+    from saas_analytics_pipeline_spark.operators.sqlops import (
+        q_percentile_disc,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    obs = {
+        (r["event_type"], r["value"])
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    }
+    for r in q_percentile_disc(spark, sf_dir).collect():
+        for col in ("p50_disc", "p95_disc", "p99_disc"):
+            assert (r["event_type"], r[col]) in obs
+        assert r["p50_disc"] <= r["p95_disc"] <= r["p99_disc"]
+
+
+def test_quality_ensemble_accounting(spark, sf_dir):
+    """keep + fail accounting is internally consistent per source."""
+    from saas_analytics_pipeline_spark.operators.corpus import (
+        q_quality_ensemble,
+    )
+
+    for r in q_quality_ensemble(spark, sf_dir).collect():
+        assert 0 <= r["n_keep"] <= r["n_docs"]
+        assert abs(r["keep_rate"] - round(r["n_keep"] / r["n_docs"], 6)) < 1e-12
+        for c in ("n_fail_len", "n_fail_stop", "n_fail_ttr", "n_fail_toklen"):
+            assert 0 <= r[c] <= r["n_docs"]
+
+
+def test_embed_dim_variance_nonnegative_and_complete(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.similarity import (
+        q_embed_dim_variance,
+    )
+
+    rows = q_embed_dim_variance(spark, sf_dir).collect()
+    dims = {r["dim"] for r in rows}
+    assert dims == set(range(1, len(dims) + 1))  # contiguous 1..D
+    for r in rows:
+        assert r["variance"] >= -1e-9
+        assert r["n"] > 0
