@@ -389,3 +389,55 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("user_id") % 25 == 0)
     )
+
+
+@query(
+    "q_rank_dense",
+    oracle="""
+    WITH banded AS (
+        SELECT c_mktsegment,
+               c_custkey,
+               CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band
+        FROM customer WHERE c_custkey % 50 = 0
+    )
+    SELECT c_mktsegment, c_custkey, bal_band,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                              ORDER BY bal_band DESC, c_custkey) AS rn
+    FROM banded
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_band DESC)
+    """,
+)
+def q_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank vs row_number on a deliberately tied ordering
+    (account balances banded to 1000s; subset c_custkey%50=0): rank leaves
+    gaps after ties, dense_rank does not, row_number breaks ties by the
+    explicit c_custkey tie-break — the three ranking semantics side by
+    side, pinned against the oracle. row_number over a tied ORDER BY
+    without a tie-break would be partition-order-dependent; the explicit
+    key makes all three deterministic.
+
+    Scale: one shuffle on c_mktsegment; at 100 TB a global rank would
+    instead go through the range-partitioned sort (q_gini contract) —
+    here the partitions are the segment enum."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 50 == 0)
+    banded = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long").alias(
+            "bal_band"
+        ),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("bal_band"))
+    wt = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("bal_band"), F.asc("c_custkey")
+    )
+    return banded.select(
+        "c_mktsegment",
+        "c_custkey",
+        "bal_band",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(wt).alias("rn"),
+    )
