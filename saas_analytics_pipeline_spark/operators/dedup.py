@@ -75,6 +75,30 @@ PERM_SALTS: list[int] = [
 ]
 
 
+def _mins_sql() -> str:
+    """The per-permutation MIN(xor(h, salt_j)) select list — the ONE
+    definition of the signature layout every DuckDB oracle replays
+    (q_dedup_minhash, q_dedup_clusters, q_sketch_error, q_lsh_bucket_skew).
+    Keeping it single-sourced means a banding/N_PERM change cannot
+    desynchronize one oracle from the shared minhash_signatures path."""
+    return ",\n               ".join(
+        f"MIN(xor(h, {PERM_SALTS[j]})) AS mh{j}" for j in range(N_PERM)
+    )
+
+
+def _band_union_sql(n_bands: int, with_doc_id: bool) -> str:
+    """UNION ALL of per-band md5 bucket keys over `sig` — the SQL twin of
+    band_key() for the narrow candidate banding (rows = N_PERM/n_bands)."""
+    rows = N_PERM // n_bands
+    doc = "doc_id, " if with_doc_id else ""
+    return "\n        UNION ALL ".join(
+        f"SELECT {doc}{b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"mh{j}" for j in range(b * rows, b * rows + rows))
+        + ")) AS bucket FROM sig"
+        for b in range(n_bands)
+    )
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """Wide signatures: (doc_id, mh0..mh{N_PERM-1}) where
     mh_j = min over shingles of (hash60(shingle) XOR salt_j).
@@ -122,9 +146,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    mins = ",\n               ".join(
-        f"MIN(xor(h, {PERM_SALTS[j]})) AS mh{j}" for j in range(N_PERM)
-    )
+    mins = _mins_sql()
     bands = ",\n           ".join(
         "md5(concat_ws(',', "
         + ", ".join(f"mh{j}" for j in range(b * 4, b * 4 + 4))
@@ -371,15 +393,8 @@ def _clusters_oracle() -> str:
     with a recursive-CTE transitive closure (every node's cluster id is the
     MIN doc_id reachable through verified pairs, which is exactly what the
     propagation converges to)."""
-    mins = ",\n               ".join(
-        f"MIN(xor(h, {PERM_SALTS[j]})) AS mh{j}" for j in range(N_PERM)
-    )
-    n_bands = N_PERM // 2
-    bands = "\n        UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        f"md5(concat_ws(',', mh{2 * b}, mh{2 * b + 1})) AS bucket FROM sig"
-        for b in range(n_bands)
-    )
+    mins = _mins_sql()
+    bands = _band_union_sql(N_PERM // 2, with_doc_id=True)
     return f"""
     WITH RECURSIVE sh_raw AS (
         SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM documents
@@ -558,9 +573,7 @@ def _sig_est_oracle() -> str:
     eq_terms = " + ".join(
         f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(N_PERM)
     )
-    mins = ",\n               ".join(
-        f"MIN(xor(h, {PERM_SALTS[j]})) AS mh{j}" for j in range(N_PERM)
-    )
+    mins = _mins_sql()
     return f"""
     WITH sh AS (
         SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle
@@ -838,15 +851,8 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_skew_oracle() -> str:
     """DuckDB twin of the NARROW (2-row x 8-band) candidate banding used
     by near_dup_pairs, aggregated to per-band bucket-size stats."""
-    n_bands = N_PERM // 2
-    mins = ",\n               ".join(
-        f"MIN(xor(h, {PERM_SALTS[j]})) AS mh{j}" for j in range(N_PERM)
-    )
-    band_rows = "\n        UNION ALL\n".join(
-        f"        SELECT {b} AS band, md5(concat_ws(',', mh{2 * b}, "
-        f"mh{2 * b + 1})) AS bucket FROM sig"
-        for b in range(n_bands)
-    )
+    mins = _mins_sql()
+    band_rows = _band_union_sql(N_PERM // 2, with_doc_id=False)
     return f"""
     WITH sh AS (
         SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle
@@ -907,8 +913,6 @@ def q_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.groupBy("band").agg(
         F.count("*").alias("n_buckets"),
         F.max("sz").alias("max_bucket"),
-        F.sum(
-            (F.col("sz") * (F.col("sz") - 1) / 2).cast("long")
-        ).cast("long").alias("n_cand_pairs"),
+        F.sum(F.expr("sz * (sz - 1) div 2")).alias("n_cand_pairs"),
         (F.max("sz").cast("double") / F.sum("sz")).alias("top_share"),
     )

@@ -1171,17 +1171,16 @@ def q_doc_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     multilingual training run is planned from (complements q_domain_mix's
     token shares with doc counts on the language axis).
 
-    Scale: a pivot with an EXPLICIT value list is one groupBy job (no
-    values-discovery pass) and the output is |sources| x |langs| — tiny.
-    Count partials combine map-side."""
+    Scale: conditional counts over an explicit language list make this ONE
+    groupBy job and ONE scan (a pivot().count() plus a separate n_docs
+    rollup would scan the corpus twice and add a join); the output is
+    |sources| x |langs| — tiny. Count partials combine map-side."""
     docs = load_table(spark, sf_dir, "documents")
     langs = ["de", "en", "es", "fr", "zh"]
-    return (
-        docs.groupBy("source")
-        .pivot("lang", langs)
-        .count()
-        .na.fill(0, langs)
-        .join(
-            docs.groupBy("source").agg(F.count("*").alias("n_docs")), "source"
-        )
+    return docs.groupBy("source").agg(
+        *[
+            F.count(F.when(F.col("lang") == lang, 1)).alias(lang)
+            for lang in langs
+        ],
+        F.count("*").alias("n_docs"),
     )

@@ -143,6 +143,16 @@ def _scan_correctness() -> dict[str, str]:
     return verified
 
 
+def verified_keys() -> dict[str, str]:
+    """Driver-verified keys that do NOT need a window slot: green
+    CORRECTNESS rows minus REVERIFY (whose checks were upgraded since
+    their last row). The single definition of "verified" — ordered_keys
+    and the window-coverage test must share it."""
+    return {
+        k: v for k, v in _scan_correctness().items() if k not in REVERIFY
+    }
+
+
 def ordered_keys() -> list[str]:
     """Window order: priority list (minus keys a later round already
     verified), then remaining unverified keys in registration order, then
@@ -151,9 +161,7 @@ def ordered_keys() -> list[str]:
     missing = set(WINDOW_PRIORITY) - set(QUERIES)
     if missing:
         raise ValueError(f"WINDOW_PRIORITY names unknown queries: {missing}")
-    verified = {
-        k: v for k, v in _scan_correctness().items() if k not in REVERIFY
-    }
+    verified = verified_keys()
     prio = [k for k in WINDOW_PRIORITY if k not in verified]
     seen = set(prio)
     rest = [k for k in QUERIES if k not in seen and k not in verified]

@@ -537,13 +537,13 @@ def test_gini_aggregates_before_global_rank(spark, sf_dir):
     raw orders: a HashAggregate sits below the Window."""
     from saas_analytics_pipeline_spark.operators.stats import q_gini
 
-    plan = plan_of(q_gini(spark, sf_dir))
-    agg_pos = plan.find("HashAggregate")
-    win_pos = plan.find("Window")
-    assert agg_pos != -1 and win_pos != -1
-    # formatted plans print leaves last: the aggregate node must appear
-    # BELOW (later in the tree dump than) the window that consumes it
-    assert "Sort" in plan
+    tree = plan_of(q_gini(spark, sf_dir)).split("\n\n")[0]
+    win_pos = tree.find("Window")
+    assert win_pos != -1
+    # in the formatted tree dump, children print BELOW their consumer: a
+    # HashAggregate must appear after the Window line (the customer-grain
+    # aggregate feeding the rank), not only above it (the final reduce)
+    assert tree.rfind("HashAggregate") > win_pos
 
 
 def test_ngram_novelty_no_cartesian(spark, sf_dir):

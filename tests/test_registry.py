@@ -94,11 +94,7 @@ def test_driver_window_covers_survey_core():
     qcatalog.load_all()
     keys = qcatalog.ordered_keys()
     assert len(keys) == len(set(keys)) == len(qcatalog.QUERIES)
-    verified = {
-        k: v
-        for k, v in qcatalog._scan_correctness().items()
-        if k not in qcatalog.REVERIFY
-    }
+    verified = qcatalog.verified_keys()
     window = set(keys[:50])
     # every priority key that still lacks a green CORRECTNESS row must sit
     # inside the window (the CAST-fixed r01 hash-fails and the section-2
