@@ -107,11 +107,14 @@ WINDOW_PRIORITY: list[str] = [
 
 
 # Keys whose check was UPGRADED after their last driver row (e.g. a
-# rows-only query that gained a real SQL oracle): treat as unverified so
-# the window re-runs them and records the stronger result.
-REVERIFY: set[str] = {
-    # r03 rows-only; now has a recursive-CTE connected-components oracle
-    "q_dedup_clusters",
+# rows-only query that gained a real SQL oracle), mapped to the LAST round
+# whose result predates the upgrade: green rows from rounds <= that value
+# don't count, so the window re-runs the key once and the first
+# post-upgrade green row re-verifies it permanently (an unconditional
+# exclusion would re-queue the key forever, wasting a window slot).
+REVERIFY: dict[str, str] = {
+    # r03 rows-only; r04 ships a recursive-CTE connected-components oracle
+    "q_dedup_clusters": "r03",
 }
 
 
@@ -139,17 +142,21 @@ def _scan_correctness() -> dict[str, str]:
                 and row.get("spark_rows") is not None
             )
             if green:
-                verified.setdefault(key, rnd)
+                # keep the LATEST green round (files scan in round order)
+                # so REVERIFY can tell pre- from post-upgrade results
+                verified[key] = rnd
     return verified
 
 
 def verified_keys() -> dict[str, str]:
-    """Driver-verified keys that do NOT need a window slot: green
-    CORRECTNESS rows minus REVERIFY (whose checks were upgraded since
-    their last row). The single definition of "verified" — ordered_keys
-    and the window-coverage test must share it."""
+    """Driver-verified keys that do NOT need a window slot: keys whose
+    latest green CORRECTNESS round postdates any REVERIFY upgrade. The
+    single definition of "verified" — ordered_keys and the
+    window-coverage test must share it."""
     return {
-        k: v for k, v in _scan_correctness().items() if k not in REVERIFY
+        k: v
+        for k, v in _scan_correctness().items()
+        if not (k in REVERIFY and v <= REVERIFY[k])
     }
 
 
