@@ -203,6 +203,22 @@ def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def hopping_counts_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming hopping-window aggregation (1h window, 30m slide) — the
+    live twin of q_sliding_window: each event expands into window/slide = 2
+    windows scan-side; watermark bounds the open-window state exactly as in
+    the tumbling job (state per (window, type) evicted once the watermark
+    passes window end)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("wstart"), "event_type", "n")
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup on event_id within the watermark horizon
     (dropDuplicatesWithinWatermark): the streaming twin of staging's

@@ -306,3 +306,34 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
         (r["c_mktsegment"], r["event_type"]): r["n"] for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_hopping_stream_matches_sliding_batch(spark, sf_dir, tmp_path):
+    """The live hopping-window job reproduces q_sliding_window's batch
+    answer exactly under Trigger.AvailableNow — every event in 2 windows,
+    none dropped (no late data in a single replayed file)."""
+    from saas_analytics_pipeline_spark.streaming.jobs import (
+        hopping_counts_stream,
+        q_sliding_window,
+    )
+
+    src = tmp_path / "hop_src"
+    src.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), src / "part-000.parquet")
+    raw_schema = spark.read.parquet(str(src)).schema
+
+    stream = normalize_nanos_ts(stream_events(spark, str(src), raw_schema))
+    q = run_available_now(
+        hopping_counts_stream(stream), "hop_out", str(tmp_path / "hop_ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["wstart"], r["event_type"]): r["n"]
+        for r in spark.table("hop_out").collect()
+    }
+    want = {
+        (r["wstart"], r["event_type"]): r["n"]
+        for r in q_sliding_window(spark, sf_dir).collect()
+    }
+    assert got == want
