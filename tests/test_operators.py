@@ -982,3 +982,116 @@ def test_embed_dim_variance_nonnegative_and_complete(spark, sf_dir):
     for r in rows:
         assert r["variance"] >= -1e-9
         assert r["n"] > 0
+
+
+def test_gini_matches_numpy_reference(spark, sf_dir):
+    """Cross-check the Gini FORMULA against an independent numpy
+    mean-absolute-difference computation (selfcheck only proves
+    Spark == DuckDB on the same rank-sum formula; this proves the formula
+    itself: G = sum_ij |xi - xj| / (2 n^2 mu))."""
+    import numpy as np
+
+    from saas_analytics_pipeline_spark.operators.stats import q_gini
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    got = q_gini(spark, sf_dir).collect()[0]
+    rev = np.array(
+        [
+            float(r["rev"])
+            for r in load_table(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+            .collect()
+        ]
+    )
+    n, mu = len(rev), rev.mean()
+    mad = np.abs(rev[:, None] - rev[None, :]).sum() / (n * n)
+    want = mad / (2 * mu)
+    assert abs(got["gini"] - want) < 1e-9
+    assert got["n_customers"] == n
+
+
+def test_chi_square_matches_reference(spark, sf_dir):
+    """Chi-square contributions recomputed independently from raw counts
+    (python floats, textbook formula) match the rounded-decimal pipeline
+    to rounding tolerance."""
+    from collections import Counter
+
+    from saas_analytics_pipeline_spark.operators.stats import q_chi_square
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("d")
+    ).collect()
+    cells = Counter((r["event_type"], (7 if r["d"] == 1 else r["d"] - 1)) for r in rows)
+    rt = Counter()
+    ct = Counter()
+    for (et, dow), o in cells.items():
+        rt[et] += o
+        ct[dow] += o
+    n = sum(cells.values())
+    want = {}
+    for (et, dow), o in cells.items():
+        e = rt[et] * ct[dow] / n
+        want[et] = want.get(et, 0.0) + round((o - e) ** 2 / e, 6)
+    got = {r["event_type"]: r["chi2_contrib"] for r in q_chi_square(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for et in want:
+        assert abs(got[et] - want[et]) < 1e-6
+
+
+def test_time_weighted_avg_matches_pandas_reference(spark, sf_dir):
+    """TWA recomputed sequentially in pandas per user (sort, diff, weighted
+    mean) matches the distributed lead-window pipeline."""
+    import pandas as pd
+
+    from saas_analytics_pipeline_spark.operators.sqlops import (
+        q_time_weighted_avg,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    got = {r["user_id"]: r for r in q_time_weighted_avg(spark, sf_dir).collect()}
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "value", "event_id")
+        .toPandas()
+    )
+    for uid, g in pdf.groupby("user_id"):
+        if uid % 25 != 0:
+            continue
+        g = g.sort_values(["ts", "event_id"])
+        # floor each timestamp to ms first (unix_millis semantics), and use
+        # timedelta math (an int64 cast would wrap the trailing NaT)
+        ms = g["ts"].dt.floor("ms")
+        dur = (ms.shift(-1) - ms) / pd.Timedelta(milliseconds=1)
+        mask = dur.notna() & (dur > 0)
+        if not mask.any():
+            assert uid not in got
+            continue
+        want = float(
+            (g["value"][mask] * dur[mask]).sum() / dur[mask].sum()
+        )
+        assert abs(got[uid]["twa_value"] - want) < 1e-6
+        assert got[uid]["observed_ms"] == int(dur[mask].sum())
+
+
+def test_percentile_disc_matches_numpy_inverted_cdf(spark, sf_dir):
+    """Discrete percentile selection equals numpy's inverted_cdf method
+    (the standard definition of percentile_disc)."""
+    import numpy as np
+
+    from saas_analytics_pipeline_spark.operators.sqlops import (
+        q_percentile_disc,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    vals = {}
+    for r in load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for r in q_percentile_disc(spark, sf_dir).collect():
+        arr = np.sort(np.array(vals[r["event_type"]]))
+        for p, col in ((0.5, "p50_disc"), (0.95, "p95_disc"), (0.99, "p99_disc")):
+            want = float(np.quantile(arr, p, method="inverted_cdf"))
+            assert r[col] == want, (r["event_type"], p)
