@@ -1095,3 +1095,79 @@ def test_percentile_disc_matches_numpy_inverted_cdf(spark, sf_dir):
         for p, col in ((0.5, "p50_disc"), (0.95, "p95_disc"), (0.99, "p99_disc")):
             want = float(np.quantile(arr, p, method="inverted_cdf"))
             assert r[col] == want, (r["event_type"], p)
+
+
+def test_zipf_fit_matches_numpy_ols(spark, sf_dir):
+    """Zipf slope/R2 recomputed with numpy polyfit/corrcoef from the raw
+    token counts (independent of the decimal power-sum pipeline)."""
+    import numpy as np
+
+    from saas_analytics_pipeline_spark.operators.text import (
+        ZIPF_TOP,
+        q_zipf_fit,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    got = q_zipf_fit(spark, sf_dir).collect()[0]
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    top = sorted(toks, key=lambda r: (-r["count"], r["t"]))[:ZIPF_TOP]
+    x = np.log(np.arange(1, len(top) + 1, dtype=float))
+    y = np.log(np.array([r["count"] for r in top], dtype=float))
+    slope = np.polyfit(x, y, 1)[0]
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert abs(got["zipf_slope"] - slope) < 1e-3
+    assert abs(got["r2"] - r2) < 1e-3
+    assert got["zipf_slope"] < 0  # frequencies decay with rank
+
+
+def test_kl_sources_matches_numpy_reference(spark, sf_dir):
+    """KL(p_source || p_corpus) recomputed densely in numpy."""
+    import numpy as np
+
+    from saas_analytics_pipeline_spark.operators.text import q_kl_sources
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    got = {r["source"]: r["kl_nats"] for r in q_kl_sources(spark, sf_dir).collect()}
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .groupBy("source", "t")
+        .count()
+        .collect()
+    )
+    by_src: dict = {}
+    glob: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], {})[r["t"]] = r["count"]
+        glob[r["t"]] = glob.get(r["t"], 0) + r["count"]
+    n_glob = sum(glob.values())
+    for src, counts in by_src.items():
+        n_s = sum(counts.values())
+        kl = sum(
+            (c / n_s) * np.log((c / n_s) / (glob[t] / n_glob))
+            for t, c in counts.items()
+        )
+        assert abs(got[src] - kl) < 1e-4, src
+        assert kl >= -1e-12  # Gibbs' inequality
+
+
+def test_ab_test_z_matches_reference(spark, sf_dir):
+    """Pooled two-proportion z recomputed from the emitted counts."""
+    import math
+
+    from saas_analytics_pipeline_spark.operators.stats import q_ab_test
+
+    r = q_ab_test(spark, sf_dir).collect()[0]
+    n_c, n_t = r["n_control"], r["n_treatment"]
+    x_c, x_t = r["conv_control"], r["conv_treatment"]
+    pooled = (x_c + x_t) / (n_c + n_t)
+    z = (x_t / n_t - x_c / n_c) / math.sqrt(
+        pooled * (1 - pooled) * (1 / n_c + 1 / n_t)
+    )
+    assert abs(r["z_score"] - z) < 1e-3
