@@ -1171,3 +1171,70 @@ def test_ab_test_z_matches_reference(spark, sf_dir):
         pooled * (1 - pooled) * (1 / n_c + 1 / n_t)
     )
     assert abs(r["z_score"] - z) < 1e-3
+
+
+def test_psi_drift_matches_reference(spark, sf_dir):
+    """PSI total recomputed from the emitted per-bin shares:
+    sum((cur-base)*ln(cur/base)); parts nonnegative iff shares differ."""
+    import math
+
+    from saas_analytics_pipeline_spark.operators.stats import q_psi_drift
+
+    rows = q_psi_drift(spark, sf_dir).collect()
+    want = sum(
+        (r["cur_share"] - r["base_share"])
+        * math.log(r["cur_share"] / r["base_share"])
+        for r in rows
+    )
+    for r in rows:
+        assert r["psi_part"] >= 0  # each term is (x-y)ln(x/y) >= 0
+        assert abs(r["psi_total"] - want) < 1e-4
+
+
+def test_benford_expected_shares_are_log_law(spark, sf_dir):
+    """Expected first-digit shares equal log10(1+1/d) and the observed
+    shares + deviations reconcile."""
+    import math
+
+    from saas_analytics_pipeline_spark.quality.checks import q_benford
+
+    rows = q_benford(spark, sf_dir).collect()
+    total = sum(r["n"] for r in rows)
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    for r in rows:
+        assert abs(r["expected"] - math.log10(1 + 1 / r["digit"])) < 1e-12
+        assert abs(r["share"] - round(r["n"] / total, 6)) < 1e-9
+        assert abs(r["abs_dev"] - round(abs(r["share"] - r["expected"]), 6)) < 2e-6
+
+
+def test_corr_metrics_matches_numpy(spark, sf_dir):
+    """Pearson correlations recomputed with numpy from the raw daily
+    aggregates the operator correlates."""
+    import numpy as np
+
+    from saas_analytics_pipeline_spark.operators.stats import q_corr_metrics
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    got = q_corr_metrics(spark, sf_dir).collect()[0]
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(0.0)
+            ).alias("revenue"),
+        )
+        .collect()
+    )
+    views = np.array([r["views"] for r in daily], dtype=float)
+    purch = np.array([r["purchases"] for r in daily], dtype=float)
+    clicks = np.array([r["clicks"] for r in daily], dtype=float)
+    rev = np.array([r["revenue"] for r in daily], dtype=float)
+    assert got["n_days"] == len(daily)
+    assert abs(got["corr_views_purchases"] - np.corrcoef(views, purch)[0, 1]) < 1e-3
+    assert abs(got["corr_clicks_revenue"] - np.corrcoef(clicks, rev)[0, 1]) < 1e-3
