@@ -482,3 +482,51 @@ def test_quality_ensemble_matches_reference_for_any_corpus(spark, docs):
     }
     want = _ensemble_reference(docs)
     assert got == {k: (v["n_docs"], v["n_keep"]) for k, v in want.items()}
+
+
+# small corpora with a planted exact duplicate and random other docs
+corpus_with_dup = st.lists(
+    st.lists(
+        st.sampled_from(
+            ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+        ),
+        min_size=4,
+        max_size=20,
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _shingle_set(toks, w=3):
+    text = " ".join(toks)
+    words = text.split(" ")
+    n = max(len(words) - w + 1, 1)
+    return {" ".join(words[i : i + w]) for i in range(n)}
+
+
+@SETTINGS
+@given(docs=corpus_with_dup)
+def test_near_dup_pipeline_invariants_for_any_corpus(spark, docs):
+    """For ANY corpus: (a) an exact duplicate pair (Jaccard 1) is always
+    found — equal texts give equal signatures, so they share every LSH
+    band deterministically; (b) every returned pair's Jaccard equals the
+    set-based recomputation in Python."""
+    from saas_analytics_pipeline_spark.operators.dedup import near_dup_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    dup_id = len(rows)
+    rows.append((dup_id, rows[0][1]))  # plant exact duplicate of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in near_dup_pairs(df, jaccard_threshold=0.5).collect()
+    }
+    assert got.get((0, dup_id)) == 1.0
+    sets = {i: _shingle_set(toks) for i, toks in enumerate(docs)}
+    sets[dup_id] = sets[0]
+    for (a, b), j in got.items():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert abs(j - inter / union) < 1e-12, (a, b)
