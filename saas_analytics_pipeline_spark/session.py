@@ -66,5 +66,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout parseable: progress bars interleave with tool output
+        # (selfcheck/bench print machine-read lines)
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
