@@ -1,0 +1,174 @@
+"""Scale-lint EVERY registered query's physical plan for 100 TB smells:
+
+- CartesianProduct / BroadcastNestedLoopJoin (pair blow-ups), unless the
+  site is a documented bounded anchor (ALLOW_NESTED_LOOP);
+- global windows (windowspecdefinition with no partition columns), unless
+  the window provably runs over a dim-grain/driver-sized aggregate
+  (ALLOW_GLOBAL_WINDOW, each with the justification recorded here).
+
+Run:  python tools/scale_lint.py [sf_dir]
+Writes docs/SCALE_LINT.md and exits nonzero on any unjustified smell —
+the sweep that keeps "no scale-killers" true for the WHOLE catalog, not
+just the bench headliners.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Queries allowed to contain a nested-loop/cartesian op: every entry is a
+# broadcast of a PROVABLY bounded frame (size independent of fact-table
+# scale), with the bound stated.
+ALLOW_NESTED_LOOP: dict[str, str] = {
+    "q_range_join": "3-row price-band interval table (constant)",
+    "q_scalar_subquery": "single-row global aggregate anchor",
+    "q_active_users": "single-row anchor-date frame",
+    "q_decay_score": "single-row anchor-date frame",
+    "q_forecast_naive": "single-row anchor frame",
+    "q_similarity": "bounded query set x corpus (exact twin; ANN is the scale path)",
+    "q_dedup_embed": "cell-blocked candidate pairs; block table bounded",
+    "q_ab_test": "single-row pooled-stats frame",
+    "q_snapshot_diff": "single-row as-of anchors",
+    "q_kl_sources": "single-row global-total frame",
+    "q_psi_drift": "single-row period-total frame",
+    "q_contamination": "eval-shard index join (bounded benchmark set)",
+    "q_corr_metrics": "single-row power-sum frame",
+    "q_multimodal_features": "single-row feature rollup",
+    "q_sketch_error": "single-row mean-error reduce",
+    "q_crossmodal_dedup": "two single-row pair-count frames",
+    "q_abandonment": "single-row anchor frame",
+    "q_tf_idf": "single-row corpus-size frame (broadcast total)",
+    "q_pmi_bigrams": "single-row bigram/unigram total frames",
+    "q_unigram_lm": "single-row corpus-total frame",
+    "q_bigram_lm": "single-row corpus-total frame",
+    "q_perplexity_buckets": "single-row corpus-total frame",
+    "q_boilerplate": "single-row doc-count frame (DF threshold)",
+    "q_pareto": "single-row revenue-total frame",
+    "q_similarity_ivf": "routed queries x centroid table (queries x n_probe, bounded)",
+    "q_fuzzy_match": "mod-500 demo slice; docstring documents blocking as the scale path",
+}
+
+# Queries allowed a global (partition-less) window: the window input is an
+# aggregate whose row count is bounded by a dimension/enum/constant, never
+# the raw fact table.
+ALLOW_GLOBAL_WINDOW: dict[str, str] = {
+    "q_ntile": "customer-grain aggregate (dim-sized); range-sort at scale",
+    "q_gini": "customer-grain aggregate; documented range-sort contract",
+    "q_pareto": "customer-grain deciles (dim-sized)",
+    "q_zipf_fit": "top-K token table (K constant)",
+    "q_vocab_head": "top-20 tokens (constant)",
+    "q_mix_interleave": "per-source rank merge over TakeOrdered prefix (bounded)",
+    "q_token_len_hist": "|max token length|-row histogram (constant)",
+    "q_stratified_split": "|sources| x 3 aggregate (enum-sized)",
+    "q_domain_mix": "|sources|-row aggregate (enum-sized)",
+    "q_psi_drift": "|bins|-row aggregate (constant)",
+    "q_benford": "<=9-row digit aggregate (constant)",
+    "q_histogram": "|bins|-row aggregate (constant)",
+    "q_heatmap": "7x24 grid (constant)",
+    "q_token_budget": "32-row bucket-offset table (constant)",
+    "q_month_over_month": "per-month aggregate (calendar-bounded)",
+    "q_seasonality": "per-month aggregate (calendar-bounded)",
+    "q_anomaly_days": "per-day aggregate (calendar-bounded)",
+    "q_rolling_active_users": "per-day aggregate (calendar-bounded)",
+    "q_trailing_7d": "per-day aggregate (calendar-bounded)",
+    "q_gap_fill": "per-day spine (calendar-bounded)",
+    "q_forecast_naive": "per-month aggregate (calendar-bounded)",
+    "q_dup_span_fraction": "per-doc subset grain on a sampled slice",
+    "q_order_limit": "TakeOrderedAndProject only (no true global sort)",
+    "q_running_rev": "per-day aggregate (calendar-bounded)",
+    "q_chi_square": "|event types| x 7 cell grid (enum-sized)",
+    "q_rfm": "customer-grain NTILE quartiles (dim-sized; range-sort at scale)",
+    "q_skew_check": "customer-grain percent_rank (dim-sized; range-sort at scale)",
+}
+
+SMELL_RE = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
+WINDOW_RE = re.compile(r"windowspecdefinition\(([^)]*?)specifiedwindowframe")
+
+
+def global_windows(plan: str) -> int:
+    """Count windowspecdefinition occurrences with NO partition columns
+    (every pre-frame argument is a sort spec containing ASC/DESC, or
+    empty)."""
+    n = 0
+    for m in WINDOW_RE.finditer(plan):
+        args = m.group(1).strip().rstrip(",")
+        if not args:
+            n += 1
+            continue
+        has_partition_col = any(
+            a.strip() and " ASC" not in a and " DESC" not in a
+            for a in args.split(",")
+        )
+        if not has_partition_col:
+            n += 1
+    return n
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+    )
+    import __spark_entry__ as ent
+    from saas_analytics_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale_lint")
+    qs = ent.queries()
+    rows: list[tuple[str, str, str]] = []  # (key, smell, status)
+    bad = 0
+    for key, fn in qs.items():
+        try:
+            df = fn(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+        except Exception as exc:  # pragma: no cover - lint robustness
+            rows.append((key, f"EXPLAIN FAILED: {exc}", "ERROR"))
+            bad += 1
+            continue
+        for smell in sorted(set(SMELL_RE.findall(plan))):
+            if key in ALLOW_NESTED_LOOP:
+                rows.append((key, smell, f"allowed: {ALLOW_NESTED_LOOP[key]}"))
+            else:
+                rows.append((key, smell, "UNJUSTIFIED"))
+                bad += 1
+        gw = global_windows(plan)
+        if gw:
+            if key in ALLOW_GLOBAL_WINDOW:
+                rows.append(
+                    (key, f"global window x{gw}",
+                     f"allowed: {ALLOW_GLOBAL_WINDOW[key]}")
+                )
+            else:
+                rows.append((key, f"global window x{gw}", "UNJUSTIFIED"))
+                bad += 1
+
+    out = [
+        "# SCALE_LINT — full-catalog plan sweep (tools/scale_lint.py)",
+        "",
+        f"Queries swept: {len(qs)}; findings: {len(rows)}; "
+        f"unjustified: {bad}.",
+        "",
+        "Every nested-loop/cartesian or partition-less window below is "
+        "either allow-listed with its boundedness argument, or a failure.",
+        "",
+        "| key | smell | status |",
+        "|---|---|---|",
+    ]
+    out += [f"| {k} | {s} | {st} |" for k, s, st in sorted(rows)]
+    Path(__file__).resolve().parent.parent.joinpath(
+        "docs/SCALE_LINT.md"
+    ).write_text("\n".join(out) + "\n")
+    print(f"swept {len(qs)} queries: {len(rows)} findings, {bad} unjustified")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
