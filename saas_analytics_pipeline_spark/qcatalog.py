@@ -191,6 +191,7 @@ def load_all() -> None:
         stats,
         text,
         tpch,
+        tpch2,
     )
     from saas_analytics_pipeline_spark.functions import udfs  # noqa: F401
     from saas_analytics_pipeline_spark.quality import checks  # noqa: F401
