@@ -1137,3 +1137,105 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("f_ttr").cast("long").alias("n_fail_ttr"),
         F.sum("f_toklen").cast("long").alias("n_fail_toklen"),
     )
+
+
+SPAN_W = 16  # span-dedup chunk width (whitespace tokens, non-overlapping)
+SPAN_PACK = 1_000_000  # packed order key: doc_id * SPAN_PACK + chunk_idx
+
+
+@query(
+    "q_span_dedup_rewrite",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, toks,
+               CAST((n + {SPAN_W - 1}) // {SPAN_W} AS INT) AS n_chunks,
+               unnest(range(0, (n + {SPAN_W - 1}) // {SPAN_W})) AS ci
+        FROM t
+    ),
+    hashed AS (
+        SELECT doc_id, CAST(ci AS INT) AS ci, n_chunks,
+               array_to_string(toks[ci * {SPAN_W} + 1 :
+                                    ci * {SPAN_W} + {SPAN_W}], ' ') AS ctext,
+               {hash60_sql(f"array_to_string(toks[ci * {SPAN_W} + 1 :"
+                           f" ci * {SPAN_W} + {SPAN_W}], ' ')")} AS h,
+               doc_id * {SPAN_PACK} + ci AS packed
+        FROM chunks
+    ),
+    winners AS (SELECT h, MIN(packed) AS mp FROM hashed GROUP BY h)
+    SELECT hh.doc_id,
+           string_agg(hh.ctext, ' ' ORDER BY hh.ci) AS clean_text,
+           CAST(COUNT(*) AS INT) AS n_kept,
+           CAST(ANY_VALUE(hh.n_chunks) - COUNT(*) AS INT) AS n_dropped
+    FROM hashed hh
+    JOIN winners w ON w.h = hh.h AND hh.packed = w.mp
+    GROUP BY hh.doc_id
+    """,
+)
+def q_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup REWRITE (RefinedWeb/Dolma-style paragraph dedup
+    adapted to this corpus's single-line texts): split each document into
+    non-overlapping {SPAN_W}-token spans, keep only the globally FIRST
+    occurrence of each distinct span (order = (doc_id, chunk_idx) packed
+    into one BIGINT), and reassemble each document from its surviving
+    spans in order. Unlike q_dup_span_fraction (which *measures*
+    duplication), this is the *apply* step that emits the cleaned corpus:
+    (doc_id, clean_text, n_kept, n_dropped). Documents whose every span
+    appeared earlier elsewhere vanish entirely.
+
+    Scale (100 TB): document text NEVER shuffles. Stage 1 extracts
+    (span-hash, packed-order) pairs scan-side and aggregates MIN(packed)
+    per hash — two ints per span. Stage 2 re-derives spans scan-side,
+    joins the winner set on the hash, and reduces to per-doc kept
+    chunk-index lists — small ints only. Stage 3 joins those lists back
+    to the documents scan on doc_id and rebuilds the text IN-ROW (sorted
+    slice + flatten + join inside codegen). The only shuffled payloads
+    are hashes, packed keys, and int lists; reassembly is a doc_id equi-
+    join against the original scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(SPAN_W)).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        n_chunks.alias("n_chunks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("ci"),
+    )
+    span = F.slice(F.col("toks"), F.col("ci") * SPAN_W + 1, SPAN_W)
+    hashed = chunked.select(
+        "doc_id",
+        F.col("ci").cast("int").alias("ci"),
+        "n_chunks",
+        hash60(F.array_join(span, " ")).alias("h"),
+        (F.col("doc_id") * SPAN_PACK + F.col("ci")).alias("packed"),
+    )
+    winners = hashed.groupBy("h").agg(F.min("packed").alias("mp"))
+    kept = (
+        hashed.join(winners, (hashed.h == winners.h) & (hashed.packed == winners.mp))
+        .groupBy(hashed.doc_id.alias("kd"))
+        .agg(
+            F.sort_array(F.collect_list("ci")).alias("kept_ci"),
+            F.any_value("n_chunks").alias("n_chunks"),
+        )
+    )
+    rebuilt = docs.join(kept, docs.doc_id == kept.kd).select(
+        "doc_id",
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    F.col("kept_ci"),
+                    lambda i: F.slice(
+                        F.split(F.col("text"), " "), i * SPAN_W + 1, SPAN_W
+                    ),
+                )
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.size("kept_ci").cast("int").alias("n_kept"),
+        (F.col("n_chunks") - F.size("kept_ci")).cast("int").alias("n_dropped"),
+    )
+    return rebuilt

@@ -1238,3 +1238,54 @@ def test_corr_metrics_matches_numpy(spark, sf_dir):
     assert got["n_days"] == len(daily)
     assert abs(got["corr_views_purchases"] - np.corrcoef(views, purch)[0, 1]) < 1e-3
     assert abs(got["corr_clicks_revenue"] - np.corrcoef(clicks, rev)[0, 1]) < 1e-3
+
+
+def test_span_dedup_rewrite_conserves_chunks(spark, sf_dir):
+    """q_span_dedup_rewrite: per doc, kept + dropped == ceil(n_tokens/W);
+    total kept across the corpus == number of DISTINCT span hashes (each
+    distinct span survives exactly once, at its first occurrence)."""
+    from saas_analytics_pipeline_spark.functions import hash60
+    from saas_analytics_pipeline_spark.operators.corpus import (
+        SPAN_W,
+        q_span_dedup_rewrite,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    out = q_span_dedup_rewrite(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(SPAN_W)).cast("int")
+    expected = {r["doc_id"]: r["nc"] for r in docs.select("doc_id", n_chunks.alias("nc")).collect()}
+    rows = out.collect()
+    for r in rows:
+        assert r.n_kept + r.n_dropped == expected[r.doc_id]
+        assert r.n_kept == len(r.clean_text.split(" ")[:1]) or r.clean_text  # non-empty
+    # distinct-span conservation
+    chunked = docs.select(
+        "doc_id", toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("ci"),
+    )
+    span_text = F.array_join(F.slice(F.col("toks"), F.col("ci") * SPAN_W + 1, SPAN_W), " ")
+    n_distinct = chunked.select(hash60(span_text).alias("h")).distinct().count()
+    assert sum(r.n_kept for r in rows) == n_distinct
+
+
+def test_span_dedup_rewrite_drops_exact_duplicate_docs(spark, sf_dir):
+    """A document that exactly duplicates an earlier one loses every span
+    — it must not appear in the rewrite output (or appear only via its
+    own first-occurrence spans)."""
+    from saas_analytics_pipeline_spark.operators.corpus import q_span_dedup_rewrite
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    dup_groups = (
+        docs.groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
+        .collect()
+    )
+    out_ids = {r.doc_id for r in q_span_dedup_rewrite(spark, sf_dir).collect()}
+    for g in dup_groups:
+        later = sorted(g.ids)[1:]
+        for d in later:
+            assert d not in out_ids
