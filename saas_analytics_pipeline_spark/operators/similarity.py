@@ -642,3 +642,156 @@ def q_embed_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sx / n).alias("mean"),
         ((sx2 - sx * sx / n) / n).alias("variance"),
     )
+
+
+N_ANCHORS = 8  # pinned-IVF coarse cells
+N_PROBE = 2  # cells probed per query
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}.embedding, {b}.embedding), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+@query(
+    "q_similarity_ivf_pinned",
+    oracle=f"""
+    WITH anchors AS (
+        SELECT vec_id AS anchor_id, embedding
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {N_ANCHORS}
+    ),
+    assign AS (
+        SELECT c.vec_id, a.anchor_id,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                   ORDER BY {_dot_sql('c', 'a')}
+                            / ({_norm_sql('c')} * {_norm_sql('a')}) DESC,
+                            a.anchor_id ASC) AS rn
+        FROM embeddings c CROSS JOIN anchors a
+    ),
+    cells AS (SELECT vec_id, anchor_id FROM assign WHERE rn = 1),
+    probes AS (
+        SELECT q.vec_id AS query_id, a.anchor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_dot_sql('q', 'a')}
+                            / ({_norm_sql('q')} * {_norm_sql('a')}) DESC,
+                            a.anchor_id ASC) AS rn
+        FROM embeddings q CROSS JOIN anchors a
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT p.query_id, c.vec_id
+        FROM probes p
+        JOIN cells c ON c.anchor_id = p.anchor_id
+        WHERE p.rn <= {N_PROBE} AND c.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT cd.query_id, cd.vec_id,
+               {_dot_sql('q', 'c')} / ({_norm_sql('q')} * {_norm_sql('c')}) AS cos
+        FROM cand cd
+        JOIN embeddings q ON q.vec_id = cd.query_id
+        JOIN embeddings c ON c.vec_id = cd.vec_id
+    )
+    SELECT query_id, vec_id, round(cos, 6) AS cos_r, rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def q_similarity_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with PINNED anchors: the learned-IVF scale path
+    (q_similarity_ivf) made fully oracle-replayable by replacing the
+    KMeans quantizer with {N_ANCHORS} deterministic anchor vectors (the
+    corpus vectors with the smallest md5(vec_id) — a fixed, engine-
+    independent rule). Corpus vectors assign to their max-cosine anchor;
+    each query probes its top-{N_PROBE} cells and reranks candidates
+    exactly. Same shuffle/candidate structure as the learned variant, so
+    its correctness (cell routing, probe union, exact rerank, tie-break
+    chain) is now hash-verified end-to-end rather than recall-tested.
+
+    Scale: anchors are a {N_ANCHORS}-row broadcast; assignment scores
+    corpus x anchors scan-side (bounded {N_ANCHORS}x fan-out collapsed
+    map-side by max_by before any shuffle — only (vec_id, anchor_id)
+    pairs move); candidates come ONLY from probed cells (~N_PROBE/
+    N_ANCHORS of the corpus per query); rerank joins the bounded query
+    set by key. Embeddings shuffle once, keyed by cell, exactly like
+    production IVF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(N_ANCHORS)
+        .select(
+            F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb")
+        )
+    )
+    def cos_to_anchor(emb_col: str) -> F.Column:
+        dot = F.expr(
+            f"""aggregate(zip_with({emb_col}, a_emb,
+                (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+        )
+        return dot / (
+            F.expr(NORM_EXPR.format(col=emb_col)) * F.expr(NORM_EXPR.format(col="a_emb"))
+        )
+
+    c = emb.select("vec_id", F.col("embedding").alias("c_emb"))
+    # map-side argmax over the bounded anchor fan-out: only (vec_id,
+    # anchor_id) pairs reach the shuffle
+    cells = (
+        c.crossJoin(F.broadcast(anchors))
+        .select(
+            "vec_id",
+            "anchor_id",
+            cos_to_anchor("c_emb").alias("acos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "anchor_id", F.struct(F.col("acos"), (-F.col("anchor_id")).alias("na"))
+            ).alias("anchor_id")
+        )
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("acos"), F.asc("anchor_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(anchors))
+        .select("query_id", "anchor_id", cos_to_anchor("q_emb").alias("acos"))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .where(F.col("rn") <= N_PROBE)
+        .select("query_id", "anchor_id")
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "anchor_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(emb.select("vec_id", F.col("embedding").alias("c_emb")), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.expr(DOT_EXPR)
+                / (
+                    F.expr(NORM_EXPR.format(col="q_emb"))
+                    * F.expr(NORM_EXPR.format(col="c_emb"))
+                )
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos_r"), "rnk")
+    )

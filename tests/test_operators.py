@@ -1289,3 +1289,31 @@ def test_span_dedup_rewrite_drops_exact_duplicate_docs(spark, sf_dir):
         later = sorted(g.ids)[1:]
         for d in later:
             assert d not in out_ids
+
+
+def test_ivf_pinned_recall_and_candidate_discipline(spark, sf_dir):
+    """Pinned-anchor IVF: every result must come from a probed cell
+    (candidate discipline is what the oracle hash verifies; here we pin
+    recall vs the exact baseline too)."""
+    from saas_analytics_pipeline_spark.operators.similarity import (
+        q_similarity,
+        q_similarity_ivf_pinned,
+    )
+
+    exact = {
+        (r.query_id, r.vec_id) for r in q_similarity(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in q_similarity_ivf_pinned(spark, sf_dir).collect()
+    }
+    assert approx  # probed cells are never all empty
+    recall = len(approx & exact) / len(exact)
+    # testdata embeddings are near-uniform, so cell pruning approximates
+    # random subsetting: recall floors at roughly the scanned fraction
+    # (2 of 8 cells). The algorithmic correctness claim (cell routing,
+    # probe union, exact rerank) is carried by the DuckDB oracle hash;
+    # this floor just guards against a broken probe wiring returning
+    # near-disjoint results. Real-world clustered embeddings sit far
+    # above it (the learned-IVF test pins >= 0.5 on the same data).
+    assert recall >= 0.25, f"recall {recall}"
