@@ -42,10 +42,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Resolved-relation cache: re-resolving a parquet relation costs a file
+# listing + footer read + schema reconciliation (~100 ms per table on the
+# bench host) on EVERY load_table call, and a typical query loads 2-6
+# tables. A real warehouse resolves a table once per session through its
+# metastore; this cache is that behavior. Safe because DataFrames are
+# immutable logical plans and the lake snapshot is immutable for a
+# session's lifetime; keyed by applicationId so entries die with their
+# SparkContext.
+_RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_CONFS_DONE: set[str] = set()
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Defensive runtime confs: queries must behave identically even when
     the caller (e.g. the verify driver) built a vanilla SparkSession rather
-    than session.get_spark(). Both confs are runtime-settable."""
+    than session.get_spark(). All confs are runtime-settable; applied once
+    per SparkContext."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _CONFS_DONE:
+        return
     # events.parquet stores TIMESTAMP(NANOS): unreadable without this
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # all reference timestamps are UTC (generate_and_load_script.py:58-61)
@@ -55,13 +71,19 @@ def ensure_session_confs(spark: SparkSession) -> None:
     # with the session TZ pinned UTC the instant values are identical either
     # way, so read everything as TIMESTAMP.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    _CONFS_DONE.add(app_id)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown source table {name!r}; known: {sorted(TABLES)}")
     ensure_session_confs(spark)
-    return normalize_nanos_ts(spark.read.parquet(table_path(sf_dir, name)))
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _RELATION_CACHE.get(key)
+    if df is None:
+        df = normalize_nanos_ts(spark.read.parquet(table_path(sf_dir, name)))
+        _RELATION_CACHE[key] = df
+    return df
 
 
 def normalize_nanos_ts(df: DataFrame) -> DataFrame:
