@@ -337,3 +337,55 @@ def test_hopping_stream_matches_sliding_batch(spark, sf_dir, tmp_path):
         for r in q_sliding_window(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_incremental_mart_resumes_across_restarts(spark, sf_dir, tmp_path):
+    """Checkpoint recovery end-to-end: a second query started on the SAME
+    checkpoint after new files arrive processes ONLY the new files (no
+    re-count of batch 1), and a third restart with no new data is a
+    no-op — the exactly-once contract a daily incremental load relies on
+    across job restarts."""
+    from saas_analytics_pipeline_spark.streaming.jobs import run_incremental_mart
+
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), src / "part-000.parquet")
+    raw_schema = spark.read.parquet(str(src)).schema
+    target = str(tmp_path / "restart_mart")
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def run_once() -> None:
+        stream = normalize_nanos_ts(
+            spark.readStream.schema(raw_schema).parquet(str(src))
+        )
+        q = run_incremental_mart(stream.select("ts", "event_type"), target, ckpt)
+        q.awaitTermination(120)
+
+    run_once()  # processes file 1
+    ev = load_table(spark, sf_dir, "events")
+    base = {
+        (r["dt"], r["event_type"]): r["n"]
+        for r in ev.groupBy(F.to_date("ts").alias("dt"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got1 = {
+        (r["dt"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got1 == base
+
+    shutil.copy(table_path(sf_dir, "events"), src / "part-001.parquet")
+    run_once()  # restart: must process ONLY file 2
+    got2 = {
+        (r["dt"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got2 == {k: 2 * v for k, v in base.items()}
+
+    run_once()  # restart with nothing new: no-op
+    got3 = {
+        (r["dt"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got3 == got2
