@@ -1239,3 +1239,113 @@ def q_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chunks") - F.size("kept_ci")).cast("int").alias("n_dropped"),
     )
     return rebuilt
+
+
+EXPORT_CHUNK = 64  # export chunk width (non-overlapping; packing is separate)
+N_SHARDS = 8  # export shard fan-out (content-hash bucketed)
+
+
+@query(
+    "q_training_export",
+    oracle=f"""
+    WITH kept AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n
+        FROM (
+            SELECT doc_id, text,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    ),
+    gated AS (
+        SELECT doc_id, string_split(text, ' ') AS toks, n,
+               CASE WHEN {hash60_sql("'split:' || CAST(doc_id AS VARCHAR)")}
+                         % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN {hash60_sql("'split:' || CAST(doc_id AS VARCHAR)")}
+                         % 100 < {SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM kept WHERE n BETWEEN 30 AND 300
+    ),
+    chunks AS (
+        SELECT doc_id, split,
+               unnest(range(0, (n + {EXPORT_CHUNK - 1}) // {EXPORT_CHUNK}))
+                   AS ci, toks
+        FROM gated
+    ),
+    hashed AS (
+        SELECT doc_id, split,
+               len(toks[ci * {EXPORT_CHUNK} + 1 :
+                        ci * {EXPORT_CHUNK} + {EXPORT_CHUNK}]) AS n_ctok,
+               {hash60_sql(f"array_to_string(toks[ci * {EXPORT_CHUNK} + 1 :"
+                           f" ci * {EXPORT_CHUNK} + {EXPORT_CHUNK}], ' ')")}
+                   AS chunk_hash
+        FROM chunks
+    )
+    SELECT split, CAST(chunk_hash % {N_SHARDS} AS INT) AS shard,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_ctok) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           bit_xor(chunk_hash) AS checksum_xor
+    FROM hashed
+    GROUP BY split, shard
+    """,
+)
+def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export manifest: the END of the curation pipeline composed
+    into one plan — canonical exact dedup (keep min doc_id per content
+    hash) -> length quality gate -> non-overlapping {EXPORT_CHUNK}-token
+    chunking -> deterministic doc-level train/val/test split (SAME hash
+    rule as q_stratified_split, so the split assignment is consistent
+    across the catalog) -> content-hash shard assignment. Emits per
+    (split, shard): chunk/token/doc counts plus an order-insensitive
+    bit_xor checksum — the manifest a training job validates its shards
+    against after export.
+
+    Scale: dedup shuffles (content-hash, doc_id) once; the gate and split
+    are scan-local; chunking is in-row explode; shard assignment is a
+    hash mod — the final aggregate is map-side combinable down to
+    |splits| x {N_SHARDS} rows. Text itself never shuffles (the window
+    carries only hash + id; chunks reduce to hashes scan-side). The real
+    export adds .write.partitionBy('split', 'shard') on the chunk frame —
+    same plan shape, file sinks instead of the manifest aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    toks = F.split(F.col("text"), " ")
+    kept = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+        .where(F.col("n").between(30, 300))
+    )
+    bucket = hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    n_chunks = F.ceil(F.col("n") / F.lit(EXPORT_CHUNK)).cast("int")
+    chunked = kept.select(
+        "doc_id",
+        split.alias("split"),
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("ci"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("ci") * EXPORT_CHUNK + 1, EXPORT_CHUNK)
+    hashed = chunked.select(
+        "doc_id",
+        "split",
+        F.size(chunk).alias("n_ctok"),
+        hash60(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+    return (
+        hashed.groupBy(
+            "split", (F.col("chunk_hash") % N_SHARDS).cast("int").alias("shard")
+        )
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_ctok").cast("long").alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.bit_xor("chunk_hash").alias("checksum_xor"),
+        )
+    )

@@ -1317,3 +1317,32 @@ def test_ivf_pinned_recall_and_candidate_discipline(spark, sf_dir):
     # near-disjoint results. Real-world clustered embeddings sit far
     # above it (the learned-IVF test pins >= 0.5 on the same data).
     assert recall >= 0.25, f"recall {recall}"
+
+
+def test_training_export_manifest_consistency(spark, sf_dir):
+    """q_training_export: chunk/token totals across (split, shard) cells
+    equal an independent recount of the deduped+gated corpus; split
+    assignment agrees with q_stratified_split's hash rule."""
+    from saas_analytics_pipeline_spark.operators.corpus import (
+        EXPORT_CHUNK,
+        N_SHARDS,
+        q_training_export,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    rows = q_training_export(spark, sf_dir).collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert all(0 <= r.shard < N_SHARDS for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("c"))
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .where(F.col("n").between(30, 300))
+    )
+    want = kept.select(
+        F.sum(F.ceil(F.col("n") / EXPORT_CHUNK)).alias("chunks"),
+        F.sum("n").alias("tokens"),
+    ).collect()[0]
+    assert sum(r.n_chunks for r in rows) == want["chunks"]
+    assert sum(r.n_tokens for r in rows) == want["tokens"]
