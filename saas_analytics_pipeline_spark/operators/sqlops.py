@@ -441,3 +441,73 @@ def q_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("drnk"),
         F.row_number().over(wt).alias("rn"),
     )
+
+
+
+
+CHAIN_GAP_DAYS = 30  # reorder-chain linkage window
+
+
+def _chain_sql(edges_src: str) -> str:
+    """The shared recursive-CTE text: Spark and DuckDB run the SAME
+    recursion (UNION ALL — Spark 4 recursive CTEs do not support UNION
+    dedup) over the next-order edge DAG. Time-monotone edges make it
+    acyclic, so UNION ALL terminates with depth = longest chain."""
+    return f"""
+    WITH RECURSIVE edges AS ({edges_src}),
+    starts AS (
+        SELECT DISTINCT prev_key AS start_key FROM edges
+        WHERE prev_key NOT IN (SELECT next_key FROM edges)
+    ),
+    chain(start_key, cur_key, len) AS (
+        SELECT start_key, start_key, 1 FROM starts
+        UNION ALL
+        SELECT c.start_key, e.next_key, c.len + 1
+        FROM chain c JOIN edges e ON e.prev_key = c.cur_key
+    ),
+    lengths AS (
+        SELECT start_key, MAX(len) AS chain_len FROM chain GROUP BY start_key
+    )
+    SELECT CAST(chain_len AS INT) AS chain_len,
+           COUNT(*) AS n_chains
+    FROM lengths GROUP BY chain_len
+    """
+
+
+_EDGES_SQL = f"""
+        SELECT prev_key, next_key FROM (
+            SELECT o_orderkey AS prev_key,
+                   LEAD(o_orderkey) OVER w AS next_key,
+                   LEAD(o_orderdate) OVER w AS next_date,
+                   o_orderdate
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        ) WHERE next_key IS NOT NULL
+          AND next_date <= o_orderdate + INTERVAL {CHAIN_GAP_DAYS} DAY
+"""
+
+
+@query("q_recursive_chains", oracle=_chain_sql(_EDGES_SQL))
+def q_recursive_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-chain lengths via WITH RECURSIVE (Spark 4 recursive CTE):
+    consecutive same-customer orders linked when the next arrives within
+    {CHAIN_GAP_DAYS} days; chains are walked recursively from their
+    starts and reported as a length histogram. IDENTICAL recursive SQL
+    runs on both engines — the declarative twin of the gaps-and-islands
+    window approach (q_streaks), and the engine feature that replaces
+    driver-side iteration loops for hierarchical/chain traversals.
+
+    Scale: the edge list derives from one per-customer window (orders
+    shuffle once on custkey); each recursion level is one distributed
+    equi-join on the DAG, and the level count is the longest chain, not
+    the table size. Edges are time-monotone, so UNION ALL recursion is
+    acyclic and row growth is sum-of-chain-lengths (linear in |orders|
+    for bounded chains). Cyclic closures (near-dup components) stay on
+    the label-propagation operator instead — UNION-dedup recursion is
+    not available to bound walks there."""
+    o = load_table(spark, sf_dir, "orders")
+    o.select("o_orderkey", "o_custkey", "o_orderdate").createOrReplaceTempView(
+        "rc_orders"
+    )
+    return spark.sql(_chain_sql(_EDGES_SQL.replace("FROM orders", "FROM rc_orders")))

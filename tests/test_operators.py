@@ -1346,3 +1346,48 @@ def test_training_export_manifest_consistency(spark, sf_dir):
     ).collect()[0]
     assert sum(r.n_chunks for r in rows) == want["chunks"]
     assert sum(r.n_tokens for r in rows) == want["tokens"]
+
+
+def test_recursive_chains_match_windowed_islands(spark, sf_dir):
+    """q_recursive_chains (WITH RECURSIVE walk) must agree with the
+    classic gaps-and-islands window computation of the same run lengths
+    — two independent formulations, one answer."""
+    from pyspark.sql import Window
+
+    from saas_analytics_pipeline_spark.operators.sqlops import (
+        CHAIN_GAP_DAYS,
+        q_recursive_chains,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    got = {
+        (r.chain_len, r.n_chains) for r in q_recursive_chains(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    islands = (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.lag("o_orderdate").over(w).alias("prev_date"),
+        )
+        .withColumn(
+            "new_island",
+            (
+                F.col("prev_date").isNull()
+                | (
+                    F.col("o_orderdate")
+                    > F.col("prev_date") + F.expr(f"INTERVAL {CHAIN_GAP_DAYS} DAYS")
+                )
+            ).cast("int"),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+        .groupBy("o_custkey", "island")
+        .agg(F.count("*").alias("chain_len"))
+        .where(F.col("chain_len") >= 2)  # recursive starts require an edge
+        .groupBy("chain_len")
+        .agg(F.count("*").alias("n_chains"))
+    )
+    want = {(r.chain_len, r.n_chains) for r in islands.collect()}
+    assert got == want
