@@ -472,3 +472,104 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected"),
         F.round(F.abs(share - expected), 6).alias("abs_dev"),
     )
+
+
+FORGET_MOD = 97  # erasure-subject selection rule for the audit query
+
+
+def forget_rows(df: DataFrame, subjects: DataFrame, key_col: str, subject_col: str) -> DataFrame:
+    """Right-to-be-forgotten APPLY step: drop every row whose key matches
+    an erasure subject (left-anti hash join). At 100 TB this frame feeds a
+    dynamic-partition-overwrite of exactly the partitions that contained
+    subject rows (plans/incremental semantics) — untouched partitions are
+    never rewritten; a transactional table format turns the same plan into
+    a DELETE."""
+    return df.join(
+        subjects.select(F.col(subject_col).alias("__forget_key")),
+        F.col(key_col) == F.col("__forget_key"),
+        "left_anti",
+    )
+
+
+@query(
+    "q_forget_audit",
+    oracle=f"""
+    WITH subjects AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % {FORGET_MOD} = 0
+    ),
+    ev AS (
+        SELECT 'events' AS table_name,
+               CAST(SUM(CASE WHEN s.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purge,
+               CAST(SUM(CASE WHEN s.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_keep
+        FROM events e LEFT JOIN subjects s ON e.user_id = s.c_custkey
+    ),
+    o AS (
+        SELECT 'orders' AS table_name,
+               CAST(SUM(CASE WHEN s.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purge,
+               CAST(SUM(CASE WHEN s.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_keep
+        FROM orders ord LEFT JOIN subjects s ON ord.o_custkey = s.c_custkey
+    ),
+    li AS (
+        SELECT 'lineitem' AS table_name,
+               CAST(SUM(CASE WHEN so.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purge,
+               CAST(SUM(CASE WHEN so.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_keep
+        FROM lineitem l
+        LEFT JOIN (SELECT ord.o_orderkey
+                   FROM orders ord JOIN subjects s
+                        ON ord.o_custkey = s.c_custkey) so
+               ON l.l_orderkey = so.o_orderkey
+    )
+    SELECT * FROM ev UNION ALL SELECT * FROM o UNION ALL SELECT * FROM li
+    """,
+)
+def q_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: for a deterministic erasure
+    cohort (c_custkey % {FORGET_MOD} = 0 — the stand-in for an uploaded
+    subject list), count rows to purge vs keep per table, CASCADING
+    through the FK graph (events/orders directly by user key; lineitem
+    through its orders). The apply side is :func:`forget_rows` +
+    dynamic-partition overwrite; this query is the pre-delete audit and
+    post-delete zero-check (run it after the rewrite: n_purge must be 0).
+
+    Scale: the subject list is tiny by nature (an erasure batch) and
+    broadcast; each table contributes one conditional-count aggregate —
+    no table is ever rewritten or shuffled to AUDIT it. The lineitem
+    cascade joins the subject orders' keys (|subject orders|, still
+    broadcastable); at extreme subject counts the same plan degrades
+    gracefully to a shuffle join on orderkey."""
+    subjects = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % FORGET_MOD == 0)
+        .select("c_custkey")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def audit(df: DataFrame, name: str, key: str, subj_key: DataFrame) -> DataFrame:
+        joined = df.join(
+            F.broadcast(subj_key.select(F.col(subj_key.columns[0]).alias("__k"))),
+            F.col(key) == F.col("__k"),
+            "left",
+        )
+        hit = F.col("__k").isNotNull()
+        return joined.agg(
+            F.lit(name).alias("table_name"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_purge"),
+            F.sum(F.when(hit, 0).otherwise(1)).cast("long").alias("n_keep"),
+        )
+
+    subject_orders = o.join(
+        F.broadcast(subjects), o.o_custkey == subjects.c_custkey
+    ).select("o_orderkey")
+    return (
+        audit(ev, "events", "user_id", subjects)
+        .unionByName(audit(o, "orders", "o_custkey", subjects))
+        .unionByName(audit(li, "lineitem", "l_orderkey", subject_orders))
+    )

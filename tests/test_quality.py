@@ -72,3 +72,32 @@ def test_observed_metrics_ride_the_action(spark, sf_dir):
     got = obs.get
     assert got["n_rows"] == o.count()
     assert got["n_null_o_orderkey"] == 0
+
+
+def test_forget_rows_apply_then_audit_zero(spark, sf_dir, tmp_path):
+    """The erasure APPLY (forget_rows) followed by re-audit shows zero
+    remaining subject rows, and keep-counts are untouched — the
+    round-trip contract of a right-to-be-forgotten batch."""
+    from pyspark.sql import functions as F
+
+    from saas_analytics_pipeline_spark.quality.checks import (
+        FORGET_MOD,
+        forget_rows,
+        q_forget_audit,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    before = {r.table_name: r for r in q_forget_audit(spark, sf_dir).collect()}
+    assert before["events"].n_purge > 0  # the cohort is non-empty
+    subjects = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % FORGET_MOD == 0)
+        .select("c_custkey")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    cleaned = forget_rows(ev, subjects, "user_id", "c_custkey")
+    assert cleaned.count() == before["events"].n_keep
+    remaining = cleaned.join(
+        subjects, cleaned.user_id == subjects.c_custkey, "left_semi"
+    ).count()
+    assert remaining == 0
