@@ -184,6 +184,7 @@ def load_all() -> None:
         dedup,
         joins,
         multimodal,
+        retrieval,
         scd2,
         sessionize,
         similarity,
