@@ -1242,7 +1242,7 @@ def q_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXPORT_CHUNK = 64  # export chunk width (non-overlapping; packing is separate)
-N_SHARDS = 8  # export shard fan-out (content-hash bucketed)
+EXPORT_SHARDS = 8  # export shard fan-out (content-hash bucketed)
 
 
 @query(
@@ -1282,7 +1282,7 @@ N_SHARDS = 8  # export shard fan-out (content-hash bucketed)
                    AS chunk_hash
         FROM chunks
     )
-    SELECT split, CAST(chunk_hash % {N_SHARDS} AS INT) AS shard,
+    SELECT split, CAST(chunk_hash % {EXPORT_SHARDS} AS INT) AS shard,
            COUNT(*) AS n_chunks,
            CAST(SUM(n_ctok) AS BIGINT) AS n_tokens,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -1305,7 +1305,7 @@ def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: dedup shuffles (content-hash, doc_id) once; the gate and split
     are scan-local; chunking is in-row explode; shard assignment is a
     hash mod — the final aggregate is map-side combinable down to
-    |splits| x {N_SHARDS} rows. Text itself never shuffles (the window
+    |splits| x {EXPORT_SHARDS} rows. Text itself never shuffles (the window
     carries only hash + id; chunks reduce to hashes scan-side). The real
     export adds .write.partitionBy('split', 'shard') on the chunk frame —
     same plan shape, file sinks instead of the manifest aggregate."""
@@ -1340,7 +1340,7 @@ def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         hashed.groupBy(
-            "split", (F.col("chunk_hash") % N_SHARDS).cast("int").alias("shard")
+            "split", (F.col("chunk_hash") % EXPORT_SHARDS).cast("int").alias("shard")
         )
         .agg(
             F.count("*").alias("n_chunks"),
