@@ -1349,3 +1349,177 @@ def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("chunk_hash").alias("checksum_xor"),
         )
     )
+
+
+@query(
+    "q_dataset_card",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2)
+               AS avg_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           round(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+           round(CAST(COUNT(*) FILTER (WHERE n_chars < 100) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS pct_short
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the per-source summary block (docs, tokens, mean
+    length, language spread, duplicate rate, short-doc share) a corpus
+    release publishes alongside the data — one composed profiling pass
+    over the documents table.
+
+    Scale: one groupBy(source) with exact BIGINT sums; the two distinct
+    counts rewrite to per-source partial distincts (Spark expands
+    multi-distinct into one Expand + two-phase agg). At 100 TB swap the
+    exact distincts for approx_count_distinct and report the sketch
+    error in the card; text itself contributes only its md5, computed
+    scan-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.count("*")
+    return (
+        docs.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / n.cast("double"), 2
+            ).alias("avg_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct(F.md5("text")).cast("double")
+                / n.cast("double"),
+                6,
+            ).alias("dup_rate"),
+            F.round(
+                F.count(F.when(F.col("n_chars") < 100, 1)).cast("double")
+                / n.cast("double"),
+                6,
+            ).alias("pct_short"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_script_detect",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len(text) AS BIGINT) AS n,
+               CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT)
+                   AS n_alpha,
+               CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+                   AS n_digit,
+               CAST(len(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT)
+                   AS n_space
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           round(CAST(SUM(n_alpha) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+               AS r_alpha,
+           round(CAST(SUM(n_digit) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+               AS r_digit,
+           round(CAST(SUM(n_space) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+               AS r_space,
+           round(CAST(SUM(n - n_alpha - n_digit - n_space) AS DOUBLE)
+                 / CAST(SUM(n) AS DOUBLE), 6) AS r_other
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class (script) profile per language: corpus-level ratios
+    of lowercase-alpha / digit / whitespace / other characters — the
+    cheap script-detection signal that catches mislabeled languages and
+    mojibake before an expensive language-ID model runs (complements
+    q_lang_id's n-gram heuristic and q_char_entropy's garbage gate).
+
+    Scale: the four class counts are scan-local regexp strips inside
+    codegen; only (lang, 4 BIGINT partials) shuffle, and ratios come from
+    exact integer sums with one double division per output row — no
+    per-doc float averaging, so summation order cannot drift the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text").cast("bigint")
+    n_alpha = F.length(F.regexp_replace("text", "[^a-z]", "")).cast("bigint")
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", "")).cast("bigint")
+    n_space = F.length(F.regexp_replace("text", "[^ ]", "")).cast("bigint")
+    per_doc = docs.select(
+        "lang",
+        n.alias("n"),
+        n_alpha.alias("n_alpha"),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+    )
+    sn = F.sum("n").cast("double")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("n_alpha").cast("double") / sn, 6).alias("r_alpha"),
+            F.round(F.sum("n_digit").cast("double") / sn, 6).alias("r_digit"),
+            F.round(F.sum("n_space").cast("double") / sn, 6).alias("r_space"),
+            F.round(
+                F.sum(
+                    F.col("n")
+                    - F.col("n_alpha")
+                    - F.col("n_digit")
+                    - F.col("n_space")
+                ).cast("double")
+                / sn,
+                6,
+            ).alias("r_other"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_wordfreq_spectrum",
+    oracle="""
+    WITH counts AS (
+        SELECT tok, COUNT(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    )
+    SELECT CAST(len(bin(c)) - 1 AS INT) AS log2_bucket,
+           COUNT(*) AS n_types,
+           CAST(MIN(c) AS BIGINT) AS min_c,
+           CAST(MAX(c) AS BIGINT) AS max_c
+    FROM counts GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_wordfreq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies spectrum: how many vocabulary types fall
+    in each power-of-two occurrence band — the corpus-growth fingerprint
+    (Good-Turing's N_k) that distinguishes a natural Zipf tail from a
+    template-stamped corpus (complements q_zipf_fit's head slope).
+
+    Scale: tokens explode scan-side into (token, count) partials; the
+    spectrum re-aggregates the |vocab|-row count table — Zipf-sublinear
+    in corpus size. The log2 band comes from the BINARY STRING length of
+    the exact BIGINT count (floor(log2) without floating log, which can
+    land on either side of a power boundary depending on the libm)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy(
+            (F.length(F.bin("c")) - 1).cast("int").alias("log2_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_types"),
+            F.min("c").cast("bigint").alias("min_c"),
+            F.max("c").cast("bigint").alias("max_c"),
+        )
+        .orderBy("log2_bucket")
+    )
