@@ -480,3 +480,47 @@ def q_interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_clicks_2h"),
         )
     )
+
+
+@query(
+    "q_fx_triangulate",
+    oracle=f"""
+    WITH fx AS (
+        SELECT r_name, CAST(rate AS DECIMAL(8,4)) AS rate
+        FROM {seeds.oracle_read_csv("fx_rates")}
+    )
+    SELECT a.r_name AS from_ccy, b.r_name AS to_ccy,
+           round(CAST(a.rate AS DOUBLE) / CAST(b.rate AS DOUBLE), 6)
+               AS cross_rate
+    FROM fx a CROSS JOIN fx b
+    ORDER BY from_ccy, to_ccy
+    """,
+)
+def q_fx_triangulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FX cross-rate triangulation: every (from, to) currency pair derived
+    through the seed's common quote currency (rate_from / rate_to) — the
+    lookup a multi-currency revenue mart needs when the seed only quotes
+    against one base (fx_rates seed, README.md:23).
+
+    Scale: seed x seed — both sides are dim-sized by contract, so this is
+    a broadcast nested-loop over |currencies|² rows, constant relative to
+    fact volume; downstream marts broadcast-join the result. Rates stay
+    exact DECIMAL until the single rounded double division."""
+    fx = seeds.load_seed(spark, "fx_rates").select(
+        "r_name", F.col("rate").cast("decimal(8,4)").alias("rate")
+    )
+    a = fx.select(
+        F.col("r_name").alias("from_ccy"), F.col("rate").alias("ra")
+    )
+    b = fx.select(F.col("r_name").alias("to_ccy"), F.col("rate").alias("rb"))
+    return (
+        a.crossJoin(b)
+        .select(
+            "from_ccy",
+            "to_ccy",
+            F.round(
+                F.col("ra").cast("double") / F.col("rb").cast("double"), 6
+            ).alias("cross_rate"),
+        )
+        .orderBy("from_ccy", "to_ccy")
+    )

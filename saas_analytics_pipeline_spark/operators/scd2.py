@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from saas_analytics_pipeline_spark.functions import money
 from saas_analytics_pipeline_spark.qcatalog import query
 from saas_analytics_pipeline_spark.sources import load_table
 
@@ -174,4 +175,72 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("attributed_value"),
         )
+    )
+
+
+@query(
+    "q_scd2_asof_join",
+    oracle="""
+    WITH scd AS (
+        SELECT user_id, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS signup_gen
+        FROM events WHERE event_type = 'signup'
+    )
+    SELECT s.signup_gen,
+           COUNT(*) AS n_purchases,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value
+    FROM events p
+    JOIN scd s
+      ON p.user_id = s.user_id
+     AND p.ts >= s.valid_from
+     AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+    WHERE p.event_type = 'purchase'
+    GROUP BY s.signup_gen ORDER BY s.signup_gen
+    """,
+)
+def q_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-SCD2 as-of join: purchase events attributed to the signup
+    generation (SCD2 version of the user) whose validity window covers the
+    purchase timestamp — the query SCD2 exists FOR (ref: snapshots
+    dbt_project.yml:58-60, SCD2 dims README.md:37): measure facts against
+    the dimension state AT EVENT TIME, not today's.
+
+    Scale: an equi-join on the entity key with the validity range as a
+    RESIDUAL predicate — a hash join, NOT a range/nested-loop join: rows
+    co-locate by user key and each user's version list is small, so the
+    residual scan is bounded. Both branches read ONE events scan
+    (filter-pushed on event_type). Validity windows are half-open
+    [from, to) per the build contract, so exactly one version matches and
+    the join never duplicates facts."""
+    ev = load_table(spark, sf_dir, "events")
+    scd = build_scd2(
+        ev.where(F.col("event_type") == "signup"), "user_id", "ts", "event_id"
+    ).select(
+        F.col("user_id").alias("s_user"),
+        F.col("version_n").alias("signup_gen"),
+        "valid_from",
+        "valid_to",
+    )
+    p = ev.where(F.col("event_type") == "purchase")
+    cond = (
+        (p.user_id == scd.s_user)
+        & (p.ts >= scd.valid_from)
+        & (scd.valid_to.isNull() | (p.ts < scd.valid_to))
+    )
+    return (
+        p.join(scd, cond)
+        .groupBy("signup_gen")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.countDistinct("s_user").cast("bigint").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("signup_gen")
     )

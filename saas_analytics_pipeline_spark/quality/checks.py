@@ -573,3 +573,102 @@ def q_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit(o, "orders", "o_custkey", subjects))
         .unionByName(audit(li, "lineitem", "l_orderkey", subject_orders))
     )
+
+
+# FK edges of the warehouse star (ref: relationships tests,
+# models/schema.yml:32-35,59-73,86-90,108-117): child table, child key,
+# parent table, parent key. events.user_id -> customer is the testdata's
+# users->orgs analogue (user ids are drawn from the customer key range).
+FK_EDGES: list[tuple[str, str, str, str]] = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+
+@query(
+    "q_ri_matrix",
+    oracle="\n    UNION ALL ".join(
+        f"""SELECT '{c}.{ck}->{p}.{pk}' AS fk,
+               (SELECT COUNT(*) FROM {c}) AS n_child,
+               (SELECT COUNT(*) FROM {c}
+                WHERE {ck} IS NOT NULL
+                  AND {ck} NOT IN (SELECT {pk} FROM {p})) AS n_orphans
+        """
+        for c, ck, p, pk in FK_EDGES
+    )
+    + " ORDER BY fk",
+)
+def q_ri_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity matrix: one row per declared FK edge with its
+    child cardinality and orphan count — the whole relationships-test
+    suite (models/schema.yml:32-117) as a single inspectable result
+    instead of N pass/fail booleans.
+
+    Scale: each edge is a LEFT ANTI hash join counting survivors — the
+    parent side is reduced to its DISTINCT key column first (map-side),
+    so dim-parent edges broadcast and the two fact-fact edges shuffle
+    keys only. The six per-edge aggregates are independent jobs sharing
+    the parquet scans; the union is |edges| rows."""
+    out = None
+    for child, ck, parent, pk in FK_EDGES:
+        cdf = load_table(spark, sf_dir, child)
+        pkeys = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("__pk")
+        ).distinct()
+        orphans = (
+            cdf.where(F.col(ck).isNotNull())
+            .join(pkeys, F.col(ck) == F.col("__pk"), "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        counts = cdf.agg(F.count("*").alias("n_child"))
+        row = (
+            counts.crossJoin(orphans)
+            .select(
+                F.lit(f"{child}.{ck}->{parent}.{pk}").alias("fk"),
+                "n_child",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk")
+
+
+@query(
+    "q_same_day_orders",
+    oracle="""
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS day_total
+    FROM orders
+    GROUP BY 1, 2 HAVING COUNT(*) > 1
+    ORDER BY n_orders DESC, o_custkey, day LIMIT 20
+    """,
+)
+def q_same_day_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-day multi-order audit: customers placing >1 order on one
+    calendar day — the duplicate-charge / split-order review queue
+    (payment reconciliation's sibling, README.md:56; dup injection
+    data_gen/pseudo_code_rules.txt:39-47).
+
+    Scale: one hash-agg on (custkey, day) with map-side combine; the
+    HAVING prunes before the top-k, and top-20 is TakeOrderedAndProject
+    with a full tie-break chain (count desc, custkey, day) so the limit
+    is deterministic under any partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_custkey", F.to_date("o_orderdate").alias("day")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("day_total"),
+        )
+        .where(F.col("n_orders") > 1)
+        .orderBy(F.desc("n_orders"), "o_custkey", "day")
+        .limit(20)
+    )
