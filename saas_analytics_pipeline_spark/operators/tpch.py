@@ -364,10 +364,11 @@ def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH big AS (
         SELECT l_orderkey,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+               CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+                   / 100 AS sum_qty
         FROM lineitem
         GROUP BY l_orderkey
-        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+        HAVING SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 15000
     )
     SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
            CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
@@ -391,11 +392,19 @@ def q_tpch_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # quantity in exact integer centi-units: 2-dp inputs make
+    # round(q*100) exact, and the per-order BIGINT sum is bounded by
+    # lines-per-order (~7) — long accumulators, never Int128 decimal
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(money("l_quantity")).alias("qty_dec"))
-        .where(F.col("qty_dec") > 150)
-        .select("l_orderkey", F.col("qty_dec").cast("double").alias("sum_qty"))
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100, 0).cast("bigint"))
+            .alias("q100")
+        )
+        .where(F.col("q100") > 15000)
+        .select(
+            "l_orderkey", (F.col("q100").cast("double") / 100).alias("sum_qty")
+        )
     )
     return (
         big.join(o, o.o_orderkey == big.l_orderkey)
