@@ -180,6 +180,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from saas_analytics_pipeline_spark import marts, staging  # noqa: F401
     from saas_analytics_pipeline_spark.operators import (  # noqa: F401
+        audits,
         cohorts,
         corpus,
         dedup,
