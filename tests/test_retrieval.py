@@ -234,3 +234,61 @@ def test_scd2_asof_join_attributes_each_purchase_once(spark, sf_dir):
 def test_same_day_orders_all_multi(spark, sf_dir):
     for r in q("q_same_day_orders")(spark, sf_dir).collect():
         assert r.n_orders > 1
+
+
+# ------------------------------------------------------------------ audits
+def test_abc_classes_partition_revenue(spark, sf_dir):
+    rows = {r.abc_class: r for r in q("q_abc_analysis")(spark, sf_dir).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    total_share = sum(r.rev_share for r in rows.values())
+    assert math.isclose(total_share, 1.0, abs_tol=5e-6)
+    # A covers at most 80%+one part, and more revenue than C
+    if "C" in rows:
+        assert rows["A"].rev_share >= rows["C"].rev_share
+
+
+def test_basket_lift_consistent_with_pairs(spark, sf_dir):
+    rows = q("q_basket_lift")(spark, sf_dir).collect()
+    for r in rows:
+        assert r.n_ab >= 2 and r.part_a < r.part_b
+        assert r.lift > 0 and 0 < r.confidence <= 1.0
+
+
+def test_minhash_pr_counts_consistent(spark, sf_dir):
+    row = q("q_minhash_pr")(spark, sf_dir).collect()[0]
+    assert row.tp >= 0 and row.fp >= 0 and row.fn >= 0
+    if row.tp + row.fp > 0:
+        assert math.isclose(row.precision, row.tp / (row.tp + row.fp), abs_tol=1e-6)
+    if row.tp + row.fn > 0:
+        assert math.isclose(row.recall, row.tp / (row.tp + row.fn), abs_tol=1e-6)
+
+
+def test_label_disagreement_bounded(spark, sf_dir):
+    rows = q("q_label_disagreement")(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "embeddings")
+    assert sum(r.n_vecs for r in rows) == e.count()  # every vector assigned
+    for r in rows:
+        assert 0.0 <= r.disagree_rate <= 1.0
+        assert r.n_disagree <= r.n_vecs
+
+
+def test_partition_volume_first_week_unflagged_logic(spark, sf_dir):
+    rows = q("q_partition_volume")(spark, sf_dir).collect()
+    assert rows[0].cnt7 == 0 and not rows[0].is_anomalous
+    for r in rows:
+        if r.is_anomalous:
+            assert r.n * r.cnt7 * 2 < r.sum7 or r.n * r.cnt7 > r.sum7 * 2
+
+
+def test_vocab_coverage_bounds(spark, sf_dir):
+    for r in q("q_vocab_coverage")(spark, sf_dir).collect():
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0.0 <= r.oov_rate <= 1.0
+
+
+def test_watermark_audit_drop_rate_consistent(spark, sf_dir):
+    rows = q("q_watermark_audit")(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.n_dropped <= r.n_events
+        assert math.isclose(r.drop_rate, round(r.n_dropped / r.n_events, 6), abs_tol=1e-9)
