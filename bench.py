@@ -53,7 +53,19 @@ HEADLINE_TPCH = [
     "q_tpch_order_priority",
 ]
 
-HEADLINE = HEADLINE_CORE + HEADLINE_TPCH
+# r04+: the LLM-pipeline heavies — inverted-index decontamination, TF-IDF,
+# cross-doc duplicate spans, the deterministic training shuffle, and BM25.
+# These are first-class deliverables; tracking them catches a regression in
+# the text-family plans (a lost pushdown, an accidental text shuffle).
+HEADLINE_CORPUS = [
+    "q_contamination",
+    "q_tf_idf",
+    "q_dup_span_fraction",
+    "q_train_shuffle",
+    "q_bm25",
+]
+
+HEADLINE = HEADLINE_CORE + HEADLINE_TPCH + HEADLINE_CORPUS
 
 
 def main() -> None:

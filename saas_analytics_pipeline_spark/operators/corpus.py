@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from saas_analytics_pipeline_spark.functions import EMAIL_RE, hash60, hash60_sql
 from saas_analytics_pipeline_spark.qcatalog import query
-from saas_analytics_pipeline_spark.sources import load_table
+from saas_analytics_pipeline_spark.sources import load_table, spread_for_fanout
 
 NGRAM_W = 5  # contamination n-gram width (words)
 EVAL_MOD = 10  # doc_id % EVAL_MOD == 0 -> held-out eval shard (10%)
@@ -97,7 +97,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs materialize ONLY on shared n-grams. The eval shard is a small
     fixed fraction, so Spark broadcasts its index (AQE converts; at a real
     100 TB corpus with a fixed benchmark suite the eval index is KBs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_fanout(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id",
         (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
@@ -792,7 +792,7 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise doc x doc blowup anywhere: duplication is measured per
     shingle, not per pair; cache/persist shx to collapse the two scans
     into one when the corpus scan dominates."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_fanout(load_table(spark, sf_dir, "documents"))
     shx = docs.select(
         "doc_id",
         "source",

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from saas_analytics_pipeline_spark.functions import hash60, hash60_sql
 from saas_analytics_pipeline_spark.qcatalog import query
-from saas_analytics_pipeline_spark.sources import load_table
+from saas_analytics_pipeline_spark.sources import load_table, spread_for_fanout
 
 N_PERM = 16  # minhash permutations
 N_BANDS = 4  # LSH bands (4 rows per band)
@@ -105,7 +105,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
     Scale: the only shuffle is the groupBy(doc_id) of (doc_id, h) pairs and
     every min is partial-aggregable map-side; text never shuffles."""
-    hashed = docs.select(
+    hashed = spread_for_fanout(docs).select(
         "doc_id", F.explode(shingles()).alias("shingle")
     ).select("doc_id", hash60("shingle").alias("h"))
     return hashed.groupBy("doc_id").agg(

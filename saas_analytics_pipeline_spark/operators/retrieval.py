@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from saas_analytics_pipeline_spark.operators.dedup import SHINGLES_SQL, shingles
 from saas_analytics_pipeline_spark.functions import hash60, hash60_sql
 from saas_analytics_pipeline_spark.qcatalog import query
-from saas_analytics_pipeline_spark.sources import load_table
+from saas_analytics_pipeline_spark.sources import load_table, spread_for_fanout
 
 # BM25 probe terms (pinned literals so the oracle replays the query);
 # standard Robertson/Sparck-Jones parameters.
@@ -160,6 +160,11 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. Ref surface: README.md:8 (marts layer) +
     BASELINE.json text-analysis extension."""
     docs = load_table(spark, sf_dir, "documents")
+    # measured: NO fan-out spread here — the token explode is ~150 short
+    # tokens/doc and the tf aggregate collapses map-side, so the
+    # conditional exchange (re-run for both tf consumers) costs more than
+    # the parallelism buys; the 5-gram shingle explodes are where
+    # spread_for_fanout pays (q_dup_span_fraction, q_containment)
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
@@ -369,7 +374,7 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB, drop hashes whose document frequency exceeds a ceiling
     (they contribute candidates, not evidence) — same discipline as
     q_dup_span_fraction's inverted index."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_fanout(load_table(spark, sf_dir, "documents"))
     sh = (
         docs.select("doc_id", F.explode(shingles()).alias("shingle"))
         .select("doc_id", hash60("shingle").alias("h"))

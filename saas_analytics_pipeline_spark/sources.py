@@ -130,3 +130,30 @@ def load_evolved(spark: SparkSession, path: str) -> DataFrame:
     Scale note: schema merging reads every file footer at planning time;
     on huge lakes pin the merged schema explicitly once discovered."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def spread_for_fanout(df: DataFrame) -> DataFrame:
+    """Redistribute a scan that cannot parallelize BEFORE a high-fan-out
+    per-row expansion (shingle/token explode).
+
+    The bench testdata writes each table as a single one-row-group parquet
+    file; a row group is unsplittable, so every downstream expression —
+    including a 150x shingle explode — runs in ONE task while 31 cores
+    idle (docs/SCALE.md "scan-parallelism ceiling"). The standard fix for
+    unsplittable inputs (same as gzipped text) is one round-robin
+    repartition of the RAW rows before the fan-out: it moves the corpus
+    exactly once at 1x volume (vs the 150x exploded volume a later
+    key-shuffle would carry) and unlocks full parallelism for the
+    expansion.
+
+    On a real lake the scan arrives in many splits and this is a NO-OP
+    (the guard below) — so the 100 TB invariant "text never key-shuffles"
+    still holds: the only Exchange that may carry text is this
+    conditional, volume-neutral spread, and only on degenerate layouts.
+    Results are partition-order-independent for every catalog query by
+    design, so the redistribution cannot change any value."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
