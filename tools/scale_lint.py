@@ -56,6 +56,17 @@ ALLOW_NESTED_LOOP: dict[str, str] = {
     "q_pareto": "single-row revenue-total frame",
     "q_similarity_ivf": "routed queries x centroid table (queries x n_probe, bounded)",
     "q_fuzzy_match": "mod-500 demo slice; docstring documents blocking as the scale path",
+    # round-4 additions
+    "q_basket_lift": "single-row order-count total broadcast",
+    "q_bm25": "two 1-row stat frames (corpus stats + per-term dfs)",
+    "q_hard_negatives": "bounded anchor batch broadcast (training-batch-sized; ANN-cell pruning is the 100 TB path)",
+    "q_minhash_pr": "validation-slice pair join (bounded sample by construction, same slice as q_sketch_error)",
+    "q_ri_matrix": "per-edge 1-row count frames crossJoined (|edges| rows total)",
+    "q_fx_triangulate": "seed x seed cross rates (|currencies|^2, both dim-sized by seed contract)",
+    "q_ks_test": "single-row n1/n2 totals beside the bounded histogram",
+    "q_semdedup_curve": "single-row threshold-counter reduce",
+    "q_containment": "single-row frames only if AQE folds; pair join itself is hash-keyed on shingle hash",
+    "q_scd2_asof_join": "equi hash join with residual range predicate (no NL at any size)",
 }
 
 # Queries allowed a global (partition-less) window: the window input is an
@@ -89,6 +100,12 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_chi_square": "|event types| x 7 cell grid (enum-sized)",
     "q_rfm": "customer-grain NTILE quartiles (dim-sized; range-sort at scale)",
     "q_skew_check": "customer-grain percent_rank (dim-sized; range-sort at scale)",
+    # round-4 additions
+    "q_abc_analysis": "part-grain cumulative revenue (dim-sized; range-sort at scale)",
+    "q_churn": "per-month aggregate (calendar-bounded)",
+    "q_ks_test": "quantized CDF histogram (bin width bounds rows to hundreds)",
+    "q_partition_volume": "per-day aggregate (calendar-bounded)",
+    "q_ltv": "cohort x offset aggregate (months^2-bounded)",
 }
 
 SMELL_RE = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
