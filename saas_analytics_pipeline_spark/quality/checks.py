@@ -672,3 +672,67 @@ def q_same_day_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "o_custkey", "day")
         .limit(20)
     )
+
+
+# Join keys audited for skew: (edge label, table, key column). The skew
+# rule (top orgs dominate orders, data_gen/pseudo_code_rules.txt:2-10)
+# makes these the keys where a hot shuffle partition would appear.
+SKEW_KEYS: list[tuple[str, str, str]] = [
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("events.user_id", "events", "user_id"),
+]
+
+
+@query(
+    "q_key_skew",
+    oracle="\n    UNION ALL ".join(
+        f"""SELECT '{label}' AS key_name,
+               (SELECT COUNT(*) FROM {tbl}) AS n_rows,
+               COUNT(*) AS n_keys,
+               MAX(sz) AS max_group,
+               round(CAST(MAX(sz) * COUNT(*) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM {tbl}), 3) AS skew_ratio
+        FROM (SELECT {col}, COUNT(*) AS sz FROM {tbl} GROUP BY {col})
+        """
+        for label, tbl, col in SKEW_KEYS
+    )
+    + " ORDER BY key_name",
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report: for every hot join key, the group-size
+    distribution summary and a skew ratio (largest group vs uniform
+    share) — the pre-flight audit that decides whether a join needs AQE
+    skew handling or salting (operators/skew.py) BEFORE the shuffle
+    stalls. Ref: skew rule data_gen/pseudo_code_rules.txt:2-10.
+
+    Scale: per key, one map-side-combinable (key, count) aggregate, then
+    a 4-long-column rollup — no windows, no joins; the per-key jobs
+    share nothing and parallelize. skew_ratio = max_group x n_keys /
+    n_rows: 1.0 is perfectly uniform; AQE's skewedPartitionFactor
+    default (5.0) is the action threshold."""
+    out = None
+    for label, tbl, col in SKEW_KEYS:
+        df = load_table(spark, sf_dir, tbl)
+        sizes = df.groupBy(col).agg(F.count("*").alias("sz"))
+        total = df.agg(F.count("*").alias("n_rows"))
+        row = (
+            sizes.agg(
+                F.count("*").alias("n_keys"), F.max("sz").alias("max_group")
+            )
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(label).alias("key_name"),
+                "n_rows",
+                "n_keys",
+                "max_group",
+                F.round(
+                    (F.col("max_group") * F.col("n_keys")).cast("double")
+                    / F.col("n_rows"),
+                    3,
+                ).alias("skew_ratio"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("key_name")
