@@ -98,17 +98,21 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed fraction, so Spark broadcasts its index (AQE converts; at a real
     100 TB corpus with a fixed benchmark suite the eval index is KBs)."""
     docs = spread_for_fanout(load_table(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id",
-        (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
-        F.explode(word_ngrams()).alias("g"),
-    ).select("doc_id", "is_eval", hash60("g").alias("h"))
+    # the eval/corpus split happens BELOW the explode: each branch expands
+    # only its own slice, so the total n-gram fan-out is 1x the corpus
+    # (filtering an already-exploded shared frame would explode everything
+    # twice — once per consumer — since Spark re-executes shared subplans)
+    def _index(side: DataFrame) -> DataFrame:
+        return side.select(
+            "doc_id", F.explode(word_ngrams()).alias("g")
+        ).select("doc_id", hash60("g").alias("h"))
+
     ev = (
-        sh.where("is_eval")
-        .select(F.col("doc_id").alias("eval_doc"), "h")
+        _index(docs.where(F.col("doc_id") % EVAL_MOD == 0))
+        .withColumnRenamed("doc_id", "eval_doc")
         .distinct()
     )
-    co = sh.where(~F.col("is_eval")).select("doc_id", "h").distinct()
+    co = _index(docs.where(F.col("doc_id") % EVAL_MOD != 0)).distinct()
     # the eval index here is a MODULO fraction of the corpus (sf-scaled),
     # unlike a real fixed benchmark suite — so no hard hint; AQE broadcasts
     # it at any realistic eval-set size
