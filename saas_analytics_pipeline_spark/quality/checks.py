@@ -736,3 +736,63 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("key_name")
+
+
+K_ANON = 5
+ACCTBAL_BUCKET = 1000
+
+
+@query(
+    "q_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / {ACCTBAL_BUCKET}) AS BIGINT) AS bal_band,
+               COUNT(*) AS sz
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) FILTER (WHERE sz < {K_ANON}) AS BIGINT)
+               AS n_small_groups,
+           CAST(COALESCE(SUM(sz) FILTER (WHERE sz < {K_ANON}), 0) AS BIGINT)
+               AS n_exposed_rows,
+           CAST(MIN(sz) AS BIGINT) AS min_group,
+           round(CAST(COALESCE(SUM(sz) FILTER (WHERE sz < {K_ANON}), 0)
+                      AS DOUBLE) / CAST(SUM(sz) AS DOUBLE), 6)
+               AS exposed_share
+    FROM qi
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers: how many (nation,
+    segment, balance-band) equivalence classes hold fewer than k={K_ANON}
+    customers — rows in those classes are re-identifiable by the
+    quasi-identifier combination alone. The structural privacy check
+    beside the content checks (q_pii_scan finds leaked values; this finds
+    rows exposed by AGGREGATE shape), feeding the same publish gate as
+    the reference's PII test (README.md:59).
+
+    Scale: one hash-aggregate to the quasi-identifier grain (map-side
+    combinable), then a 5-column rollup over the |classes|-row frame —
+    no window, no join. The balance band is integer floor division, so
+    class assignment cannot drift between engines. min_group is the
+    published k of the dataset; suppression/generalization acts on the
+    small-class list this same frame yields."""
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / ACCTBAL_BUCKET).cast("bigint").alias("bal_band"),
+    ).agg(F.count("*").alias("sz"))
+    small = F.col("sz") < K_ANON
+    exposed = F.coalesce(F.sum(F.when(small, F.col("sz"))), F.lit(0))
+    return qi.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.count(F.when(small, 1)).cast("bigint").alias("n_small_groups"),
+        exposed.cast("bigint").alias("n_exposed_rows"),
+        F.min("sz").cast("bigint").alias("min_group"),
+        F.round(
+            exposed.cast("double") / F.sum("sz").cast("double"), 6
+        ).alias("exposed_share"),
+    )
