@@ -292,3 +292,22 @@ def test_watermark_audit_drop_rate_consistent(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_dropped <= r.n_events
         assert math.isclose(r.drop_rate, round(r.n_dropped / r.n_events, 6), abs_tol=1e-9)
+
+
+def test_k_anonymity_consistency(spark, sf_dir):
+    row = q("q_k_anonymity")(spark, sf_dir).collect()[0]
+    c = load_table(spark, sf_dir, "customer")
+    assert row.n_small_groups <= row.n_groups
+    assert row.n_exposed_rows <= c.count()
+    assert 0.0 <= row.exposed_share <= 1.0
+    assert row.min_group >= 1
+
+
+def test_key_skew_detects_injected_order_skew(spark, sf_dir):
+    rows = {r.key_name: r for r in q("q_key_skew")(spark, sf_dir).collect()}
+    from saas_analytics_pipeline_spark.quality.checks import SKEW_KEYS
+
+    assert len(rows) == len(SKEW_KEYS)
+    for r in rows.values():
+        assert r.skew_ratio >= 1.0 - 1e-9  # max >= mean always
+        assert r.max_group * r.n_keys >= r.n_rows
