@@ -530,3 +530,108 @@ def test_near_dup_pipeline_invariants_for_any_corpus(spark, docs):
         inter = len(sets[a] & sets[b])
         union = len(sets[a] | sets[b])
         assert abs(j - inter / union) < 1e-12, (a, b)
+
+
+# ---------------------------------------------------------------- round 4
+# KS on a quantized grid: identical samples always give D == 0; disjoint
+# supports always give D == 1 (for any bin width that separates them).
+ks_samples = st.lists(
+    st.integers(min_value=0, max_value=50), min_size=1, max_size=15
+)
+
+
+@SETTINGS
+@given(vals=ks_samples)
+def test_ks_identical_samples_always_zero(spark, vals):
+    rows = [(p, float(v) * 1000) for v in vals for p in ("1-URGENT", "5-LOW")]
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_totalprice double")
+    g = df.groupBy(
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("c1"),
+        F.count(F.when(F.col("o_orderpriority") == "5-LOW", 1)).alias("c2"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = g.select(
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    d = cum.agg(
+        F.max(
+            F.abs(
+                F.col("cum1").cast("double") / F.col("n1")
+                - F.col("cum2").cast("double") / F.col("n2")
+            )
+        )
+    ).collect()[0][0]
+    assert d == 0.0
+
+
+# HHI: equal shares over n entities == exactly 1/n (the lower bound);
+# a single entity == 1 (the upper bound). Σrev²/(Σrev)² identity.
+@SETTINGS
+@given(
+    n=st.integers(min_value=1, max_value=12),
+    amount=st.integers(min_value=1, max_value=10_000),
+)
+def test_hhi_equal_shares_hits_lower_bound(spark, n, amount):
+    rows = [(i, float(amount)) for i in range(n)]
+    df = spark.createDataFrame(rows, "cust int, rev double")
+    per = df.groupBy("cust").agg(
+        F.sum(F.col("rev").cast("decimal(18,2)")).alias("rev")
+    )
+    got = per.agg(
+        (
+            F.sum((F.col("rev") * F.col("rev")).cast("decimal(38,4)")).cast(
+                "double"
+            )
+            / (F.sum("rev").cast("double") * F.sum("rev").cast("double"))
+        ).alias("hhi")
+    ).collect()[0].hhi
+    assert abs(got - 1.0 / n) < 1e-12
+
+
+# ABC classification: classes partition the parts, shares sum to 1, and
+# the A-class cumulative share is the smallest prefix reaching 80%.
+@SETTINGS
+@given(
+    revs=st.lists(
+        st.integers(min_value=1, max_value=100_000), min_size=1, max_size=20
+    )
+)
+def test_abc_partitions_any_revenue_vector(spark, revs):
+    rows = [(i, r) for i, r in enumerate(revs)]
+    df = spark.createDataFrame(rows, "part int, rev6 long")
+    wcum = Window.orderBy(F.desc("rev6"), "part").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    classed = df.select(
+        "rev6",
+        F.when(
+            F.sum("rev6").over(wcum) * 100 <= F.sum("rev6").over(wall) * 80,
+            "A",
+        )
+        .when(
+            F.sum("rev6").over(wcum) * 100 <= F.sum("rev6").over(wall) * 95,
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc"),
+    )
+    out = classed.groupBy("abc").agg(
+        F.count("*").alias("n"), F.sum("rev6").alias("rev")
+    ).collect()
+    assert sum(r.n for r in out) == len(revs)
+    total = sum(revs)
+    shares = {r.abc: r.rev / total for r in out}
+    # C always exists (the last part never fits under 95% unless alone)
+    if "A" in shares:
+        assert shares["A"] <= 0.8 + 1e-12
