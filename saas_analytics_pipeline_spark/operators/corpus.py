@@ -802,14 +802,19 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.array_distinct(word_ngrams())).alias("sh"),
     )
-    dfc = shx.groupBy("sh").agg(F.count("*").cast("long").alias("ndocs"))
-    per_doc = (
-        shx.join(dfc, "sh")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count("*").alias("n_sh"),
-            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias("n_dup"),
-        )
+    # document frequency via a window over the shingle key instead of a
+    # groupBy + join-back: ONE corpus explode and one exchange (the join
+    # formulation explodes the corpus twice — Spark re-executes the shared
+    # subplan for each consumer — and shuffles it twice). Same skew
+    # exposure as the join (both key on the shingle); the hot-shingle cap
+    # note below applies identically.
+    w = Window.partitionBy("sh")
+    flagged = shx.select(
+        "doc_id", "source", (F.count("*").over(w) >= 2).alias("is_dup")
+    )
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_sh"),
+        F.sum(F.col("is_dup").cast("int")).alias("n_dup"),
     )
     ratio = F.col("n_dup").cast("double") / F.col("n_sh")
     frac = per_doc.select(
