@@ -398,3 +398,191 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "q_conversion_lag",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'view') AS first_view,
+               MIN(ts) FILTER (WHERE event_type = 'purchase') AS first_buy
+        FROM events GROUP BY user_id
+    ),
+    lags AS (
+        SELECT CAST(floor(date_diff('second', first_view, first_buy)
+                          / 3600.0) AS BIGINT) AS lag_hours
+        FROM firsts
+        WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+          AND first_buy >= first_view
+    )
+    SELECT lag_hours, COUNT(*) AS n_users
+    FROM lags GROUP BY lag_hours ORDER BY lag_hours
+    """,
+)
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert histogram: hours between a user's first view and
+    first purchase (converters only) — the funnel's latency dimension
+    (q_funnel counts WHO converts; this measures HOW LONG it takes).
+    Ref: funnel marts README.md:9,38.
+
+    Scale: conditional MINs collapse the event stream to one row per user
+    map-side; the lag and its hour bucket are scan-local integer math on
+    that user-grain frame; the histogram re-aggregates to |buckets| rows.
+    No window anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_buy"
+        ),
+    )
+    lag_hours = F.floor(
+        (
+            F.unix_timestamp("first_buy") - F.unix_timestamp("first_view")
+        ).cast("double")
+        / 3600.0
+    ).cast("bigint")
+    return (
+        firsts.where(
+            F.col("first_view").isNotNull()
+            & F.col("first_buy").isNotNull()
+            & (F.col("first_buy") >= F.col("first_view"))
+        )
+        .select(lag_hours.alias("lag_hours"))
+        .groupBy("lag_hours")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("lag_hours")
+    )
+
+
+AGE_BANDS = [(0, 180), (181, 365), (366, 730), (731, 100000)]
+
+
+@query(
+    "q_backlog_aging",
+    oracle="""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
+    open_orders AS (
+        SELECT o_orderpriority,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(a.max_d AS DATE)) AS age_days,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        FROM orders CROSS JOIN anchor a
+        WHERE o_orderstatus <> 'F'
+    )
+    SELECT o_orderpriority,
+           CASE WHEN age_days <= 180 THEN '0-180'
+                WHEN age_days <= 365 THEN '181-365'
+                WHEN age_days <= 730 THEN '366-730'
+                ELSE '731+' END AS age_band,
+           COUNT(*) AS n_orders,
+           CAST(SUM(v) AS DOUBLE) AS open_value
+    FROM open_orders
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: unfinished orders banded by age at the
+    lake's as-of date, per priority, with the open value at risk — the
+    operations mart behind "how stale is the backlog". Ref: operations
+    marts README.md:9.
+
+    Scale: the anchor (global max date) is a 1-row broadcast; band
+    assignment is scan-local integer day math (no float compare can move
+    an order across a band); one map-side-combinable aggregate to
+    |priorities| x |bands| rows. Exact decimal value sums."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("max_d"))
+    age = F.datediff(F.to_date("max_d"), F.to_date("o_orderdate"))
+    band = (
+        F.when(age <= 180, "0-180")
+        .when(age <= 365, "181-365")
+        .when(age <= 730, "366-730")
+        .otherwise("731+")
+    )
+    from saas_analytics_pipeline_spark.functions import money
+
+    return (
+        o.where(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy("o_orderpriority", band.alias("age_band"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("open_value"),
+        )
+        .orderBy("o_orderpriority", "age_band")
+    )
+
+
+@query(
+    "q_price_variance",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                    AS DECIMAL(38,0)) AS sx,
+               SUM(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                        * CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                        AS DECIMAL(38,0))) AS sxx
+        FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 5
+    )
+    SELECT l_partkey, n,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100 AS mean_price,
+           sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / CAST(sx AS DOUBLE)
+               AS cv
+    FROM per_part
+    ORDER BY cv DESC, l_partkey LIMIT 20
+    """,
+)
+def q_price_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-consistency audit: parts whose line price varies most
+    (coefficient of variation from exact integer power sums) — surfaces
+    mispriced SKUs / unit mix-ups, the pricing sibling of the negative-
+    price DQ rule (README.md:55).
+
+    Scale: per-part n / Σx / Σx² in exact cents — map-side-combinable
+    partials; the row-level square is BIGINT x BIGINT cast to DECIMAL
+    before the sum (a 30k-line part at 100 TB would overflow a raw long
+    sum of squares). The CV algebra (n·Σx² − Σx²) runs once per part on
+    exact decimals; cv = sqrt(...)/Σx so the mean never materializes as a
+    rounded intermediate. Top-20 is TakeOrderedAndProject with a partkey
+    tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(pc).cast("decimal(38,0)").alias("sx"),
+            F.sum((pc * pc).cast("decimal(38,0)")).alias("sxx"),
+        )
+        .where(F.col("n") >= 5)
+    )
+    return (
+        per_part.select(
+            "l_partkey",
+            "n",
+            # deliberately UNROUNDED doubles: both are pure functions of
+            # exact integer sums, so the bit pattern is engine-identical —
+            # while round() at a cent-half boundary is NOT (Spark rounds
+            # the exact decimal value HALF_UP; DuckDB rounds the scaled
+            # double, which can land on the other side of the half)
+            (
+                F.col("sx").cast("double") / F.col("n").cast("double") / 100
+            ).alias("mean_price"),
+            (
+                F.sqrt(
+                    (
+                        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                )
+                / F.col("sx").cast("double")
+            ).alias("cv"),
+        )
+        .orderBy(F.desc("cv"), "l_partkey")
+        .limit(20)
+    )
