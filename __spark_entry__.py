@@ -24,8 +24,13 @@ from saas_analytics_pipeline_spark import qcatalog  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: daily revenue by customer
-    nation — star join (orders -> customer -> nation, dims broadcast) +
-    exact-decimal aggregation. Driver checks rows > 0."""
+    nation — star join (orders -> customer -> nation) + exact-decimal
+    aggregation. Driver checks rows > 0.
+
+    Broadcast policy (same as operators/joins.py): only the constant-size
+    nation dim (25 rows) carries a hard hint; customer is sf-scaled, so
+    AQE decides its join side at runtime — a forced broadcast would blow
+    the 8 GB limit at the 100 TB target."""
     from pyspark.sql import functions as F
 
     from saas_analytics_pipeline_spark.functions import money_sum
@@ -36,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", F.col("o_orderdate").cast("date").alias("order_date"))
         .agg(
