@@ -42,6 +42,15 @@ def seed_path(name: str) -> str:
     return str(SEED_DIR / f"{name}.csv")
 
 
+# Validated-seed cache, keyed by (SparkContext, resolved path): the
+# CSV-contract validation (cached scan + three actions) costs seconds per
+# load while a seed file is immutable for a session's lifetime — same
+# contract as sources._RELATION_CACHE. Keying by path (not name) keeps a
+# redirected SEED_DIR (tests, alternate seed sets) from hitting a stale
+# entry.
+_SEED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_seed(spark: SparkSession, name: str) -> DataFrame:
     """Load a seed CSV under its declared schema; raise if any row is
     malformed (a broken seed must fail the build, dbt-seed semantics).
@@ -51,6 +60,10 @@ def load_seed(spark: SparkSession, name: str) -> DataFrame:
     seed is dim-sized by contract so the collect is a few KB. The returned
     frame carries no CSV scan, which also sidesteps Spark's restriction on
     corrupt-record-only projections."""
+    key = (spark.sparkContext.applicationId, seed_path(name))
+    cached = _SEED_CACHE.get(key)
+    if cached is not None:
+        return cached
     load = load_csv_contract(spark, seed_path(name), SEED_SCHEMAS[name])
     # Materialize the cached scan once; both branch reads below hit it.
     load.base.count()
@@ -59,7 +72,27 @@ def load_seed(spark: SparkSession, name: str) -> DataFrame:
     load.unpersist()
     if bad:
         raise ValueError(f"seed {name!r} has malformed rows")
-    return spark.createDataFrame(rows, SEED_SCHEMAS[name])
+    # Return a pure-JVM VALUES LocalRelation, NOT createDataFrame(rows):
+    # a Python-list frame executes as a pickled-object RDD that launches a
+    # Python worker on EVERY downstream action (measured ~5 s to collect
+    # 5 rows; a seed x seed cartesian pays it per side), and parallelizes
+    # a 5-row seed into defaultParallelism slices (32 x 32 near-empty
+    # cartesian tasks). The VALUES form stays in whole-stage codegen,
+    # broadcasts cleanly, and costs microseconds. Seed cells are strings
+    # by contract (SEED_SCHEMAS), quoted with SQL escaping.
+    schema = SEED_SCHEMAS[name]
+    cols = ", ".join(f.name for f in schema.fields)
+
+    def lit(v: str | None) -> str:
+        return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
+
+    values = ", ".join(
+        "(" + ", ".join(lit(row[f.name]) for f in schema.fields) + ")"
+        for row in rows
+    )
+    out = spark.sql(f"SELECT * FROM (VALUES {values}) AS t({cols})")
+    _SEED_CACHE[key] = out
+    return out
 
 
 def oracle_read_csv(name: str) -> str:
