@@ -369,10 +369,15 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the play is binning both sides to an equi-join key first; a genuine
     theta join of two facts does not survive 100 TB.)"""
     o = load_table(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
-        [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
-         ("high", 150000.0, 1000000.0)],
-        "band string, lo double, hi double",
+    # pure-JVM VALUES relation (a Python-list createDataFrame executes as
+    # a pickled-object RDD: Python worker launch per action + a 32-slice
+    # local side that multiplies the nested-loop partition count)
+    bands = spark.sql(
+        """SELECT * FROM (VALUES
+             ('low',  CAST(0.0 AS DOUBLE),      CAST(50000.0 AS DOUBLE)),
+             ('mid',  CAST(50000.0 AS DOUBLE),  CAST(150000.0 AS DOUBLE)),
+             ('high', CAST(150000.0 AS DOUBLE), CAST(1000000.0 AS DOUBLE))
+           ) AS t(band, lo, hi)"""
     )
     return (
         o.join(

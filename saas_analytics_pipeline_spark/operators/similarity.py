@@ -260,9 +260,15 @@ def ivf_topk(
     Per-query work is ~ n_probe/n_cells of the corpus; the centroid routing
     table is a broadcast literal (n_cells rows)."""
     spark = queries_df.sparkSession
-    cent = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)],
-        "cell int, centroid array<double>",
+    # pure-JVM VALUES relation: a Python-list frame would launch a Python
+    # worker on every downstream action (see seeds.load_seed)
+    cent_rows = ", ".join(
+        f"({i}, array({', '.join(repr(float(x)) for x in c)}))"
+        for i, c in enumerate(centroids)
+    )
+    cent = spark.sql(
+        f"SELECT CAST(cell AS INT) AS cell, centroid "
+        f"FROM (VALUES {cent_rows}) AS t(cell, centroid)"
     )
     q = queries_df.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
