@@ -90,10 +90,12 @@ def main() -> None:
     for name in HEADLINE:
         run(qs[name](spark, sf_dir))
 
-    # two timed passes, keep the per-query MIN: the steady-state number,
+    # three timed passes, keep the per-query MIN: the steady-state number,
     # robust to interference from co-tenant processes on the bench host
+    # (observed: a co-tenant load spike inflates every query ~60% — the
+    # per-query min across passes is the stable signal)
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             run(qs[name](spark, sf_dir))
