@@ -35,3 +35,22 @@ def test_ci_gate_red_when_detector_silent(spark, sf_dir, tmp_path, monkeypatch):
     ok, lines = ci.run_gate(spark, sf_dir, str(tmp_path / "wh"))
     assert not ok
     assert any("detector went silent" in line for line in lines)
+
+
+def test_bench_headline_keys_exist():
+    """bench.py's headline set must name real catalog keys — a rename
+    that orphaned a bench key would crash the driver's per-round bench."""
+    import bench
+    from saas_analytics_pipeline_spark import qcatalog
+
+    qcatalog.load_all()
+    missing = [k for k in bench.HEADLINE if k not in qcatalog.QUERIES]
+    assert not missing, missing
+
+
+def test_window_priority_and_reverify_name_real_keys():
+    from saas_analytics_pipeline_spark import qcatalog
+
+    qcatalog.load_all()
+    assert set(qcatalog.WINDOW_PRIORITY) <= set(qcatalog.QUERIES)
+    assert set(qcatalog.REVERIFY) <= set(qcatalog.QUERIES)
