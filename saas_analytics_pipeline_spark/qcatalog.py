@@ -115,6 +115,11 @@ WINDOW_PRIORITY: list[str] = [
 REVERIFY: dict[str, str] = {
     # r03 rows-only; r04 ships a recursive-CTE connected-components oracle
     "q_dedup_clusters": "r03",
+    # r04 rewrote the money math to exact integer micro-units (both Spark
+    # and oracle): totals are the same exact rationals but the final
+    # double can differ in the last ulp from the r02-verified decimal
+    # path, so the old green row no longer certifies today's values
+    "q_join_payments_orders": "r03",
 }
 
 
