@@ -93,8 +93,10 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the rows a curation pipeline drops (or flags) before training.
 
     Scale: classic inverted-index join. Each side reduces to distinct
-    (doc_id, ngram-hash60) pairs — text never shuffles — and candidate
-    pairs materialize ONLY on shared n-grams. The eval shard is a small
+    (doc_id, ngram-hash60) pairs — text never KEY-shuffles (the one
+    Exchange that may carry text is the conditional volume-neutral
+    pre-explode spread, a no-op on multi-file lakes; sources.py) — and
+    candidate pairs materialize ONLY on shared n-grams. The eval shard is a small
     fixed fraction, so Spark broadcasts its index (AQE converts; at a real
     100 TB corpus with a fixed benchmark suite the eval index is KBs)."""
     docs = spread_for_fanout(load_table(spark, sf_dir, "documents"))
@@ -788,14 +790,15 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bit-identical), rounded to 8 decimals and DECIMAL-summed across docs
     — exact addition, order-free (q_char_entropy pattern).
 
-    Scale: the inverted-index pattern (q_dedup_ngram) — (doc, shingle)
-    pairs shuffle on shingle to learn document frequency; raw text never
-    moves past the scan-side explode, and the two branches read
-    column-pruned scans (the frequency branch reads only `text`). Shingle
-    doc-frequency tables are Zipf-bounded and broadcast when small. No
-    pairwise doc x doc blowup anywhere: duplication is measured per
-    shingle, not per pair; cache/persist shx to collapse the two scans
-    into one when the corpus scan dominates."""
+    Scale: the inverted-index pattern (q_dedup_ngram) — ONE corpus
+    explode, one exchange on the shingle key, document frequency via a
+    window over that key (the groupBy + join-back formulation explodes
+    and shuffles the corpus twice). Text moves at most once, through the
+    conditional volume-neutral pre-explode spread (no-op on multi-file
+    lakes). No pairwise doc x doc blowup anywhere: duplication is
+    measured per shingle, not per pair; a hot boilerplate shingle makes
+    one big window partition — cap or drop shingles above a
+    document-frequency ceiling at scale, same as q_containment."""
     docs = spread_for_fanout(load_table(spark, sf_dir, "documents"))
     shx = docs.select(
         "doc_id",

@@ -103,8 +103,10 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     """Wide signatures: (doc_id, mh0..mh{N_PERM-1}) where
     mh_j = min over shingles of (hash60(shingle) XOR salt_j).
 
-    Scale: the only shuffle is the groupBy(doc_id) of (doc_id, h) pairs and
-    every min is partial-aggregable map-side; text never shuffles."""
+    Scale: the only KEY shuffle is the groupBy(doc_id) of (doc_id, h)
+    pairs and every min is partial-aggregable map-side; text moves at most
+    once, through the conditional volume-neutral pre-explode spread
+    (a no-op on multi-file lakes; sources.spread_for_fanout)."""
     hashed = spread_for_fanout(docs).select(
         "doc_id", F.explode(shingles()).alias("shingle")
     ).select("doc_id", hash60("shingle").alias("h"))
