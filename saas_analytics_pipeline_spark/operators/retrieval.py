@@ -454,3 +454,120 @@ def q_semdedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in SEM_THRESHOLDS
     ]
     return pairs.agg(*aggs)
+
+
+CLUSTER_SAMPLE_K = 5
+
+
+@query(
+    "q_cluster_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT label, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY label
+                   ORDER BY {hash60_sql("'cs:' || CAST(vec_id AS VARCHAR)")},
+                            vec_id
+               ) AS rnk
+        FROM embeddings
+    )
+    SELECT label, vec_id, rnk FROM ranked WHERE rnk <= {CLUSTER_SAMPLE_K}
+    ORDER BY label, rnk
+    """,
+)
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling: exactly k vectors per coarse cell
+    (label = IVF/cluster id), chosen by content-independent hash rank —
+    the deterministic diversity sample behind "inspect k examples per
+    cluster" and cluster-stratified eval sets. The embedding-space twin
+    of q_reservoir_per_key; hash-ranked so the sample survives retries
+    and repartitioning (rand() does not).
+
+    Scale: one rank window per cell over (hash, id) pairs — embeddings
+    themselves never shuffle; with a pathologically hot cell, two-phase
+    top-k (per-partition prefilter, then rank survivors) slots in, same
+    as q_reservoir_per_key."""
+    from saas_analytics_pipeline_spark.functions import hash60 as _h60
+
+    e = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        _h60(F.concat(F.lit("cs:"), F.col("vec_id").cast("string"))),
+        "vec_id",
+    )
+    return (
+        e.select("label", "vec_id", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= CLUSTER_SAMPLE_K)
+        .orderBy("label", "rnk")
+    )
+
+
+@query(
+    "q_doc_length_percentiles",
+    oracle="""
+    WITH lens AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_tok, doc_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM lens
+    )
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT)
+                         THEN n_tok END) AS BIGINT) AS p50_tokens,
+           CAST(MAX(CASE WHEN rnk = CAST(ceil(0.9 * n) AS BIGINT)
+                         THEN n_tok END) AS BIGINT) AS p90_tokens
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def q_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length percentiles (p50/p90 in tokens) by
+    EXACT discrete rank selection — the length-profile block of a dataset
+    card (q_dataset_card reports the mean; tails are what length gates
+    actually cut on). rank = ceil(p·n) with a doc_id tie-break, so both
+    engines select the identical row.
+
+    Scale: rank windows partition by source (co-partitioned with the
+    aggregate; no global window). Exact selection is the audit twin — at
+    100 TB swap in approx_percentile (mergeable sketch), the same
+    contract as q_percentiles / q_median_mode."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    wr = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = lens.select(
+        "source",
+        "n_tok",
+        F.row_number().over(wr).alias("rnk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    def pick(p: float, alias: str) -> F.Column:
+        return (
+            F.max(
+                F.when(
+                    F.col("rnk")
+                    == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                    F.col("n_tok"),
+                )
+            )
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            pick(0.5, "p50_tokens"),
+            pick(0.9, "p90_tokens"),
+        )
+        .orderBy("source")
+    )
