@@ -68,6 +68,7 @@ ALLOW_NESTED_LOOP: dict[str, str] = {
     "q_containment": "single-row frames only if AQE folds; pair join itself is hash-keyed on shingle hash",
     "q_scd2_asof_join": "equi hash join with residual range predicate (no NL at any size)",
     "q_key_skew": "per-key 1-row total frames crossJoined (|keys| rows total)",
+    "q_backlog_aging": "single-row as-of anchor (global max orderdate) broadcast",
 }
 
 # Queries allowed a global (partition-less) window: the window input is an
