@@ -311,3 +311,39 @@ def test_key_skew_detects_injected_order_skew(spark, sf_dir):
     for r in rows.values():
         assert r.skew_ratio >= 1.0 - 1e-9  # max >= mean always
         assert r.max_group * r.n_keys >= r.n_rows
+
+
+def test_cluster_sample_exact_k_per_cell(spark, sf_dir):
+    from saas_analytics_pipeline_spark.operators.retrieval import (
+        CLUSTER_SAMPLE_K,
+    )
+
+    rows = q("q_cluster_sample")(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "embeddings")
+    cell_sizes = {
+        r.label: r["count"] for r in e.groupBy("label").count().collect()
+    }
+    per_cell = {}
+    for r in rows:
+        per_cell.setdefault(r.label, []).append(r.rnk)
+    for label, ranks in per_cell.items():
+        expect = min(CLUSTER_SAMPLE_K, cell_sizes[label])
+        assert sorted(ranks) == list(range(1, expect + 1))
+    assert set(per_cell) == set(cell_sizes)
+
+
+def test_doc_length_percentiles_ordered_and_within_range(spark, sf_dir):
+    rows = q("q_doc_length_percentiles")(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = {
+        r.source: (r["mn"], r["mx"])
+        for r in docs.groupBy("source")
+        .agg(
+            F.min(F.size(F.split("text", " "))).alias("mn"),
+            F.max(F.size(F.split("text", " "))).alias("mx"),
+        )
+        .collect()
+    }
+    for r in rows:
+        mn, mx = bounds[r.source]
+        assert mn <= r.p50_tokens <= r.p90_tokens <= mx
