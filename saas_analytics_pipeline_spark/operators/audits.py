@@ -75,11 +75,14 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the fact collapses to part grain first (exact integer 1e-6
     units, BIGINT per-part partials bounded by lines-per-part); the
     cumulative window runs over the |parts|-row aggregate — dim-sized,
-    range-sort at 100 TB. Class boundaries are integer cross-multiplies
-    (cum*100 <= total*80), so no float compare can flip a part's class
+    range-sort at 100 TB. Class boundaries are exact integer
+    cross-multiplies (cum*5 <= total*4 for the 80% cut, cum*20 <=
+    total*19 for 95%), so no float compare can flip a part's class
     between engines. Per-part rev6 stays well under the long ceiling
-    (< 1.2e11 per line x bounded lines/part); the class rollup re-sums as
-    DECIMAL via the window's BIGINT -> the final share division."""
+    (< 1.2e11 per line x bounded lines/part), but the CUMULATIVE and
+    TOTAL sums span the whole fact (~1e22 micro-units at 100 TB), so the
+    window sums and the class rollup run in DECIMAL(38,0) — same combine
+    as q_tpch_pricing / q_join_payments_orders."""
     li = load_table(spark, sf_dir, "lineitem")
     pc = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
     d4 = F.round(F.col("l_discount") * 10000, 0).cast("bigint")
@@ -92,16 +95,17 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    rev_dec = F.col("rev6").cast("decimal(38,0)")
     ranked = per_part.select(
         "rev6",
-        F.sum("rev6").over(wcum).alias("cum"),
-        F.sum("rev6").over(wall).alias("total"),
+        F.sum(rev_dec).over(wcum).alias("cum"),
+        F.sum(rev_dec).over(wall).alias("total"),
     )
     classed = ranked.select(
         "rev6",
         "total",
-        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
-        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
         .otherwise("C")
         .alias("abc_class"),
     )
@@ -110,7 +114,8 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_parts"),
             F.round(
-                F.sum("rev6").cast("double") / F.max("total").cast("double"),
+                F.sum(rev_dec).cast("double")
+                / F.max("total").cast("double"),
                 6,
             ).alias("rev_share"),
         )

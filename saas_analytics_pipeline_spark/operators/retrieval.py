@@ -141,7 +141,7 @@ def _bm25_term_exprs() -> list[str]:
     ),
     scored AS (
         SELECT tf.doc_id,
-               round({" + ".join(f"__T{i}__" for i in range(len(BM25_TERMS)))},
+               round({" + ".join(_bm25_term_exprs())},
                      6) AS bm25
         FROM tf JOIN dl USING (doc_id) CROSS JOIN corpus CROSS JOIN dfs
     )
@@ -199,16 +199,6 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "bm25")
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
-    )
-
-
-# inject the shared term expressions into the oracle template (kept out of
-# the f-string above for readability)
-from saas_analytics_pipeline_spark import qcatalog as _qc  # noqa: E402
-
-for _i, _expr in enumerate(_bm25_term_exprs()):
-    _qc.QUERIES["q_bm25"].oracle = _qc.QUERIES["q_bm25"].oracle.replace(
-        f"__T{_i}__", _expr
     )
 
 

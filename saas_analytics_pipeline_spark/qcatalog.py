@@ -72,37 +72,37 @@ DRIVER_VERIFIED: dict[str, str] = dict.fromkeys(
     "r01",
 )
 
-# Round-2 window: the SURVEY section-2 core (joins, SCD2, sessionize, dedup,
-# similarity, text, staging, quality, streaming) plus every oracle whose
-# dtype fix needs a fresh driver row. Exactly 50 keys.
+# Round-5 window: THE CATALOG IS FROZEN (verdict r4 §Next-round #1) — the
+# window is exactly the 44 keys with no green CORRECTNESS row after r04
+# (every key that has waited since r03/r04), plus the one new key closing
+# the decode_media stub and four justified re-verifications (REVERIFY
+# below). 49 pins + the auto-filled 50th slot = the full driver window.
 WINDOW_PRIORITY: list[str] = [
-    # joins (section 2.3)
-    "q_join_fk_users_orgs", "q_join_star_orders", "q_join_payments_orders",
-    "q_anti_orphans", "q_semi_paid_orders", "q_fx_join", "q_asof_payment",
-    "q_skew_join", "q_range_join", "q_null_safe_join",
-    # SCD2 / attribution / sessionize (section 2.5)
-    "q_scd2_build", "q_scd2_overlap", "q_attribution",
-    "q_sessionize", "q_bounce_rate",
-    # dedup family (section 2.11)
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",
-    "q_crossmodal_dedup", "q_dedup_cross_source", "q_sketch_error",
-    # similarity family (section 2.11)
-    "q_similarity", "q_similarity_ann", "q_dedup_embed",
-    "q_embedding_centroids",
-    # text family core (section 2.11)
-    "q_text_stats", "q_lang_id", "q_quality_score", "q_token_count",
-    "q_fingerprint",
-    # staging section-2 tail
-    "q_multiformat_date", "q_money_round", "q_negative_guard", "q_pii_scan",
-    "q_date_trunc", "q_ts_diff",
-    # data-quality checks (section 2.7)
-    "q_uniqueness", "q_payment_recon", "q_audit_recon", "q_freshness",
-    # streaming (section 2.9)
-    "q_stream_tumbling", "q_stream_session",
-    # r01 hash-fails, oracles now CAST-fixed — need fresh green rows
-    "q_funnel", "q_skew_check", "q_json_extract", "q_attribution_linear",
-    # latent HUGEINT oracles, now CAST-fixed
-    "q_variant", "q_udtf_sentences", "q_array_hof",
+    # §2.9 streaming twins — the last two SURVEY §2 core keys (verdict #3)
+    "q_stream_dedup", "q_stream_enrich",
+    # TPC-H decision-support suite, waiting since r03/r04 (tpch.py)
+    "q_tpch_pricing", "q_tpch_shipping", "q_tpch_local_volume",
+    "q_tpch_promo_share", "q_tpch_top_supplier", "q_tpch_big_orders",
+    "q_tpch_order_priority", "q_tpch_revenue_change",
+    "q_tpch_returned_items", "q_tpch_quantity_bands",
+    # TPC-H second wave (tpch2.py)
+    "q_tpch_min_cost_supplier", "q_tpch_volume_shipping",
+    "q_tpch_market_share", "q_tpch_product_profit",
+    "q_tpch_important_parts", "q_tpch_late_priority",
+    "q_tpch_order_counts", "q_tpch_part_suppliers",
+    "q_tpch_small_qty_revenue", "q_tpch_excess_suppliers",
+    "q_tpch_waiting_suppliers", "q_tpch_dormant_customers",
+    # analytics / UDF keys waiting since r03 (stats.py, functions/udfs.py)
+    "q_benford", "q_gini", "q_dq_summary", "q_table_checksum",
+    "q_pandas_scalar", "q_pandas_grouped_agg", "q_sessionize_pandas",
+    "q_sequence_pattern", "q_sliding_window", "q_kl_sources", "q_zipf_fit",
+    "q_pmi_bigrams", "q_fertility", "q_token_len_hist", "q_doc_lang_matrix",
+    "q_ri_matrix", "q_same_day_orders", "q_forget_audit", "q_k_anonymity",
+    "q_key_skew",
+    # slack slot 45: decode_media stub closed -> real header parse (r05)
+    "q_media_dimensions",
+    # slack 46-49: justified re-verifications (see REVERIFY)
+    "q_abc_analysis", "q_bm25", "q_country_norm", "q_fx_join",
 ]
 
 
@@ -120,6 +120,19 @@ REVERIFY: dict[str, str] = {
     # double can differ in the last ulp from the r02-verified decimal
     # path, so the old green row no longer certifies today's values
     "q_join_payments_orders": "r03",
+    # r05 moved the cumulative/total window sums (and class
+    # cross-multiplies) from BIGINT to DECIMAL(38,0) for 100 TB headroom;
+    # values at test sf are identical but the r04 row predates the code
+    "q_abc_analysis": "r04",
+    # r05 inlined the oracle term expressions (was a post-registration
+    # placeholder substitution); the assembled SQL should be byte-equal
+    # but the r04 row certifies the OLD assembly path
+    "q_bm25": "r04",
+    # r05 changed the seed VALUES literal escaping (backslash handling);
+    # current seed data contains neither escape char, but the r03/r02
+    # rows predate the loader change for the two seed-joining keys
+    "q_country_norm": "r04",
+    "q_fx_join": "r04",
 }
 
 

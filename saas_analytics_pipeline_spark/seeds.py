@@ -84,13 +84,25 @@ def load_seed(spark: SparkSession, name: str) -> DataFrame:
     cols = ", ".join(f.name for f in schema.fields)
 
     def lit(v: str | None) -> str:
-        return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
+        if v is None:
+            return "NULL"
+        # Spark string literals treat backslash as an escape char (unless
+        # spark.sql.parser.escapedStringLiterals flips the dialect), so
+        # escape it FIRST, then the quotes.
+        s = str(v).replace("\\", "\\\\").replace("'", "''")
+        return "'" + s + "'"
 
-    values = ", ".join(
-        "(" + ", ".join(lit(row[f.name]) for f in schema.fields) + ")"
-        for row in rows
-    )
-    out = spark.sql(f"SELECT * FROM (VALUES {values}) AS t({cols})")
+    if rows:
+        values = ", ".join(
+            "(" + ", ".join(lit(row[f.name]) for f in schema.fields) + ")"
+            for row in rows
+        )
+        out = spark.sql(f"SELECT * FROM (VALUES {values}) AS t({cols})")
+    else:
+        # 'VALUES ' with no tuples is a parse error; an all-rows-rejected
+        # seed already raised above, so this is the legitimately-empty-file
+        # case — an empty LocalRelation keeps downstream plans valid.
+        out = spark.createDataFrame([], schema)
     _SEED_CACHE[key] = out
     return out
 

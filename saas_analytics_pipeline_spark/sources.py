@@ -52,6 +52,9 @@ def table_path(sf_dir: str, name: str) -> str:
 # SparkContext.
 _RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _CONFS_DONE: set[str] = set()
+# spread_for_fanout decision cache: (applicationId, id(input df)) ->
+# (input df, spread result). Holding the input ref keeps the id() stable.
+_SPREAD_CACHE: dict[tuple[str, int], tuple[DataFrame, DataFrame]] = {}
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
@@ -151,9 +154,20 @@ def spread_for_fanout(df: DataFrame) -> DataFrame:
     still holds: the only Exchange that may carry text is this
     conditional, volume-neutral spread, and only on degenerate layouts.
     Results are partition-order-independent for every catalog query by
-    design, so the redistribution cannot change any value."""
+    design, so the redistribution cannot change any value.
+
+    The partition-count probe (df.rdd.getNumPartitions) builds a
+    plan-to-RDD conversion each call, so the decision is cached per
+    (session, relation): call sites pass load_table frames, which
+    _RELATION_CACHE dedups to one object per (app, sf_dir, table), so an
+    identity key gives one probe per table per session. The cached input
+    ref both pins the id() against reuse and keeps the guard exact."""
     sc = df.sparkSession.sparkContext
+    key = (sc.applicationId, id(df))
+    hit = _SPREAD_CACHE.get(key)
+    if hit is not None and hit[0] is df:
+        return hit[1]
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
-        return df.repartition(target)
-    return df
+    out = df.repartition(target) if df.rdd.getNumPartitions() * 2 <= target else df
+    _SPREAD_CACHE[key] = (df, out)
+    return out

@@ -207,6 +207,64 @@ def test_resize_media_fixed_output_size(spark, sf_dir):
     assert all(r["width"] == 16 and r["height"] == 4 for r in out)
 
 
+def test_decode_media_headers():
+    import struct
+
+    import pytest
+
+    from saas_analytics_pipeline_spark.operators.multimodal import decode_media
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 640, 480)
+        + bytes([8, 2, 0, 0, 0])
+    )
+    d = decode_media(png, "image/png")
+    assert (d["kind"], d["width"], d["height"]) == ("png", 640, 480)
+    assert (d["bit_depth"], d["color_type"]) == (8, 2)
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    # fmt is NOT the first chunk: exercises the chunk walk (incl. the
+    # odd-size word-alignment padding of the junk chunk)
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc\x00"
+    wav = b"RIFF" + struct.pack("<I", 0) + b"WAVE" + junk
+    wav += b"fmt " + struct.pack("<I", 16) + fmt
+    d = decode_media(wav, "audio/wav")
+    assert (d["kind"], d["channels"], d["sample_rate"]) == ("wav", 2, 44100)
+    assert d["bits_per_sample"] == 16
+
+    with pytest.raises(ValueError):
+        decode_media(png, "video/mp4")
+    with pytest.raises(ValueError):
+        decode_media(b"not a png", "image/png")
+
+
+def test_media_dimensions_roundtrip(spark, sf_dir):
+    """Synth payloads parse back to exactly the doc_id-derived values —
+    writer and parser verified against each other per row."""
+    from saas_analytics_pipeline_spark.operators.multimodal import (
+        media_dimensions,
+        synth_media_payloads,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    for r in media_dimensions(synth_media_payloads(docs)).collect():
+        i = r["doc_id"]
+        if i % 2 == 0:
+            assert r["kind"] == "png"
+            assert r["width"] == 16 + i % 1024
+            assert r["height"] == 16 + (i * 7) % 512
+            assert r["channels"] is None and r["sample_rate"] is None
+        else:
+            assert r["kind"] == "wav"
+            assert r["channels"] == 1 + (i % 4) // 2
+            assert r["sample_rate"] == [8000, 16000, 44100][i % 3]
+            assert r["width"] is None and r["height"] is None
+
+
 def test_dedup_clusters_connected_components(spark):
     from saas_analytics_pipeline_spark.operators.dedup import dedup_clusters
 
