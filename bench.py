@@ -105,23 +105,35 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # total over the unchanged r01-r03 15-query set: the
-                # round-over-round comparable number (value above now also
-                # includes the TPC-H suite added in r04)
-                "compat_r03_total": round(
-                    sum(timings[n] for n in HEADLINE_CORE), 3
-                ),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # total over the unchanged r01-r03 15-query set: the
+        # round-over-round comparable number (value above now also
+        # includes the TPC-H suite added in r04)
+        "compat_r03_total": round(
+            sum(timings[n] for n in HEADLINE_CORE), 3
+        ),
+    }
+    # attach the recorded two-point scaling run (sf0.1 vs a 10x sf1
+    # replica; tools/bench_scaling.py) so the round's BENCH record
+    # carries the scale evidence: per-query exponents ~1.0 == linear
+    sf1_path = Path(__file__).resolve().parent / "docs" / "BENCH_SF1.json"
+    if sf1_path.exists():
+        rec = json.loads(sf1_path.read_text())
+        payload["sf1_scaling"] = {
+            k: rec[k]
+            for k in (
+                "note", "commit", "scaling_exponent",
+                "superlinear_threshold", "superlinear_queries",
+                "sf0.1_total", "sf1_total",
+            )
+            if k in rec
+        }
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
