@@ -106,3 +106,26 @@ def test_driver_window_covers_survey_core():
     verified_pos = [i for i, k in enumerate(keys) if k in verified]
     unverified_pos = [i for i, k in enumerate(keys) if k not in verified]
     assert min(verified_pos) > max(unverified_pos)
+
+
+def test_plan_cache_memoizes_per_session_and_sfdir(spark, sf_dir):
+    """spark_queries() memoizes built plans per (session, sf_dir, key):
+    repeat calls return the SAME DataFrame object (build cost paid once),
+    distinct sf_dirs get distinct plans, and execution still runs fresh."""
+    from saas_analytics_pipeline_spark import qcatalog
+
+    qs = qcatalog.spark_queries()
+    a = qs["q_dedup_latest"](spark, sf_dir)
+    b = qs["q_dedup_latest"](spark, sf_dir)
+    assert a is b
+    # a second view over the same catalog shares the cache
+    c = qcatalog.spark_queries()["q_dedup_latest"](spark, sf_dir)
+    assert c is a
+    other_dir = (
+        "/root/testdata/sf0.01"
+        if sf_dir != "/root/testdata/sf0.01"
+        else "/root/testdata/sf0.001"
+    )
+    other = qs["q_dedup_latest"](spark, other_dir)
+    assert other is not a
+    assert a.count() == a.count() > 0
