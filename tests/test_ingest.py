@@ -155,6 +155,38 @@ def test_seed_malformed_raises(spark, tmp_path, monkeypatch):
         seeds.load_seed(spark, "fx_rates")
 
 
+def test_seed_values_escaping_and_empty(spark, tmp_path, monkeypatch):
+    """The VALUES literal path must survive quotes AND backslashes in seed
+    cells (Spark string literals treat backslash as an escape char), and
+    a legitimately-empty seed file must load as an empty frame instead of
+    emitting an unparseable 'VALUES '."""
+    from saas_analytics_pipeline_spark import seeds
+
+    tricky = tmp_path / "iso_countries.csv"
+    tricky.write_text(
+        "country_name\n"
+        '"O\'Brien\\Land"\n'
+        '"back\\\\slash"\n'
+    )
+    monkeypatch.setattr(seeds, "SEED_DIR", tmp_path)
+    got = sorted(
+        r["country_name"]
+        for r in seeds.load_seed(spark, "iso_countries").collect()
+    )
+    # the CSV layer unescapes \\ -> \ ; the VALUES literal path must then
+    # round-trip the parsed cells verbatim (this is what broke before the
+    # backslash fix: Spark would re-interpret \L / \s as escapes)
+    assert got == ["O'Brien\\Land", "back\\slash"]
+
+    empty_dir = tmp_path / "empty"
+    empty_dir.mkdir()
+    (empty_dir / "iso_countries.csv").write_text("country_name\n")
+    monkeypatch.setattr(seeds, "SEED_DIR", empty_dir)
+    empty = seeds.load_seed(spark, "iso_countries")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["country_name"]
+
+
 def test_jsonl_contract_routes_malformed_lines(spark, tmp_path):
     from pyspark.sql import types as T
 

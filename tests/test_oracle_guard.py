@@ -1,0 +1,75 @@
+"""Oracle-regression guard for the r05 verification window's at-risk keys.
+
+tools/selfcheck.py is the full replica of the driver's correctness gate,
+but it runs out-of-band; this pytest pins the SAME value comparison (the
+driver-mirroring pandas materialization) for the keys whose Spark or
+oracle math was rewritten AFTER their last green driver row — the exact
+class of silent regression that previously burned window slots (verdict
+r01/r03). Runs at sf0.001 so the whole guard stays test-suite fast.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+import selfcheck  # noqa: E402  (tools/selfcheck.py)
+
+from saas_analytics_pipeline_spark import qcatalog  # noqa: E402
+
+GUARD_SF = "/root/testdata/sf0.001"
+
+# keys with no post-rewrite driver row: integer-unit TPC-H money math,
+# the decimal-window ABC rollup, the inlined BM25 oracle, the new media
+# header decode, and the section-2.9 streaming twins
+GUARD_KEYS = [
+    "q_tpch_pricing",
+    "q_tpch_shipping",
+    "q_tpch_local_volume",
+    "q_tpch_promo_share",
+    "q_tpch_top_supplier",
+    "q_tpch_big_orders",
+    "q_tpch_order_priority",
+    "q_abc_analysis",
+    "q_bm25",
+    "q_media_dimensions",
+    "q_stream_dedup",
+    "q_stream_enrich",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in selfcheck.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{GUARD_SF}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", GUARD_KEYS)
+def test_matches_oracle(spark, oracle_con, name):
+    qcatalog.load_all()
+    entry = qcatalog.QUERIES[name]
+    assert entry.oracle is not None, f"{name} has no oracle"
+    sdf = entry.fn(spark, GUARD_SF)
+    s_cols, s_rows = selfcheck.pandas_frame(sdf.toPandas())
+    cur = oracle_con.execute(entry.oracle)
+    d_cols, d_rows = selfcheck.pandas_frame(cur.df())
+    assert sorted(s_cols) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows)
+    ms = selfcheck.frame_to_multiset(
+        s_cols, s_rows, selfcheck.norm_cell_pandas
+    )
+    md = selfcheck.frame_to_multiset(
+        d_cols, d_rows, selfcheck.norm_cell_pandas
+    )
+    diffs = [(a, b) for a, b in zip(ms, md) if a != b][:3]
+    assert ms == md, f"value mismatch, first diffs: {diffs}"
