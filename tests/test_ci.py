@@ -54,3 +54,22 @@ def test_window_priority_and_reverify_name_real_keys():
     qcatalog.load_all()
     assert set(qcatalog.WINDOW_PRIORITY) <= set(qcatalog.QUERIES)
     assert set(qcatalog.REVERIFY) <= set(qcatalog.QUERIES)
+
+
+def test_catalog_freeze_every_key_verified_or_windowed():
+    """r05 freeze invariant: every registered key either has a green
+    driver row or sits inside the 50-slot verification window — no key
+    may be added without a window slot to certify it (verdict r4 #1)."""
+    from saas_analytics_pipeline_spark import qcatalog
+
+    qcatalog.load_all()
+    verified = qcatalog.verified_keys()
+    window = set(qcatalog.ordered_keys()[:50])
+    stranded = [
+        k for k in qcatalog.QUERIES
+        if k not in verified and k not in window
+    ]
+    assert not stranded, (
+        f"{len(stranded)} keys are neither driver-verified nor in the "
+        f"verification window: {stranded}"
+    )
