@@ -635,3 +635,51 @@ def test_abc_partitions_any_revenue_vector(spark, revs):
     # C always exists (the last part never fits under 95% unless alone)
     if "A" in shares:
         assert shares["A"] <= 0.8 + 1e-12
+
+
+# ---------------------------------------------------------------- media codec
+@given(
+    width=st.integers(min_value=1, max_value=2**31 - 1),
+    height=st.integers(min_value=1, max_value=2**31 - 1),
+    channels=st.integers(min_value=1, max_value=65535),
+    sample_rate=st.integers(min_value=1, max_value=2**32 - 1),
+    junk_chunks=st.lists(
+        st.binary(min_size=0, max_size=9), min_size=0, max_size=3
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_decode_media_roundtrips_any_header(
+    width, height, channels, sample_rate, junk_chunks
+):
+    """decode_media must recover EXACTLY the values a conformant writer
+    put in the header, for any field values and any number of preceding
+    (word-aligned) non-fmt chunks — pure python, no Spark session."""
+    import struct
+
+    from saas_analytics_pipeline_spark.operators.multimodal import decode_media
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", width, height)
+        + bytes([16, 6, 0, 0, 0])
+    )
+    d = decode_media(png, "image/png")
+    assert (d["width"], d["height"]) == (width, height)
+    assert (d["bit_depth"], d["color_type"]) == (16, 6)
+
+    body = b""
+    for blob in junk_chunks:
+        body += b"JNK0" + struct.pack("<I", len(blob)) + blob
+        if len(blob) % 2:
+            body += b"\x00"  # RIFF chunks are word-aligned
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, 0, 0, 16
+    )
+    wav = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + body + b"fmt " + struct.pack("<I", 16) + fmt
+    )
+    d = decode_media(wav, "audio/wav")
+    assert (d["channels"], d["sample_rate"]) == (channels, sample_rate)
