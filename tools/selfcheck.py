@@ -3,7 +3,11 @@
 Runs every queries() entry on Spark and its oracle_sql() twin on DuckDB at
 the given sf dir, then compares row count, column names, and an
 order-insensitive value multiset (columns sorted by name, rows stringified
-and sorted). Run:  python tools/selfcheck.py [--pandas] [sf_dir] [query ...]
+and sorted). Run:
+  python tools/selfcheck.py [--pandas] [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` runs the Spark side on a bare SparkSession (no
+session.get_spark configs), mirroring the driver's environment.
 
 Two comparison modes:
 
@@ -91,14 +95,34 @@ def main() -> int:
     pandas_mode = "--pandas" in argv
     if pandas_mode:
         argv.remove("--pandas")
+    vanilla = "--vanilla" in argv
+    if vanilla:
+        argv.remove("--vanilla")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     cell = norm_cell_pandas if pandas_mode else norm_cell
 
     import __spark_entry__ as ent
-    from saas_analytics_pipeline_spark.session import get_spark
 
-    spark = get_spark("selfcheck")
+    if vanilla:
+        # the DRIVER builds its own session without session.get_spark's
+        # configs; --vanilla reproduces that regime so a query that only
+        # works under our tuned session (timezone, nanos, NTZ inference —
+        # all meant to be applied at load time by ensure_session_confs)
+        # fails HERE instead of in the driver window
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+    else:
+        from saas_analytics_pipeline_spark.session import get_spark
+
+        spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
