@@ -149,9 +149,12 @@ def q_tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: supplier and customer are each pruned to the TWO target
     nations *before* touching the facts (nation keeps its 25-row hint;
     the pruned dims are ~2/25 of sf-scale and carry no hard hint — AQE
-    broadcasts them when they fit). The bilateral OR is applied after
-    both nation names are attached; the only fact-fact shuffle is
-    lineitem <-> orders on orderkey, date-pruned at the lineitem scan."""
+    broadcasts them when they fit). Lineitem joins the pruned supplier
+    set BEFORE the orderkey shuffle (Catalyst won't reorder inner joins
+    without CBO stats), cutting the exchanged fact to the two-nation
+    ~8% slice on top of the date prune. The bilateral OR is applied
+    after both nation names are attached; the only fact-fact shuffle is
+    the reduced lineitem <-> orders on orderkey."""
     nations = ("NATION_1", "NATION_2")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name").isin(*nations))
     s = (
@@ -173,9 +176,9 @@ def q_tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1])
     ) | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
         .where(bilateral)
         .groupBy(
             "supp_nation",
