@@ -43,6 +43,22 @@ GUARD_KEYS = [
 ]
 
 
+# window keys that had no other pytest reference (selfcheck-only until
+# now): same driver-mirroring comparison so every window key has an
+# in-suite gate
+COVERAGE_KEYS = [
+    "q_dq_summary",
+    "q_table_checksum",
+    "q_pandas_scalar",
+    "q_pandas_grouped_agg",
+    "q_sessionize_pandas",
+    "q_sequence_pattern",
+    "q_doc_lang_matrix",
+    "q_country_norm",
+    "q_fx_join",
+]
+
+
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
@@ -54,7 +70,7 @@ def oracle_con():
     con.close()
 
 
-@pytest.mark.parametrize("name", GUARD_KEYS)
+@pytest.mark.parametrize("name", GUARD_KEYS + COVERAGE_KEYS)
 def test_matches_oracle(spark, oracle_con, name):
     qcatalog.load_all()
     entry = qcatalog.QUERIES[name]
