@@ -47,17 +47,6 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 # in-row sequential double folds (identical order in DuckDB's list_sum)
-_DOT = """
-    aggregate(
-        zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-"""
-_NORM = """
-    sqrt(aggregate(
-        transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
-"""
-
 _DOT_SQL = """
     list_sum(list_transform(list_zip({a}, {b}),
              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -70,11 +59,11 @@ _NORM_SQL = """
 
 def _cos_pairs() -> F.Column:
     """Rounded cosine between the a_emb and b_emb columns of a joined
-    pair frame (in-row sequential folds; engine-portable)."""
-    dot = F.expr(_DOT.format(a="a_emb", b="b_emb"))
-    na = F.expr(_NORM.format(v="a_emb"))
-    nb = F.expr(_NORM.format(v="b_emb"))
-    return F.round(dot / (na * nb), 6)
+    pair frame (codegen'd unrolled fast path with the sequential-fold
+    fallback; bit-identical association either way — similarity.cos_expr)."""
+    from saas_analytics_pipeline_spark.operators.similarity import cos_expr
+
+    return F.round(cos_expr("a_emb", "b_emb"), 6)
 
 
 _COS_SQL = (
