@@ -508,32 +508,24 @@ def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
     )
 
-    e = emb.select("vec_id", "embedding", "label")
-    dot = F.expr(
-        """aggregate(zip_with(x_emb, y_emb,
-               (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
-               CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+    from saas_analytics_pipeline_spark.operators.similarity import (
+        cos_expr,
+        norm_col,
     )
-    def norm(col):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(col, lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        )
+
+    e = emb.select(
+        "vec_id", "embedding", "label", norm_col("embedding").alias("nrm")
+    )
     pairs = (
         e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("x_emb"),
-                 F.col("label").alias("la"))
+                 F.col("label").alias("la"), F.col("nrm").alias("xn"))
         .join(
             e.select(F.col("vec_id").alias("b"),
                      F.col("embedding").alias("y_emb"),
-                     F.col("label").alias("lb")),
+                     F.col("label").alias("lb"), F.col("nrm").alias("yn")),
             (F.col("la") == F.col("lb")) & (F.col("a") < F.col("b")),
         )
-        .where(
-            (dot / (norm(F.col("x_emb")) * norm(F.col("y_emb")))) >= 0.95
-        )
+        .where(cos_expr("x_emb", "y_emb", a_norm="xn", b_norm="yn") >= 0.95)
         .select("a", "b")
     )
 

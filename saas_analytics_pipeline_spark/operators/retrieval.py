@@ -36,6 +36,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from saas_analytics_pipeline_spark.operators.dedup import SHINGLES_SQL, shingles
+from saas_analytics_pipeline_spark.operators.similarity import (
+    norm_col as _norm_col,
+)
 from saas_analytics_pipeline_spark.functions import hash60, hash60_sql
 from saas_analytics_pipeline_spark.qcatalog import query
 from saas_analytics_pipeline_spark.sources import load_table, spread_for_fanout
@@ -59,11 +62,14 @@ _NORM_SQL = """
 
 def _cos_pairs() -> F.Column:
     """Rounded cosine between the a_emb and b_emb columns of a joined
-    pair frame (codegen'd unrolled fast path with the sequential-fold
-    fallback; bit-identical association either way — similarity.cos_expr)."""
+    pair frame. Expects the side-projected norm columns a_n / b_n
+    (similarity.norm_col) so per-pair work is the guarded dot only —
+    bit-identical association to the fold (similarity.cos_expr)."""
     from saas_analytics_pipeline_spark.operators.similarity import cos_expr
 
-    return F.round(cos_expr("a_emb", "b_emb"), 6)
+    return F.round(
+        cos_expr("a_emb", "b_emb", a_norm="a_n", b_norm="b_n"), 6
+    )
 
 
 _COS_SQL = (
@@ -230,11 +236,13 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_lab"),
         F.col("embedding").alias("a_emb"),
+        _norm_col("embedding").alias("a_n"),
     )
     b = e.select(
         F.col("vec_id").alias("b_id"),
         F.col("label").alias("b_lab"),
         F.col("embedding").alias("b_emb"),
+        _norm_col("embedding").alias("b_n"),
     )
     pairs = a.join(
         b, (F.col("a_lab") == F.col("b_lab")) & (F.col("a_id") != F.col("b_id"))
@@ -292,11 +300,13 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_lab"),
         F.col("embedding").alias("a_emb"),
+        _norm_col("embedding").alias("a_n"),
     )
     corpus = e.select(
         F.col("vec_id").alias("b_id"),
         F.col("label").alias("b_lab"),
         F.col("embedding").alias("b_emb"),
+        _norm_col("embedding").alias("b_n"),
     )
     pairs = F.broadcast(anchors).join(
         corpus, F.col("a_lab") != F.col("b_lab")
@@ -417,11 +427,13 @@ def q_semdedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_lab"),
         F.col("embedding").alias("a_emb"),
+        _norm_col("embedding").alias("a_n"),
     )
     b = e.select(
         F.col("vec_id").alias("b_id"),
         F.col("label").alias("b_lab"),
         F.col("embedding").alias("b_emb"),
+        _norm_col("embedding").alias("b_n"),
     )
     pairs = a.join(
         b, (F.col("a_lab") == F.col("b_lab")) & (F.col("a_id") < F.col("b_id"))

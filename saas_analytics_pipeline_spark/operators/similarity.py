@@ -43,14 +43,20 @@ DOT_SQL = """
              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
 """
 
-# The folds above run through Catalyst's interpreted higher-order-function
-# machinery — ~dim lambda invocations per pair, the dominant cost of every
-# pair-cosine at scale. For the corpus's fixed dimension the same sum
-# unrolls into ONE whole-stage-codegen expression (measured -49% on the
-# sf1 brute-force top-k). The unrolled left-to-right association is
-# IDENTICAL to the fold's ((0.0 + v0) + v1) + ... , so the doubles are
-# bit-identical and every DuckDB oracle stays untouched; any other
-# dimension falls back to the general fold via the size() guard.
+# Pair-scoring cost model (measured at the sf1 10x point, 2-4M pairs):
+# the aggregate/zip_with folds run through Catalyst's interpreted
+# higher-order-function machinery — ~dim lambda closures PER PAIR
+# (~17 us/pair). Two fixes compose:
+#  1. per-VECTOR work (the two norms) moves into the side projections
+#     before the pair join — norms per pair is O(pairs) wasted work;
+#  2. the per-pair dot uses a size-guarded UNROLLED sum for the corpus
+#     dimension: no closures, ~3x faster evaluation. (A pure unrolled
+#     expression WITHOUT the guard is a trap: whole-stage codegen emits
+#     one giant method that blows the JVM JIT budget and runs in the
+#     bytecode interpreter — measured 6x SLOWER than this guarded form.)
+# The unrolled left-to-right association is IDENTICAL to the fold's
+# ((0.0 + v0) + v1) + ..., so every double — and every DuckDB oracle —
+# is bit-identical; any other dimension falls back to the fold.
 EMB_FAST_DIM = 64  # the embeddings table's dimension (TESTDATA.md)
 
 
@@ -61,34 +67,47 @@ def _unrolled_dot(a: str, b: str) -> str:
     ) + ")"
 
 
-def _unrolled_norm(col: str) -> str:
-    return "sqrt(" + " + ".join(
-        f"CAST({col}[{i}] AS DOUBLE) * CAST({col}[{i}] AS DOUBLE)"
-        for i in range(EMB_FAST_DIM)
-    ) + ")"
+def norm_col(emb: str) -> F.Column:
+    """Per-vector L2 norm (exact sequential fold). Project it on each
+    SIDE of a pair join; scoring norms per pair is O(pairs) waste."""
+    return F.expr(NORM_EXPR.format(col=emb))
 
 
-def cos_expr(a: str = "q_emb", b: str = "c_emb") -> F.Column:
-    """Cosine between two array<float> columns: codegen'd unrolled sum
-    for the corpus dimension, exact-same-association fold otherwise."""
+def dot_expr(a: str = "q_emb", b: str = "c_emb") -> F.Column:
+    """Guarded dot product of two array<float> columns (see cost model
+    above): unrolled for the corpus dimension, fold otherwise."""
     fold_dot = (
         f"aggregate(zip_with({a}, {b}, "
         "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    fold = (
-        f"({fold_dot}) / ({NORM_EXPR.format(col=a)}"
-        f" * {NORM_EXPR.format(col=b)})"
-    )
-    fast = (
-        f"{_unrolled_dot(a, b)} / ({_unrolled_norm(a)}"
-        f" * {_unrolled_norm(b)})"
-    )
     return F.expr(
         f"CASE WHEN size({a}) = {EMB_FAST_DIM}"
         f" AND size({b}) = {EMB_FAST_DIM}"
-        f" THEN {fast} ELSE {fold} END"
+        f" THEN {_unrolled_dot(a, b)} ELSE {fold_dot} END"
     )
+
+
+def cos_expr(
+    a: str = "q_emb",
+    b: str = "c_emb",
+    a_norm: str | None = None,
+    b_norm: str | None = None,
+) -> F.Column:
+    """Cosine between two array<float> columns. Pass the side-projected
+    norm columns (norm_col) on hot pair paths; without them the norms
+    are recomputed per pair — correct, but O(pairs) slower."""
+    na = (
+        F.col(a_norm)
+        if a_norm is not None
+        else F.expr(NORM_EXPR.format(col=a))
+    )
+    nb = (
+        F.col(b_norm)
+        if b_norm is not None
+        else F.expr(NORM_EXPR.format(col=b))
+    )
+    return dot_expr(a, b) / (na * nb)
 
 
 def _norm_sql(alias: str) -> str:
@@ -106,9 +125,15 @@ def cosine_topk(
     queries_df/corpus: (vec_id, embedding). Returns
     (query_id, vec_id, cos, rnk)."""
     q = queries_df.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm_col("embedding").alias("qn"),
     )
-    c = corpus.select(F.col("vec_id"), F.col("embedding").alias("c_emb"))
+    c = corpus.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("c_emb"),
+        norm_col("embedding").alias("cn"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -116,7 +141,7 @@ def cosine_topk(
         .select(
             "query_id",
             "vec_id",
-            cos_expr().alias("cos"),
+            cos_expr(a_norm="qn", b_norm="cn").alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -184,8 +209,14 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("q_label"),
+        norm_col("embedding").alias("qn"),
     )
-    c = emb.select("vec_id", F.col("embedding").alias("c_emb"), "label")
+    c = emb.select(
+        "vec_id",
+        F.col("embedding").alias("c_emb"),
+        "label",
+        norm_col("embedding").alias("cn"),
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("q_label") == F.col("label"))
@@ -193,7 +224,7 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            cos_expr().alias("cos"),
+            cos_expr(a_norm="qn", b_norm="cn").alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -230,15 +261,17 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("ida"),
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("la"),
+        norm_col("embedding").alias("qn"),
     )
     b = emb.select(
         F.col("vec_id").alias("idb"),
         F.col("embedding").alias("c_emb"),
         F.col("label").alias("lb"),
+        norm_col("embedding").alias("cn"),
     )
     pairs = a.join(
         b, (F.col("la") == F.col("lb")) & (F.col("ida") < F.col("idb"))
-    ).select(cos_expr().alias("cos"))
+    ).select(cos_expr(a_norm="qn", b_norm="cn").alias("cos"))
     return pairs.agg(
         F.count("*").alias("n_pairs_checked"),
         F.count(F.when(F.col("cos") >= 0.95, 1)).alias("n_near_dup"),
@@ -293,7 +326,9 @@ def ivf_topk(
         f"FROM (VALUES {cent_rows}) AS t(cell, centroid)"
     )
     q = queries_df.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm_col("embedding").alias("qn"),
     )
     # route: distance of each query to each centroid, keep n_probe nearest
     l2 = F.expr(
@@ -307,12 +342,17 @@ def ivf_topk(
     wr = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
     routed = (
         q.crossJoin(F.broadcast(cent))
-        .select("query_id", "q_emb", "cell", l2.alias("d2"))
+        .select("query_id", "q_emb", "qn", "cell", l2.alias("d2"))
         .withColumn("cell_rnk", F.row_number().over(wr))
         .where(F.col("cell_rnk") <= n_probe)
-        .select("query_id", "q_emb", "cell")
+        .select("query_id", "q_emb", "qn", "cell")
     )
-    c = assigned.select("vec_id", F.col("embedding").alias("c_emb"), "cell")
+    c = assigned.select(
+        "vec_id",
+        F.col("embedding").alias("c_emb"),
+        "cell",
+        norm_col("embedding").alias("cn"),
+    )
     scored = (
         F.broadcast(routed)
         .join(c, "cell")
@@ -320,7 +360,7 @@ def ivf_topk(
         .select(
             "query_id",
             "vec_id",
-            cos_expr().alias("cos"),
+            cos_expr(a_norm="qn", b_norm="cn").alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -518,16 +558,22 @@ def q_similarity_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     q_emb = emb.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm_col("embedding").alias("qn"),
     )
-    c_emb = emb.select("vec_id", F.col("embedding").alias("c_emb"))
+    c_emb = emb.select(
+        "vec_id",
+        F.col("embedding").alias("c_emb"),
+        norm_col("embedding").alias("cn"),
+    )
     scored = (
         cand.join(F.broadcast(q_emb), "query_id")
         .join(c_emb, "vec_id")
         .select(
             "query_id",
             "vec_id",
-            cos_expr().alias("cos"),
+            cos_expr(a_norm="qn", b_norm="cn").alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -742,13 +788,20 @@ def q_similarity_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(N_ANCHORS)
         .select(
-            F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb")
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("a_emb"),
+            norm_col("embedding").alias("an"),
         )
     )
-    def cos_to_anchor(emb_col: str) -> F.Column:
-        return cos_expr(emb_col, "a_emb")
 
-    c = emb.select("vec_id", F.col("embedding").alias("c_emb"))
+    def cos_to_anchor(emb_col: str, norm: str) -> F.Column:
+        return cos_expr(emb_col, "a_emb", a_norm=norm, b_norm="an")
+
+    c = emb.select(
+        "vec_id",
+        F.col("embedding").alias("c_emb"),
+        norm_col("embedding").alias("cn"),
+    )
     # map-side argmax over the bounded anchor fan-out: only (vec_id,
     # anchor_id) pairs reach the shuffle
     cells = (
@@ -756,7 +809,7 @@ def q_similarity_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "anchor_id",
-            cos_to_anchor("c_emb").alias("acos"),
+            cos_to_anchor("c_emb", "cn").alias("acos"),
         )
         .groupBy("vec_id")
         .agg(
@@ -766,14 +819,18 @@ def q_similarity_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm_col("embedding").alias("qn"),
     )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("acos"), F.asc("anchor_id")
     )
     probes = (
         q.crossJoin(F.broadcast(anchors))
-        .select("query_id", "anchor_id", cos_to_anchor("q_emb").alias("acos"))
+        .select(
+            "query_id", "anchor_id", cos_to_anchor("q_emb", "qn").alias("acos")
+        )
         .withColumn("rn", F.row_number().over(probe_w))
         .where(F.col("rn") <= N_PROBE)
         .select("query_id", "anchor_id")
@@ -785,11 +842,11 @@ def q_similarity_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         cand.join(F.broadcast(q), "query_id")
-        .join(emb.select("vec_id", F.col("embedding").alias("c_emb")), "vec_id")
+        .join(c, "vec_id")
         .select(
             "query_id",
             "vec_id",
-            cos_expr().alias("cos"),
+            cos_expr(a_norm="qn", b_norm="cn").alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
