@@ -229,8 +229,9 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pairs are generated ONLY within a cell (equi-join on the cell
     key), never all-pairs; per-cell population is bounded by the
     quantizer, so work is |cells| x cell^2 and the join parallelizes on
-    the cell key. Cosine is an in-row sequential fold (JVM codegen, no
-    Python); ranks partition by vec_id — no global window."""
+    the cell key. Norms are side-projected once per vector; the per-pair
+    cosine is the guarded JVM dot (similarity.cos_expr, no Python);
+    ranks partition by vec_id — no global window."""
     e = load_table(spark, sf_dir, "embeddings")
     a = e.select(
         F.col("vec_id").alias("a_id"),
