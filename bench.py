@@ -129,7 +129,7 @@ def main() -> None:
             for k in (
                 "note", "commit", "scaling_exponent",
                 "superlinear_threshold", "superlinear_queries",
-                "sf0.1_total", "sf1_total",
+                "sf0.1_total", "sf1_total", "sf3_total",
             )
             if k in rec
         }

@@ -24,16 +24,26 @@ volume grows 10x (traffic growth, the common production shape).
 
 Output: .localdata/sf1/*.parquet (one file per table, like the source
 layout). ~170 MB. Run:  python tools/gen_sf1.py
+
+Any replica size works the same way:  python tools/gen_sf1.py 30 sf3
+builds a 30-copy (sf3) replica into .localdata/sf3 — the third point of
+the measured scaling curve (tools/bench_scaling.py fits a log-log slope
+per query over every point it finds). Token suffixing stays collision-
+free at multi-digit copy indices because no source token ends in a digit
+(checked below): a cross-copy collision would need t + str(i) ==
+t' + str(j) with t, t' source tokens, which forces the longer-suffix
+side's token to end in a digit.
 """
 
 from __future__ import annotations
 
+import sys
 from pathlib import Path
 
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = Path(__file__).resolve().parent.parent / ".localdata" / "sf1"
+LOCALDATA = Path(__file__).resolve().parent.parent / ".localdata"
 COPIES = 10
 
 # table -> list of (column, stride) key shifts; stride = dense key-space
@@ -80,8 +90,22 @@ def copy_select(table: str, cols: list[str], i: int) -> str:
 
 
 def main() -> None:
-    DST.mkdir(parents=True, exist_ok=True)
+    global COPIES, DST
+    if len(sys.argv) > 1:
+        COPIES = int(sys.argv[1])
+    DST = LOCALDATA / (sys.argv[2] if len(sys.argv) > 2 else "sf1")
     con = duckdb.connect()
+    # the disjointness precondition for multi-digit copy suffixes: no
+    # source token may end in a digit (see module docstring)
+    n_digit = con.sql(
+        "SELECT count(*) FROM (SELECT unnest(string_split(text, ' ')) AS t "
+        f"FROM read_parquet('{SRC}/documents.parquet')) "
+        "WHERE regexp_matches(t, '[0-9]$')"
+    ).fetchone()[0]
+    if n_digit:
+        sys.exit(f"source corpus has {n_digit} digit-ending tokens — "
+                 "copy suffixing would collide across copies")
+    DST.mkdir(parents=True, exist_ok=True)
     for t in STATIC:
         con.sql(
             f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
