@@ -89,3 +89,45 @@ def test_matches_oracle(spark, oracle_con, name):
     )
     diffs = [(a, b) for a, b in zip(ms, md) if a != b][:3]
     assert ms == md, f"value mismatch, first diffs: {diffs}"
+
+
+# ---------------------------------------------------------------------------
+# Opt-in FULL-catalog sweep: SPARK_GRAFT_FULL_ORACLE=1 pytest
+# tests/test_oracle_guard.py — every registered key against its oracle at
+# sf0.001 with the driver-mirroring comparison. Off by default (adds
+# ~10 min); the one-command reproduction of the round-end gold sweep that
+# otherwise lives in tools/selfcheck.py invocations.
+# ---------------------------------------------------------------------------
+
+import os  # noqa: E402
+
+qcatalog.load_all()
+ALL_KEYS = sorted(qcatalog.QUERIES)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FULL_ORACLE"),
+    reason="full-catalog oracle sweep is opt-in (SPARK_GRAFT_FULL_ORACLE=1)",
+)
+@pytest.mark.parametrize("name", ALL_KEYS)
+def test_full_catalog_matches_oracle(spark, oracle_con, name):
+    entry = qcatalog.QUERIES[name]
+    sdf = entry.fn(spark, GUARD_SF)
+    s_cols, s_rows = selfcheck.pandas_frame(sdf.toPandas())
+    if entry.oracle is None:
+        # rows-only keys (documented sketches): execution + schema is the
+        # strongest check an oracle-less key can get here
+        assert len(s_cols) > 0
+        return
+    cur = oracle_con.execute(entry.oracle)
+    d_cols, d_rows = selfcheck.pandas_frame(cur.df())
+    assert sorted(s_cols) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows)
+    ms = selfcheck.frame_to_multiset(
+        s_cols, s_rows, selfcheck.norm_cell_pandas
+    )
+    md = selfcheck.frame_to_multiset(
+        d_cols, d_rows, selfcheck.norm_cell_pandas
+    )
+    diffs = [(a, b) for a, b in zip(ms, md) if a != b][:3]
+    assert ms == md, f"value mismatch, first diffs: {diffs}"
