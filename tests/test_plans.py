@@ -561,3 +561,80 @@ def test_lsh_bucket_skew_no_cartesian(spark, sf_dir):
 
     plan = plan_of(q_lsh_bucket_skew(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_order_priority_derived_shipdate_bound_pushed(spark, sf_dir):
+    """Q4's r05 win: the transitive bound (o_orderdate >= 1997-01-01 and
+    l_shipdate > o_orderdate + 30 imply l_shipdate > 1997-01-31) is stated
+    explicitly because Catalyst cannot infer it across the non-equi
+    predicate — it must reach the lineitem parquet scan as a pushed
+    filter, or the semi-join probes the whole fact again."""
+    from saas_analytics_pipeline_spark.operators.tpch import (
+        q_tpch_order_priority,
+    )
+
+    plan = plan_of(q_tpch_order_priority(spark, sf_dir))
+    assert "GreaterThan(l_shipdate,1997-01-31" in plan
+
+
+def test_tpch_local_volume_supplier_prune_below_orderkey_join(spark, sf_dir):
+    """Q5's r05 win: lineitem joins the region/nation-pruned supplier set
+    BEFORE the orderkey join (Catalyst does not reorder inner joins
+    without CBO stats), so the orderkey exchange carries the ASIA fifth of
+    lineitem, not all of it. Pinned on the optimized logical plan: the
+    suppkey join must sit INSIDE the orderkey join's lineitem subtree
+    (deeper indentation, later line)."""
+    from saas_analytics_pipeline_spark.operators.tpch import (
+        q_tpch_local_volume,
+    )
+
+    df = q_tpch_local_volume(spark, sf_dir)
+    lines = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+
+    def find(pred):
+        for i, ln in enumerate(lines):
+            if "Join" in ln and pred(ln):
+                return i, len(ln) - len(ln.lstrip(" :+-"))
+        raise AssertionError(f"join not found in:\n" + "\n".join(lines))
+
+    ok_i, ok_depth = find(lambda l: "l_orderkey" in l and "o_orderkey" in l)
+    sk_i, sk_depth = find(lambda l: "l_suppkey" in l and "s_suppkey" in l)
+    assert sk_i > ok_i and sk_depth > ok_depth, (
+        f"suppkey join (line {sk_i}, depth {sk_depth}) must be below the "
+        f"orderkey join (line {ok_i}, depth {ok_depth})"
+    )
+
+
+def test_dot_expr_guard_is_bit_identical_on_both_paths(spark):
+    """The r05 unrolled pair-dot: for the corpus dimension (64) the CASE
+    takes the unrolled branch; any other size falls back to the
+    aggregate/zip_with fold. Both associations are the sequential
+    ((0 + v0) + v1) + ..., so the doubles must be BIT-identical — the
+    property every DuckDB oracle of the embedding family rests on."""
+    from saas_analytics_pipeline_spark.operators.similarity import dot_expr
+
+    fold = (
+        "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * "
+        "CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    df = spark.sql(
+        """
+        SELECT
+          transform(sequence(1, 64),
+                    i -> CAST(1.0 / i + 0.1 * i AS FLOAT)) AS a,
+          transform(sequence(1, 64),
+                    i -> CAST(0.3 * i - 7.0 / i AS FLOAT)) AS b
+        UNION ALL
+        SELECT
+          transform(sequence(1, 5), i -> CAST(1.0 / i AS FLOAT)),
+          transform(sequence(1, 5), i -> CAST(0.3 * i AS FLOAT))
+        """
+    )
+    rows = df.select(
+        dot_expr("a", "b").alias("guarded"), F.expr(fold).alias("folded")
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.guarded == r.folded  # exact float equality, both dims
+    # and the guard really exists: the expression carries the CASE
+    assert "CASE WHEN" in str(dot_expr("a", "b"))
