@@ -638,3 +638,27 @@ def test_dot_expr_guard_is_bit_identical_on_both_paths(spark):
         assert r.guarded == r.folded  # exact float equality, both dims
     # and the guard really exists: the expression carries the CASE
     assert "CASE WHEN" in str(dot_expr("a", "b"))
+
+
+def test_tpch_volume_shipping_supplier_prune_below_orderkey_join(
+    spark, sf_dir
+):
+    """Q7 got the same r05 reorder as Q5: the nation-pruned supplier match
+    sits inside the orderkey join's lineitem subtree, so the orderkey
+    exchange carries only the two trading nations' lineitems."""
+    from saas_analytics_pipeline_spark.operators.tpch2 import (
+        q_tpch_volume_shipping,
+    )
+
+    df = q_tpch_volume_shipping(spark, sf_dir)
+    lines = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+
+    def find(pred):
+        for i, ln in enumerate(lines):
+            if "Join" in ln and pred(ln):
+                return i, len(ln) - len(ln.lstrip(" :+-"))
+        raise AssertionError("join not found in:\n" + "\n".join(lines))
+
+    ok_i, ok_depth = find(lambda l: "l_orderkey" in l and "o_orderkey" in l)
+    sk_i, sk_depth = find(lambda l: "l_suppkey" in l and "s_suppkey" in l)
+    assert sk_i > ok_i and sk_depth > ok_depth
