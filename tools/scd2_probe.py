@@ -161,6 +161,8 @@ def main() -> None:
             }
         )
     )
+    if not rows_equal or mismatch:
+        sys.exit("incremental/rebuild results diverged — see counts above")
 
 
 if __name__ == "__main__":
