@@ -186,26 +186,30 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.7) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
-    candidate pairs -> exact Jaccard verify. Returns (a, b, jaccard).
-
-    This is the 100 TB path: candidates come only from shared LSH buckets
-    (groupBy band key), and the exact verification joins shingle sets for
-    candidate pairs only."""
-    # Candidate generation uses NARROW bands (2 rows x 8 bands): the LSH
-    # S-curve threshold (1/b)^(1/r) ~= 0.35, i.e. high recall well below the
-    # verify threshold — precision is restored by the exact-Jaccard verify,
-    # so the banding only has to not MISS true pairs.
+def lsh_band_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) rows for the candidate banding. NARROW
+    bands (2 rows x N_PERM//2 bands): the LSH S-curve threshold
+    (1/b)^(1/r) ~= 0.35, i.e. high recall well below the verify
+    threshold — precision is restored by the exact-Jaccard verify, so
+    the banding only has to not MISS true pairs. The single definition
+    of the production banding — near_dup_pairs, the bucket-skew audit,
+    and tools/lsh_probe.py all consume THIS, so a band-layout change
+    cannot drift between the pipeline and its gauges."""
     n_bands = N_PERM // 2
     sig = minhash_signatures(docs)
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(*[band_key(b, n_bands) for b in range(n_bands)])
         ).alias("band", "bucket"),
     )
-    cand = (
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing >= 1 LSH band bucket —
+    the ONLY pair source in the near-dup family (never all-pairs)."""
+    bands = lsh_band_buckets(docs)
+    return (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bucket"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
@@ -214,6 +218,16 @@ def near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.7) -> DataFrame
         )
         .distinct()
     )
+
+
+def near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.7) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
+    candidate pairs -> exact Jaccard verify. Returns (a, b, jaccard).
+
+    This is the 100 TB path: candidates come only from shared LSH buckets
+    (groupBy band key), and the exact verification joins shingle sets for
+    candidate pairs only."""
+    cand = lsh_candidate_pairs(docs)
     sh = docs.select("doc_id", F.explode(F.array_distinct(shingles())).alias("s"))
     inter = (
         cand.join(sh.alias("sa"), F.col("a") == F.col("sa.doc_id"))
@@ -893,14 +907,8 @@ def q_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: signatures are the same scan-side min-aggregates as
     q_dedup_minhash; the bucket rollup shuffles (band, bucket) pairs —
     16 bytes per doc per band — and the per-band stats are 8 rows."""
-    n_bands = N_PERM // 2
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
-    sig = minhash_signatures(docs)
-    bands = sig.select(
-        F.posexplode(
-            F.array(*[band_key(b, n_bands) for b in range(n_bands)])
-        ).alias("band", "bucket")
-    )
+    bands = lsh_band_buckets(docs).select("band", "bucket")
     buckets = bands.groupBy(
         F.col("band").cast("long").alias("band"), "bucket"
     ).agg(F.count("*").alias("sz"))

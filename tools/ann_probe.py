@@ -80,7 +80,10 @@ def main() -> None:
     exact_sec = round(time.perf_counter() - t0, 3)
 
     points = []
-    for n_probe in (1, 2, 4, 8, n_cells):
+    # dedupe and cap the sweep at the cell count (n_probe > n_cells is
+    # past exhaustive; default n_cells=16 yields 1,2,4,8,16)
+    sweep = sorted({p for p in (1, 2, 4, 8, n_cells) if p <= n_cells})
+    for n_probe in sweep:
         df = ivf_topk(
             queries, assigned, centroids, k=TOP_K, n_probe=n_probe
         )

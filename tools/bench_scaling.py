@@ -64,8 +64,11 @@ def main() -> None:
         for name, sf, d in POINTS
         if Path(d, "lineitem.parquet").exists()
     ]
-    if len(points) < 2:
-        sys.exit("need at least sf0.1 and .localdata/sf1 — "
+    # the sf0.1 baseline anchors every slope AND the recorded note's
+    # "replicas of sf0.1" claim — two replicas without it would fit a
+    # one-octave span and mislabel it, so require the baseline explicitly
+    if len(points) < 2 or points[0][0] != "sf0.1":
+        sys.exit("need the sf0.1 baseline plus at least .localdata/sf1 — "
                  "run python tools/gen_sf1.py first")
 
     spark = get_spark("bench-scaling")

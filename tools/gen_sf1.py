@@ -97,8 +97,12 @@ def main() -> None:
     con = duckdb.connect()
     # the disjointness precondition for multi-digit copy suffixes: no
     # source token may end in a digit (see module docstring)
+    # split on ANY whitespace — the suffixer targets \S+ runs, so a
+    # space-only split would let a digit-ending token hide before a tab
+    # or newline and slip past the guard
     n_digit = con.sql(
-        "SELECT count(*) FROM (SELECT unnest(string_split(text, ' ')) AS t "
+        "SELECT count(*) FROM "
+        "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t "
         f"FROM read_parquet('{SRC}/documents.parquet')) "
         "WHERE regexp_matches(t, '[0-9]$')"
     ).fetchone()[0]

@@ -30,7 +30,6 @@ SF3 = ROOT / ".localdata" / "sf3"
 
 def main() -> None:
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -44,9 +43,7 @@ def main() -> None:
         .getOrCreate()
     )
     from saas_analytics_pipeline_spark.operators.dedup import (
-        N_PERM,
-        band_key,
-        minhash_signatures,
+        lsh_candidate_pairs,
         near_dup_pairs,
     )
 
@@ -55,23 +52,9 @@ def main() -> None:
     )
     n_docs = docs.count()
 
-    # candidate stage exactly as near_dup_pairs builds it
-    n_bands = N_PERM // 2
-    sig = minhash_signatures(docs)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[band_key(b, n_bands) for b in range(n_bands)])
-        ).alias("band", "bucket"),
-    )
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "bucket"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
-    )
-    n_cand = cand.count()
+    # the candidate stage IS near_dup_pairs' candidate stage — same
+    # helper, so this count cannot drift from the shipped pipeline
+    n_cand = lsh_candidate_pairs(docs).count()
 
     t0 = time.perf_counter()
     n_verified = near_dup_pairs(docs).count()

@@ -47,10 +47,15 @@ def main() -> int:
     failures = []
     for name, args in PROBES:
         print(f"# running {name} {' '.join(args)}", file=sys.stderr)
-        proc = subprocess.run(
-            [sys.executable, str(ROOT / "tools" / f"{name}.py"), *args],
-            capture_output=True, text=True, timeout=1800,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, str(ROOT / "tools" / f"{name}.py"), *args],
+                capture_output=True, text=True, timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            failures.append(name)
+            out["probes"][name] = {"error": "timeout", "limit_sec": 1800}
+            continue
         lines = [
             ln for ln in proc.stdout.strip().splitlines()
             if ln.startswith("{")

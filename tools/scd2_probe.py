@@ -139,12 +139,18 @@ def main() -> None:
         )
 
     rb, inc = rebuild(), incremental()
+    # full-outer compare: a key missing entirely from one side is a
+    # mismatch too (an inner join would silently exclude it)
     mismatch = (
         frontier(rb)
         .join(
-            frontier(inc).withColumnRenamed("vmax", "vmax_inc"), "c_custkey"
+            frontier(inc).withColumnRenamed("vmax", "vmax_inc"),
+            "c_custkey",
+            "full_outer",
         )
-        .where("vmax != vmax_inc")
+        .where(
+            "vmax IS NULL OR vmax_inc IS NULL OR vmax != vmax_inc"
+        )
         .count()
     )
     rows_equal = rb.count() == inc.count()
