@@ -55,18 +55,25 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def decode_media(payload: bytes, mime: str) -> dict[str, Any]:
     """Decode container-format headers with pure python (``struct``): PNG
-    IHDR (width/height/bit depth/color type) and RIFF/WAVE ``fmt `` chunk
-    (channels/sample rate/bits per sample). No codec libraries needed —
-    dimensions and audio parameters live in the container header, not the
-    compressed stream, which is exactly what a 100 TB curation pass wants
-    to read (filter/route on dimensions WITHOUT decoding pixels/samples).
+    IHDR (width/height/bit depth/color type), RIFF/WAVE ``fmt `` chunk
+    (channels/sample rate/bits per sample), JPEG SOF0-3 (width/height/
+    components via marker-segment walk), and MP4 ``moov``/``mvhd``
+    (timescale/duration via nested box walk). No codec libraries needed —
+    dimensions and timing live in the container header, not the compressed
+    stream, which is exactly what a 100 TB curation pass wants to read
+    (filter/route on dimensions WITHOUT decoding pixels/samples).
 
     Full pixel/sample decode (PIL/librosa/av) plugs in here when those
-    libs exist; unsupported mimes raise ValueError so a bad route fails
-    loudly instead of emitting garbage features."""
+    libs exist; unsupported mimes AND truncated/corrupt payloads raise
+    ValueError so a bad route fails loudly instead of emitting garbage
+    features (or leaking struct.error/IndexError to callers)."""
     import struct
 
     if mime == "image/png":
+        if len(payload) < 26:
+            raise ValueError(
+                f"truncated PNG: {len(payload)} bytes < 26 (sig+IHDR)"
+            )
         if payload[:8] != _PNG_SIG or payload[12:16] != b"IHDR":
             raise ValueError("not a PNG: bad signature or missing IHDR")
         width, height = struct.unpack(">II", payload[16:24])
@@ -79,7 +86,7 @@ def decode_media(payload: bytes, mime: str) -> dict[str, Any]:
             "color_type": color_type,
         }
     if mime in ("audio/wav", "audio/x-wav"):
-        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
             raise ValueError("not a WAV: bad RIFF/WAVE header")
         # walk chunks: 'fmt ' is usually first but not guaranteed
         off = 12
@@ -87,6 +94,8 @@ def decode_media(payload: bytes, mime: str) -> dict[str, Any]:
             cid = payload[off : off + 4]
             (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
             if cid == b"fmt ":
+                if off + 24 > len(payload) or size < 16:
+                    raise ValueError("truncated WAV: fmt chunk body cut short")
                 fmt, ch, sr, _br, _ba, bits = struct.unpack(
                     "<HHIIHH", payload[off + 8 : off + 24]
                 )
@@ -99,8 +108,78 @@ def decode_media(payload: bytes, mime: str) -> dict[str, Any]:
                 }
             off += 8 + size + (size & 1)  # chunks are word-aligned
         raise ValueError("WAV has no fmt chunk")
+    if mime == "image/jpeg":
+        if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG: missing SOI marker")
+        # walk marker segments: each is FF <type> <len16 incl itself>;
+        # SOF0-SOF3 (baseline..lossless) carry precision/height/width/ncomp.
+        # C4/C8/CC are DHT/JPG/DAC — length-bearing but not frame headers.
+        off = 2
+        while off + 4 <= len(payload):
+            if payload[off] != 0xFF:
+                raise ValueError("corrupt JPEG: expected marker at segment")
+            marker = payload[off + 1]
+            (seg_len,) = struct.unpack(">H", payload[off + 2 : off + 4])
+            if 0xC0 <= marker <= 0xC3:
+                if off + 10 > len(payload):
+                    raise ValueError("truncated JPEG: SOF header cut short")
+                precision = payload[off + 4]
+                height, width = struct.unpack(">HH", payload[off + 5 : off + 9])
+                n_components = payload[off + 9]
+                return {
+                    "kind": "jpeg",
+                    "width": width,
+                    "height": height,
+                    "channels": n_components,
+                    "bit_depth": precision,
+                }
+            off += 2 + seg_len
+        raise ValueError("JPEG has no SOF frame header")
+    if mime == "video/mp4":
+        # ISO BMFF box walk: size32 + fourcc; descend into 'moov' for the
+        # 'mvhd' movie header (version, timescale, duration).
+        def walk(buf: bytes, base: int, end: int) -> dict[str, Any] | None:
+            off = base
+            while off + 8 <= end:
+                (size,) = struct.unpack(">I", buf[off : off + 4])
+                box = buf[off + 4 : off + 8]
+                if size < 8 or off + size > end:
+                    raise ValueError("truncated MP4: box overruns payload")
+                if box == b"moov":
+                    found = walk(buf, off + 8, off + size)
+                    if found is not None:
+                        return found
+                elif box == b"mvhd":
+                    version = buf[off + 8]
+                    if version == 1:
+                        if off + 40 > end:
+                            raise ValueError("truncated MP4: mvhd v1 cut short")
+                        timescale, duration = struct.unpack(
+                            ">IQ", buf[off + 28 : off + 40]
+                        )
+                    else:
+                        if off + 28 > end:
+                            raise ValueError("truncated MP4: mvhd v0 cut short")
+                        timescale, duration = struct.unpack(
+                            ">II", buf[off + 20 : off + 28]
+                        )
+                    return {
+                        "kind": "mp4",
+                        "timescale": timescale,
+                        "duration": duration,
+                    }
+                off += size
+            return None
+
+        if len(payload) < 8:
+            raise ValueError("truncated MP4: shorter than one box header")
+        found = walk(payload, 0, len(payload))
+        if found is None:
+            raise ValueError("MP4 has no moov/mvhd box")
+        return found
     raise ValueError(
-        f"unsupported media type {mime!r}; supported: image/png, audio/wav"
+        f"unsupported media type {mime!r}; supported: image/png, audio/wav,"
+        " image/jpeg, video/mp4"
     )
 
 
@@ -297,7 +376,7 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 DIMS_SCHEMA = (
     "doc_id long, kind string, width int, height int,"
-    " channels int, sample_rate int"
+    " channels int, sample_rate int, timescale int, duration int"
 )
 
 
@@ -311,19 +390,28 @@ def _le_hex(col: F.Column, nbytes: int) -> F.Column:
 
 
 def synth_media_payloads(docs: DataFrame) -> DataFrame:
-    """Synthesize REAL container bytes per doc, JVM-side: even doc_ids get
-    a PNG (signature + IHDR with width/height derived from doc_id), odd
-    ones a RIFF/WAVE header (PCM fmt chunk with channels/sample rate from
-    doc_id). Stand-in for a binary-column media lake; every byte is built
-    with hex/unhex/concat in codegen — no Python in the synth path."""
-    is_png = F.col("doc_id") % 2 == 0
+    """Synthesize REAL container bytes per doc, JVM-side, four formats by
+    doc_id % 4: PNG (signature + IHDR), RIFF/WAVE (PCM fmt chunk), JPEG
+    (SOI + JFIF APP0 + SOF0 frame header), and MP4 (ftyp + moov/mvhd with
+    timescale/duration) — all fields derived from doc_id so the oracle can
+    recompute them closed-form. Stand-in for a binary-column media lake;
+    every byte is built with hex/unhex/concat in codegen — no Python in
+    the synth path."""
+    fmt_sel = F.col("doc_id") % 4
     width = (F.lit(16) + F.col("doc_id") % 1024).cast("int")
     height = (F.lit(16) + (F.col("doc_id") * 7) % 512).cast("int")
-    channels = (F.lit(1) + (F.col("doc_id") % 4) / F.lit(2)).cast("int")
+    channels = (F.lit(1) + (F.col("doc_id") % 8) / F.lit(4)).cast("int")
     sample_rate = F.element_at(
         F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
         (F.col("doc_id") % 3).cast("int") + 1,
     )
+    j_width = (F.lit(16) + (F.col("doc_id") * 3) % 1024).cast("int")
+    j_height = (F.lit(16) + (F.col("doc_id") * 5) % 512).cast("int")
+    timescale = F.element_at(
+        F.array(F.lit(600), F.lit(1000), F.lit(90000)),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    duration = (timescale * (F.lit(1) + F.col("doc_id") % 30)).cast("int")
     png_hex = F.concat(
         F.lit("89504E470D0A1A0A"),  # PNG signature
         F.lit("0000000D49484452"),  # IHDR chunk length 13 + type
@@ -333,7 +421,7 @@ def synth_media_payloads(docs: DataFrame) -> DataFrame:
     )
     wav_hex = F.concat(
         F.lit("52494646"),  # 'RIFF'
-        F.lit("24000000"),  # riff size 36 LE (header-only payload)
+        F.lit("1C000000"),  # riff size 28 LE: WAVE + fmt header + 16-byte body
         F.lit("57415645"),  # 'WAVE'
         F.lit("666D7420"),  # 'fmt '
         F.lit("10000000"),  # fmt chunk size 16 LE
@@ -344,12 +432,49 @@ def synth_media_payloads(docs: DataFrame) -> DataFrame:
         _le_hex(channels * 2, 2),  # block align
         F.lit("1000"),  # 16 bits/sample LE
     )
+    jpeg_hex = F.concat(
+        F.lit("FFD8"),  # SOI
+        F.lit("FFE000104A46494600010100000100010000"),  # JFIF APP0, len 16
+        F.lit("FFC00011"),  # SOF0 marker, segment length 17
+        F.lit("08"),  # precision 8 bits
+        F.lpad(F.hex(j_height), 4, "0"),
+        F.lpad(F.hex(j_width), 4, "0"),
+        F.lit("03"),  # 3 components (YCbCr)
+        F.lit("011100021101031101"),  # component specs
+        F.lit("FFD9"),  # EOI
+    )
+    mp4_hex = F.concat(
+        F.lit("000000106674797069736F6D00000000"),  # ftyp isom, 16 bytes
+        F.lit("000000746D6F6F76"),  # moov box, size 116
+        F.lit("0000006C6D766864"),  # mvhd box, size 108
+        F.lit("00000000"),  # version 0 + flags
+        F.lit("0000000000000000"),  # creation + modification time
+        F.lpad(F.hex(timescale), 8, "0"),  # timescale BE
+        F.lpad(F.hex(duration), 8, "0"),  # duration BE (timescale units)
+        F.lit("00010000"),  # rate 1.0 (16.16)
+        F.lit("0100"),  # volume 1.0 (8.8)
+        F.lit("0000" + "00" * 8),  # reserved
+        # unity matrix (3x3 of 16.16 / 2.30 fixed point)
+        F.lit("000100000000000000000000"),
+        F.lit("000000000001000000000000"),
+        F.lit("000000000000000040000000"),
+        F.lit("00" * 24),  # pre_defined
+        F.lit("00000002"),  # next_track_ID
+    )
+    payload_hex = (
+        F.when(fmt_sel == 0, png_hex)
+        .when(fmt_sel == 1, wav_hex)
+        .when(fmt_sel == 2, jpeg_hex)
+        .otherwise(mp4_hex)
+    )
+    mime = (
+        F.when(fmt_sel == 0, F.lit("image/png"))
+        .when(fmt_sel == 1, F.lit("audio/wav"))
+        .when(fmt_sel == 2, F.lit("image/jpeg"))
+        .otherwise(F.lit("video/mp4"))
+    )
     return docs.select(
-        "doc_id",
-        F.unhex(F.when(is_png, png_hex).otherwise(wav_hex)).alias("payload"),
-        F.when(is_png, F.lit("image/png"))
-        .otherwise(F.lit("audio/wav"))
-        .alias("mime"),
+        "doc_id", F.unhex(payload_hex).alias("payload"), mime.alias("mime")
     )
 
 
@@ -373,6 +498,8 @@ def _dims_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "height": col("height"),
                 "channels": col("channels"),
                 "sample_rate": col("sample_rate"),
+                "timescale": col("timescale"),
+                "duration": col("duration"),
             }
         )
 
@@ -387,17 +514,27 @@ def media_dimensions(media: DataFrame) -> DataFrame:
     oracle="""
     WITH m AS (
         SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS kind,
-               CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 1024 END AS width,
-               CASE WHEN doc_id % 2 = 0
-                    THEN 16 + (doc_id * 7) % 512 END AS height,
-               CASE WHEN doc_id % 2 = 1
-                    THEN 1 + (doc_id % 4) // 2 END AS channels,
-               CASE WHEN doc_id % 2 = 1 THEN
+               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                               WHEN 2 THEN 'jpeg' ELSE 'mp4' END AS kind,
+               CASE WHEN doc_id % 4 = 0 THEN 16 + doc_id % 1024
+                    WHEN doc_id % 4 = 2 THEN 16 + (doc_id * 3) % 1024
+               END AS width,
+               CASE WHEN doc_id % 4 = 0 THEN 16 + (doc_id * 7) % 512
+                    WHEN doc_id % 4 = 2 THEN 16 + (doc_id * 5) % 512
+               END AS height,
+               CASE WHEN doc_id % 4 = 1 THEN 1 + (doc_id % 8) // 4
+                    WHEN doc_id % 4 = 2 THEN 3
+               END AS channels,
+               CASE WHEN doc_id % 4 = 1 THEN
                     CASE doc_id % 3 WHEN 0 THEN 8000
                                     WHEN 1 THEN 16000
                                     ELSE 44100 END
-               END AS sample_rate
+               END AS sample_rate,
+               CASE WHEN doc_id % 4 = 3 THEN
+                    CASE doc_id % 3 WHEN 0 THEN 600
+                                    WHEN 1 THEN 1000
+                                    ELSE 90000 END
+               END AS timescale
         FROM documents
     )
     SELECT kind,
@@ -405,21 +542,23 @@ def media_dimensions(media: DataFrame) -> DataFrame:
            CAST(SUM(width) AS BIGINT) AS total_width,
            CAST(SUM(height) AS BIGINT) AS total_height,
            CAST(SUM(channels) AS BIGINT) AS total_channels,
-           CAST(SUM(sample_rate) AS BIGINT) AS total_sample_rate
+           CAST(SUM(sample_rate) AS BIGINT) AS total_sample_rate,
+           CAST(SUM(timescale * (1 + doc_id % 30)) AS BIGINT) AS total_duration
     FROM m GROUP BY kind ORDER BY kind
     """,
 )
 def q_media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Header-decode rollup: synthesize real PNG/WAV container bytes per
-    doc (JVM-side), parse them back through the Arrow decode path
-    (decode_media: struct-unpacked IHDR / fmt chunks), and aggregate the
+    """Header-decode rollup across FOUR container formats: synthesize real
+    PNG / RIFF-WAVE / JPEG / MP4 bytes per doc (JVM-side), parse them back
+    through the Arrow decode path (decode_media: struct-unpacked IHDR,
+    fmt chunk, SOF0 marker walk, moov/mvhd box walk), and aggregate the
     decoded dimensions per kind. The oracle recomputes the same values
     closed-form from doc_id — so a wrong byte in the writer OR a wrong
     offset in the parser breaks the match. This is the dimension-routing
     pass a media lake runs before any pixel decode.
 
     Scale: payload bytes are born scan-side and die inside the Python
-    worker; only (kind, 4 ints) per doc ever shuffles. Arrow batch size
+    worker; only (kind, 6 ints) per doc ever shuffles. Arrow batch size
     bounds worker memory regardless of blob size."""
     docs = load_table(spark, sf_dir, "documents")
     dims = media_dimensions(synth_media_payloads(docs))
@@ -431,6 +570,7 @@ def q_media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("height").cast("long").alias("total_height"),
             F.sum("channels").cast("long").alias("total_channels"),
             F.sum("sample_rate").cast("long").alias("total_sample_rate"),
+            F.sum("duration").cast("long").alias("total_duration"),
         )
         .orderBy("kind")
     )

@@ -65,6 +65,14 @@ def ensure_session_confs(spark: SparkSession) -> None:
     app_id = spark.sparkContext.applicationId
     if app_id in _CONFS_DONE:
         return
+    # first sighting of a new SparkContext: evict cache entries pinned to
+    # stopped contexts (one context per process, so any other appId is
+    # dead) — keeps long-lived multi-session processes from accumulating
+    # unreachable DataFrame plans (ADVICE r5)
+    for cache in (_RELATION_CACHE, _SPREAD_CACHE):
+        for k in [k for k in cache if k[0] != app_id]:
+            del cache[k]
+    _CONFS_DONE.intersection_update({app_id})
     # events.parquet stores TIMESTAMP(NANOS): unreadable without this
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # all reference timestamps are UTC (generate_and_load_script.py:58-61)

@@ -235,10 +235,52 @@ def test_decode_media_headers():
     assert (d["kind"], d["channels"], d["sample_rate"]) == ("wav", 2, 44100)
     assert d["bits_per_sample"] == 16
 
+    # JPEG: marker walk skips APP0 and finds SOF0
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+        + b"\xff\xc0" + struct.pack(">H", 17) + bytes([8])
+        + struct.pack(">HH", 480, 640) + bytes([3]) + bytes(9)
+        + b"\xff\xd9"
+    )
+    d = decode_media(jpeg, "image/jpeg")
+    assert (d["kind"], d["width"], d["height"], d["channels"]) == (
+        "jpeg", 640, 480, 3,
+    )
+
+    # MP4: nested box walk (ftyp, then moov > mvhd v0)
+    mvhd = b"\x00" * 4 + b"\x00" * 8 + struct.pack(">II", 1000, 42000)
+    mvhd += b"\x00" * (100 - len(mvhd))
+    mvhd = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+    d = decode_media(ftyp + moov, "video/mp4")
+    assert (d["kind"], d["timescale"], d["duration"]) == ("mp4", 1000, 42000)
+    # mvhd v1 uses 64-bit duration at different offsets
+    mvhd1 = b"\x01" + b"\x00" * 3 + b"\x00" * 16
+    mvhd1 += struct.pack(">IQ", 90000, 2**33) + b"\x00" * 72
+    mvhd1 = struct.pack(">I", 8 + len(mvhd1)) + b"mvhd" + mvhd1
+    moov1 = struct.pack(">I", 8 + len(mvhd1)) + b"moov" + mvhd1
+    d = decode_media(ftyp + moov1, "video/mp4")
+    assert (d["timescale"], d["duration"]) == (90000, 2**33)
+
     with pytest.raises(ValueError):
         decode_media(png, "video/mp4")
     with pytest.raises(ValueError):
         decode_media(b"not a png", "image/png")
+    with pytest.raises(ValueError):
+        decode_media(png, "application/pdf")
+    # truncation raises ValueError, never struct.error/IndexError
+    # (ADVICE r5: callers catching ValueError must see these)
+    for cut in (4, 12, 20, 25):
+        with pytest.raises(ValueError):
+            decode_media(png[:cut], "image/png")
+    with pytest.raises(ValueError):
+        decode_media(wav[:30], "audio/wav")
+    with pytest.raises(ValueError):
+        decode_media(jpeg[:8], "image/jpeg")
+    with pytest.raises(ValueError):
+        decode_media((ftyp + moov)[:20], "video/mp4")
 
 
 def test_media_dimensions_roundtrip(spark, sf_dir):
@@ -253,16 +295,26 @@ def test_media_dimensions_roundtrip(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(40)
     for r in media_dimensions(synth_media_payloads(docs)).collect():
         i = r["doc_id"]
-        if i % 2 == 0:
+        if i % 4 == 0:
             assert r["kind"] == "png"
             assert r["width"] == 16 + i % 1024
             assert r["height"] == 16 + (i * 7) % 512
             assert r["channels"] is None and r["sample_rate"] is None
-        else:
+        elif i % 4 == 1:
             assert r["kind"] == "wav"
-            assert r["channels"] == 1 + (i % 4) // 2
+            assert r["channels"] == 1 + (i % 8) // 4
             assert r["sample_rate"] == [8000, 16000, 44100][i % 3]
             assert r["width"] is None and r["height"] is None
+        elif i % 4 == 2:
+            assert r["kind"] == "jpeg"
+            assert r["width"] == 16 + (i * 3) % 1024
+            assert r["height"] == 16 + (i * 5) % 512
+            assert r["channels"] == 3
+        else:
+            assert r["kind"] == "mp4"
+            assert r["timescale"] == [600, 1000, 90000][i % 3]
+            assert r["duration"] == r["timescale"] * (1 + i % 30)
+            assert r["width"] is None and r["channels"] is None
 
 
 def test_dedup_clusters_connected_components(spark):

@@ -683,3 +683,26 @@ def test_decode_media_roundtrips_any_header(
     )
     d = decode_media(wav, "audio/wav")
     assert (d["channels"], d["sample_rate"]) == (channels, sample_rate)
+
+    # JPEG: SOF0 after a variable number of length-bearing APPn segments
+    j_w, j_h = width % 65536 or 1, height % 65536 or 1
+    jpeg = b"\xff\xd8"
+    for blob in junk_chunks:
+        jpeg += b"\xff\xe1" + struct.pack(">H", 2 + len(blob)) + blob
+    jpeg += (
+        b"\xff\xc0" + struct.pack(">H", 17) + bytes([8])
+        + struct.pack(">HH", j_h, j_w) + bytes([3]) + bytes(9)
+    )
+    d = decode_media(jpeg, "image/jpeg")
+    assert (d["width"], d["height"], d["channels"]) == (j_w, j_h, 3)
+
+    # MP4: mvhd v0 nested under moov, after non-moov sibling boxes
+    ts, dur = sample_rate, (width * 7) % (2**32)
+    mvhd = b"\x00" * 12 + struct.pack(">II", ts, dur) + b"\x00" * 72
+    mvhd = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    pre = b""
+    for blob in junk_chunks:
+        pre += struct.pack(">I", 8 + len(blob)) + b"free" + blob
+    d = decode_media(pre + moov, "video/mp4")
+    assert (d["timescale"], d["duration"]) == (ts, dur)
