@@ -1,0 +1,477 @@
+"""Web-corpus curation: URL canonicalization, domain rollups, blocklists,
+and the composed end-to-end curation plan.
+
+North-star extension (BASELINE.json): the FIRST filters any web-crawl
+training corpus hits are URL-shaped — canonicalize the URL, dedup exact
+URLs, roll quality up per domain, drop blocklisted domains — before any
+content-level dedup runs. The reference's documents table carries no URL,
+so a deterministic URL is synthesized per doc (JVM-side, closed-form from
+doc_id) with exactly the noise canonicalization must strip: scheme/host
+case, `www.` prefixes, default ports, `utm_*` tracking params, fragments,
+trailing slashes. The DuckDB oracles replay BOTH the synthesis and the
+canonicalization regex pipeline, so a wrong regex on either side breaks
+the hash match.
+
+Scale notes (100 TB):
+- canonicalization is scan-local string work (regexp_extract/replace in
+  whole-stage codegen) — no UDF, no shuffle.
+- URL dedup shuffles (canonical_url, doc_id, source) triples only; the
+  text payload never moves (same contract as q_dedup_exact).
+- the domain rollup shuffles one narrow row per doc keyed by domain;
+  domains are Zipf-skewed in real crawls — the AQE skew-join/salting
+  levers from q_skew_join apply unchanged.
+- the blocklist is dim-sized by construction -> broadcast hash join,
+  zero shuffle of the fact side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from saas_analytics_pipeline_spark.functions import hash60, hash60_sql
+from saas_analytics_pipeline_spark.operators.corpus import (
+    BUDGET_SHIFT,
+    bucketed_cumsum,
+)
+from saas_analytics_pipeline_spark.operators.text import (
+    LANG_MARKERS,
+    _score,
+    _score_sql,
+)
+from saas_analytics_pipeline_spark.qcatalog import query
+from saas_analytics_pipeline_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# deterministic URL synthesis (stand-in for a crawl lake's url column)
+# --------------------------------------------------------------------------
+
+
+def synth_urls(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic raw URL per doc: canonical identity depends
+    only on doc_id % 260 (domain d{id%13}, path p/{id%20}, page={id%4}
+    when id is odd), while presentation noise (case, www., :443, trailing
+    slash, utm param, fragment) varies on other residues — so raw strings
+    differ between copies of the same canonical URL."""
+    d = F.col("doc_id")
+    scheme = F.when(d % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https"))
+    host = F.concat(
+        F.when(d % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("d"),
+        (d % 13).cast("string"),
+        F.lit(".example.com"),
+    )
+    host = F.when(d % 7 == 0, F.upper(host)).otherwise(host)
+    port = F.when(d % 6 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/p/"),
+        (d % 20).cast("string"),
+        F.when(d % 3 == 1, F.lit("/")).otherwise(F.lit("")),
+    )
+    qs = F.when(
+        d % 2 == 1,
+        F.concat(F.lit("?utm_source=feed&page="), (d % 4).cast("string")),
+    ).otherwise(F.lit(""))
+    frag = F.when(d % 5 == 2, F.lit("#sec")).otherwise(F.lit(""))
+    return docs.withColumn(
+        "url", F.concat(scheme, F.lit("://"), host, port, path, qs, frag)
+    )
+
+
+URL_SQL = """
+    CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END
+    || '://'
+    || CASE WHEN doc_id % 7 = 0 THEN upper(
+           CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+           || 'd' || CAST(doc_id % 13 AS VARCHAR) || '.example.com')
+       ELSE
+           CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+           || 'd' || CAST(doc_id % 13 AS VARCHAR) || '.example.com'
+       END
+    || CASE WHEN doc_id % 6 = 0 THEN ':443' ELSE '' END
+    || '/p/' || CAST(doc_id % 20 AS VARCHAR)
+    || CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 2 = 1
+            THEN '?utm_source=feed&page=' || CAST(doc_id % 4 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 2 THEN '#sec' ELSE '' END
+"""
+
+
+# --------------------------------------------------------------------------
+# canonicalization (scan-local, codegen; the SQL twin replays each step)
+# --------------------------------------------------------------------------
+
+
+def canonical_parts(url: F.Column | str) -> tuple[F.Column, F.Column]:
+    """(canonical_url, domain) from a raw URL column: strip fragment,
+    lowercase scheme+host, drop `www.`, drop default ports, drop `utm_*`
+    query params (keeping the rest), strip trailing slashes. Path case is
+    preserved — paths are case-sensitive; only scheme/host normalize."""
+    u = F.col(url) if isinstance(url, str) else url
+    no_frag = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(no_frag, r"^[A-Za-z]+://([^/?]+)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r"^www\.", ""), r":(443|80)$", ""
+    )
+    rest = F.regexp_extract(no_frag, r"^[A-Za-z]+://[^/?]*(.*)$", 1)
+    path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1), r"/+$", "")
+    qs = F.regexp_extract(rest, r"\?(.*)$", 1)
+    kept = F.array_join(
+        F.filter(F.split(qs, "&"), lambda p: ~p.startswith("utm_")), "&"
+    )
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.length(kept) > 0, F.concat(F.lit("?"), kept)).otherwise(
+            F.lit("")
+        ),
+    )
+    return canonical, host
+
+
+# DuckDB twin of canonical_parts over a CTE exposing `url`
+CANON_HOST_SQL = r"""
+    regexp_replace(regexp_replace(
+        lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                             '^[A-Za-z]+://([^/?]+)', 1)),
+        '^www\.', ''), ':(443|80)$', '')
+"""
+CANON_URL_SQL = rf"""
+    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                         '^([A-Za-z]+)://', 1))
+    || '://'
+    || {CANON_HOST_SQL}
+    || regexp_replace(
+           regexp_extract(regexp_extract(regexp_replace(url, '#.*$', ''),
+               '^[A-Za-z]+://[^/?]*(.*)$', 1), '^([^?]*)', 1),
+           '/+$', '')
+    || CASE WHEN len(array_to_string(list_filter(
+                string_split(regexp_extract(regexp_extract(
+                    regexp_replace(url, '#.*$', ''),
+                    '^[A-Za-z]+://[^/?]*(.*)$', 1), '\?(.*)$', 1), '&'),
+                p -> NOT starts_with(p, 'utm_')), '&')) > 0
+            THEN '?' || array_to_string(list_filter(
+                string_split(regexp_extract(regexp_extract(
+                    regexp_replace(url, '#.*$', ''),
+                    '^[A-Za-z]+://[^/?]*(.*)$', 1), '\?(.*)$', 1), '&'),
+                p -> NOT starts_with(p, 'utm_')), '&')
+            ELSE '' END
+"""
+
+
+@query(
+    "q_url_dedup",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, source, {URL_SQL} AS url FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, source, {CANON_URL_SQL} AS canonical_url FROM raw
+    )
+    SELECT canonical_url,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(doc_id) AS survivor_id
+    FROM canon
+    GROUP BY canonical_url
+    HAVING COUNT(*) > 1
+    ORDER BY canonical_url
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact-URL dedup: normalize raw crawl URLs
+    (case, www., default port, utm params, fragments, trailing slash) and
+    group identical canonical URLs — the recrawl/mirror dedup every crawl
+    corpus runs before content dedup. Survivor = min doc_id (keep-first,
+    consistent with q_dedup_exact family).
+
+    Scale: canonicalization is codegen string work in the scan; only
+    (canonical_url, doc_id, source) shuffles. The oracle replays both the
+    URL synthesis and every canonicalization step in SQL."""
+    docs = synth_urls(load_table(spark, sf_dir, "documents"))
+    canonical, _ = canonical_parts("url")
+    return (
+        docs.select("doc_id", "source", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("survivor_id"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy("canonical_url")
+    )
+
+
+@query(
+    "q_domain_quality",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, text, n_chars, {URL_SQL} AS url FROM documents
+    ),
+    q AS (
+        SELECT {CANON_HOST_SQL} AS domain,
+               len(string_split(text, ' ')) AS n_tokens,
+               n_chars,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
+        FROM raw
+    )
+    SELECT domain,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens) AS stopword_ratio,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens) AS avg_token_len,
+           COUNT(*) FILTER (WHERE n_tokens BETWEEN 50 AND 200) AS n_good_length
+    FROM q GROUP BY domain ORDER BY domain
+    """,
+)
+def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality rollup: the aggregate a crawl curator ranks and
+    prunes domains by (content farms show up as whole bad domains, not
+    bad documents). Same quality signals as q_quality_score, keyed by the
+    canonical domain instead of language.
+
+    Scale: the quality signals and domain extraction are all scan-local;
+    one narrow row per doc shuffles, keyed by domain. Real crawl domains
+    are Zipf-skewed — AQE skew handling / salting applies as in
+    q_skew_join; the rollup itself is partial-aggregable."""
+    docs = synth_urls(load_table(spark, sf_dir, "documents"))
+    _, domain = canonical_parts("url")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and")))
+    q = docs.select(
+        domain.alias("domain"),
+        n_tokens.alias("n_tokens"),
+        F.col("n_chars"),
+        n_stop.alias("n_stop"),
+    )
+    return (
+        q.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (F.sum("n_stop").cast("double") / F.sum("n_tokens")).alias(
+                "stopword_ratio"
+            ),
+            (F.sum("n_chars").cast("double") / F.sum("n_tokens")).alias(
+                "avg_token_len"
+            ),
+            F.count(F.when(F.col("n_tokens").between(50, 200), 1)).alias(
+                "n_good_length"
+            ),
+        )
+        .orderBy("domain")
+    )
+
+
+BLOCKED_DOMAINS = [
+    "d2.example.com",
+    "d5.example.com",
+    "d11.example.com",
+    "spam.example.net",  # not present in the lake: proves no accidental hit
+]
+
+
+@query(
+    "q_domain_blocklist",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, source, {URL_SQL} AS url FROM documents
+    ),
+    tagged AS (
+        SELECT source,
+               CASE WHEN {CANON_HOST_SQL} IN
+                    ({", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)})
+                    THEN 1 ELSE 0 END AS blocked
+        FROM raw
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+           CAST(COUNT(*) - SUM(blocked) AS BIGINT) AS n_kept
+    FROM tagged GROUP BY source ORDER BY source
+    """,
+)
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist filter: drop documents whose canonical domain is
+    on a curated blocklist (spam/SEO domains) — per source, how many
+    survive. The blocklist join is the highest-frequency curation filter
+    on a crawl corpus.
+
+    Scale: the blocklist is dim-sized (thousands of rows at most) ->
+    explicit broadcast hash join; the fact side never shuffles. The
+    left-join + null flag (rather than anti-join) keeps both kept and
+    blocked counts in one pass."""
+    docs = synth_urls(load_table(spark, sf_dir, "documents"))
+    _, domain = canonical_parts("url")
+    block = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(d,) for d in BLOCKED_DOMAINS], "domain string"
+        ).withColumn("blocked", F.lit(1))
+    )
+    tagged = docs.select("source", domain.alias("domain")).join(
+        block, "domain", "left"
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("blocked"), F.lit(0)))
+            .cast("long")
+            .alias("n_blocked"),
+            F.sum(F.when(F.col("blocked").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# composed end-to-end curation plan (verdict r5 next-round #4)
+# --------------------------------------------------------------------------
+
+
+def _lang_ok_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lg}' THEN {_score_sql(lg)}" for lg in sorted(LANG_MARKERS)
+    )
+    return f"(CASE lang {cases} ELSE 0 END) >= 1"
+
+
+def _lang_ok_col() -> F.Column:
+    expr: F.Column = F.lit(0)
+    for lg in sorted(LANG_MARKERS):
+        expr = F.when(F.col("lang") == lg, _score(lg)).otherwise(expr)
+    return expr >= 1
+
+
+@query(
+    "q_curation_pipeline",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               md5(text) AS h,
+               {hash60_sql("'cp:' || CAST(doc_id AS VARCHAR)")} AS tb_h,
+               ({_lang_ok_sql()}) AS lang_ok,
+               (len(string_split(text, ' ')) BETWEEN 30 AND 400
+                AND n_chars BETWEEN 3 * len(string_split(text, ' '))
+                                AND 12 * len(string_split(text, ' ')))
+                   AS quality_ok
+        FROM documents
+    ),
+    gated AS (
+        SELECT * FROM base WHERE lang_ok AND quality_ok
+    ),
+    surv AS (
+        SELECT doc_id, n_tokens, tb_h,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM gated
+    ),
+    uniq AS (SELECT doc_id, n_tokens, tb_h FROM surv WHERE rn = 1),
+    budget AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   ORDER BY tb_h, doc_id ROWS UNBOUNDED PRECEDING
+               ) AS cum_tokens,
+               SUM(n_tokens) OVER () AS total
+        FROM uniq
+    )
+    SELECT b.source,
+           COUNT(*) AS n_in,
+           CAST(SUM(CASE WHEN b.lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lang,
+           CAST(SUM(CASE WHEN b.lang_ok AND b.quality_ok THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_gated,
+           CAST(COUNT(u.doc_id) AS BIGINT) AS n_unique,
+           CAST(COUNT(CASE WHEN bu.cum_tokens * 4 <= bu.total
+                           THEN 1 END) AS BIGINT) AS n_budget,
+           CAST(COALESCE(SUM(CASE WHEN bu.cum_tokens * 4 <= bu.total
+                                  THEN bu.n_tokens END), 0) AS BIGINT)
+               AS budget_tokens
+    FROM base b
+    LEFT JOIN uniq u ON u.doc_id = b.doc_id
+    LEFT JOIN budget bu ON bu.doc_id = b.doc_id
+    GROUP BY b.source ORDER BY b.source
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end curation plan as ONE query: language gate
+    (labeled lang's marker score >= 1) -> quality gate (token length band
+    + chars-per-token band, integer-exact) -> exact-dedup survivors
+    (keep-first per content hash) -> token budget (keep docs in
+    deterministic hash order until 25% of surviving tokens) -> per-source
+    funnel counts. Every stage exists as its own key (q_lang_id,
+    q_quality_score, q_dedup_exact, q_token_budget); this key proves the
+    COMPOSITION stays one plan with the right shape.
+
+    Scale: both gates and the content/budget hashes are computed in the
+    scan project — the text column dies scan-side, and the gates fuse
+    into the same WholeStageCodegen (guarded in tests/test_plans.py). The
+    dedup window and budget cumsum shuffle only narrow (doc_id, hash,
+    n_tokens) rows; the budget uses the bucketed range-partition cumsum
+    (no global sort). The funnel joins are doc_id-keyed narrow joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    tb_h = hash60(F.concat(F.lit("cp:"), F.col("doc_id").cast("string")))
+    base = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.md5("text").alias("h"),
+        tb_h.alias("tb_h"),
+        _lang_ok_col().alias("lang_ok"),
+        (
+            n_tokens.between(30, 400)
+            & F.col("n_chars").between(3 * n_tokens, 12 * n_tokens)
+        ).alias("quality_ok"),
+    )
+    gated = base.where(F.col("lang_ok") & F.col("quality_ok"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    uniq = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("tb_h").alias("h"),
+            F.shiftright("tb_h", BUDGET_SHIFT).alias("bucket"),
+        )
+    )
+    budget = bucketed_cumsum(uniq, "n_tokens").select(
+        F.col("doc_id").alias("b_doc_id"),
+        F.col("n_tokens").alias("b_tokens"),
+        (F.col("cum_tokens") * 4 <= F.col("total")).alias("in_budget"),
+    )
+    surv = uniq.select(F.col("doc_id").alias("u_doc_id"))
+    funnel = base.join(
+        surv, base.doc_id == surv.u_doc_id, "left"
+    ).join(budget, base.doc_id == budget.b_doc_id, "left")
+    return (
+        funnel.groupBy("source")
+        .agg(
+            F.count("*").alias("n_in"),
+            F.sum(F.when(F.col("lang_ok"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lang"),
+            F.sum(F.when(F.col("lang_ok") & F.col("quality_ok"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_gated"),
+            F.count("u_doc_id").cast("long").alias("n_unique"),
+            F.count(F.when(F.col("in_budget"), 1)).cast("long").alias("n_budget"),
+            F.coalesce(
+                F.sum(F.when(F.col("in_budget"), F.col("b_tokens"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("budget_tokens"),
+        )
+        .orderBy("source")
+    )

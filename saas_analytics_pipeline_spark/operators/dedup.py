@@ -220,15 +220,12 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.7) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
-    candidate pairs -> exact Jaccard verify. Returns (a, b, jaccard).
-
-    This is the 100 TB path: candidates come only from shared LSH buckets
-    (groupBy band key), and the exact verification joins shingle sets for
-    candidate pairs only."""
-    cand = lsh_candidate_pairs(docs)
-    sh = docs.select("doc_id", F.explode(F.array_distinct(shingles())).alias("s"))
+def exact_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs: (a, b) pairs + (doc_id, s)
+    DISTINCT shingle rows -> (a, b, jaccard). The verify step shared by
+    the batch (near_dup_pairs) and incremental (q_dedup_lsh_incremental)
+    near-dup paths — intersections join shingle sets for candidate pairs
+    only, never all-pairs."""
     inter = (
         cand.join(sh.alias("sa"), F.col("a") == F.col("sa.doc_id"))
         .join(
@@ -250,8 +247,19 @@ def near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.7) -> DataFrame
                 / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter"))
             ).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= jaccard_threshold)
     )
+
+
+def near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.7) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
+    candidate pairs -> exact Jaccard verify. Returns (a, b, jaccard).
+
+    This is the 100 TB path: candidates come only from shared LSH buckets
+    (groupBy band key), and the exact verification joins shingle sets for
+    candidate pairs only."""
+    cand = lsh_candidate_pairs(docs)
+    sh = docs.select("doc_id", F.explode(F.array_distinct(shingles())).alias("s"))
+    return exact_jaccard(cand, sh).where(F.col("jaccard") >= jaccard_threshold)
 
 
 @query(
@@ -917,4 +925,137 @@ def q_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sz").alias("max_bucket"),
         F.sum(F.expr("sz * (sz - 1) div 2")).alias("n_cand_pairs"),
         (F.max("sz").cast("double") / F.sum("sz")).alias("top_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-sided incremental MinHash-LSH dedup (verdict r5 next-round #2)
+# --------------------------------------------------------------------------
+
+def _lsh_incr_oracle() -> str:
+    """DuckDB replay of the full incremental pipeline: signatures -> narrow
+    band buckets (the lsh_band_buckets layout) -> new-vs-old + new-vs-new
+    candidates -> exact-Jaccard verify -> per-batch-doc decision."""
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, {hash60_sql('shingle')} AS h FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               {_mins_sql()}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        {_band_union_sql(N_PERM // 2, with_doc_id=True)}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bucket = y.bucket
+        WHERE y.doc_id % 3 = 0 AND x.doc_id <> y.doc_id
+          AND (x.doc_id % 3 <> 0 OR x.doc_id < y.doc_id)
+    ),
+    dsh AS (
+        SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS s FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+    inter AS (
+        SELECT c.a, c.b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN dsh sa ON sa.doc_id = c.a
+        JOIN dsh sb ON sb.doc_id = c.b AND sb.s = sa.s
+        GROUP BY 1, 2
+    ),
+    verified AS (
+        SELECT i.a, i.b FROM inter i
+        JOIN sizes za ON i.a = za.doc_id
+        JOIN sizes zb ON i.b = zb.doc_id
+        WHERE CAST(i.n_inter AS DOUBLE)
+                  / (za.n_sh + zb.n_sh - i.n_inter) >= 0.7
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(MAX(CASE WHEN v.a % 3 <> 0 THEN 1 END), 0) AS INT)
+               AS dup_vs_corpus,
+           CAST(COALESCE(MAX(CASE WHEN v.a % 3 = 0 THEN 1 END), 0) AS INT)
+               AS dup_in_batch,
+           CAST(CASE WHEN COUNT(v.a) = 0 THEN 1 ELSE 0 END AS INT)
+               AS accepted
+    FROM documents d
+    LEFT JOIN verified v ON v.b = d.doc_id
+    WHERE d.doc_id % 3 = 0
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query("q_dedup_lsh_incremental", oracle=_lsh_incr_oracle())
+def q_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided incremental MinHash-LSH dedup — the production shape of
+    near-dup dedup: a NEW batch (doc_id%3=0 here; a daily crawl delivery
+    in production) is deduped against the ACCEPTED corpus's persisted band
+    table (new-vs-old) AND against itself (new-vs-new, keep-smallest-id),
+    without ever re-banding or re-pairing the historical corpus
+    (old-vs-old never runs — that work was done when those docs were
+    accepted). Anchored on the reference's duplicate-injection contract
+    (data_gen/pseudo_code_rules.txt:39-47); q_dedup_incremental is the
+    exact-hash precedent, this is the near-dup upgrade.
+
+    Per batch doc: dup_vs_corpus / dup_in_batch flags (exact Jaccard >=
+    0.7 on LSH candidates only) and the resulting accept decision.
+
+    Scale (100 TB corpus, ~TB-scale daily batch): the corpus side is a
+    stored (doc_id, band, bucket) table bucketed by (band, bucket) — the
+    join with the batch's bands shuffles ONLY the batch side; corpus text
+    is re-read ONLY for docs that appear in a candidate pair (the
+    left-semi prune below == a doc_id-pruned scan against the corpus
+    lake). Candidate volume stays LSH-bounded on both legs; the batch
+    self-join is the same banding, so one band build serves both legs."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    # production: corpus_bands is a persisted table keyed (band, bucket);
+    # recomputed here because the test lake stores no derived state
+    corpus_bands = lsh_band_buckets(corpus)
+    batch_bands = lsh_band_buckets(batch)
+    vs_corpus = (
+        batch_bands.alias("nb")
+        .join(corpus_bands.alias("ob"), ["band", "bucket"])
+        .select(F.col("ob.doc_id").alias("a"), F.col("nb.doc_id").alias("b"))
+    )
+    vs_batch = (
+        batch_bands.alias("x")
+        .join(batch_bands.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+    cand = vs_corpus.unionByName(vs_batch).distinct()
+    # re-read text only for docs in some candidate pair (pruned scan)
+    cand_docs = (
+        cand.select(F.col("a").alias("doc_id"))
+        .unionByName(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        docs.join(cand_docs, "doc_id", "left_semi")
+        .select("doc_id", F.explode(F.array_distinct(shingles())).alias("s"))
+    )
+    verified = exact_jaccard(cand, sh).where(F.col("jaccard") >= 0.7)
+    return (
+        batch.select("doc_id")
+        .join(verified, F.col("b") == F.col("doc_id"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("a") % 3 != 0, 1)), F.lit(0)
+            ).cast("int").alias("dup_vs_corpus"),
+            F.coalesce(
+                F.max(F.when(F.col("a") % 3 == 0, 1)), F.lit(0)
+            ).cast("int").alias("dup_in_batch"),
+            F.when(F.count("a") == 0, 1).otherwise(0)
+            .cast("int").alias("accepted"),
+        )
+        .orderBy("doc_id")
     )

@@ -72,37 +72,26 @@ DRIVER_VERIFIED: dict[str, str] = dict.fromkeys(
     "r01",
 )
 
-# Round-5 window: THE CATALOG IS FROZEN (verdict r4 §Next-round #1) — the
-# window is exactly the 44 keys with no green CORRECTNESS row after r04
-# (every key that has waited since r03/r04), plus the one new key closing
-# the decode_media stub and four justified re-verifications (REVERIFY
-# below). 49 pins + the auto-filled 50th slot = the full driver window.
+# Round-6 window: the r05 backlog fully verified (238/238), so the freeze
+# is LIFTED with the r05 discipline — every new key below passed the
+# DuckDB oracle + selfcheck (--pandas and --vanilla) BEFORE entering this
+# list. 10 pins (9 new keys + 1 justified re-verification); the remaining
+# 40 slots auto-fill with the stalest-certified keys (ordered_keys now
+# rotates oldest-green-first, verdict r5 defect #2 fixed).
 WINDOW_PRIORITY: list[str] = [
-    # §2.9 streaming twins — the last two SURVEY §2 core keys (verdict #3)
-    "q_stream_dedup", "q_stream_enrich",
-    # TPC-H decision-support suite, waiting since r03/r04 (tpch.py)
-    "q_tpch_pricing", "q_tpch_shipping", "q_tpch_local_volume",
-    "q_tpch_promo_share", "q_tpch_top_supplier", "q_tpch_big_orders",
-    "q_tpch_order_priority", "q_tpch_revenue_change",
-    "q_tpch_returned_items", "q_tpch_quantity_bands",
-    # TPC-H second wave (tpch2.py)
-    "q_tpch_min_cost_supplier", "q_tpch_volume_shipping",
-    "q_tpch_market_share", "q_tpch_product_profit",
-    "q_tpch_important_parts", "q_tpch_late_priority",
-    "q_tpch_order_counts", "q_tpch_part_suppliers",
-    "q_tpch_small_qty_revenue", "q_tpch_excess_suppliers",
-    "q_tpch_waiting_suppliers", "q_tpch_dormant_customers",
-    # analytics / UDF keys waiting since r03 (stats.py, functions/udfs.py)
-    "q_benford", "q_gini", "q_dq_summary", "q_table_checksum",
-    "q_pandas_scalar", "q_pandas_grouped_agg", "q_sessionize_pandas",
-    "q_sequence_pattern", "q_sliding_window", "q_kl_sources", "q_zipf_fit",
-    "q_pmi_bigrams", "q_fertility", "q_token_len_hist", "q_doc_lang_matrix",
-    "q_ri_matrix", "q_same_day_orders", "q_forget_audit", "q_k_anonymity",
-    "q_key_skew",
-    # slack slot 45: decode_media stub closed -> real header parse (r05)
+    # two-sided incremental MinHash-LSH dedup (verdict r5 #2)
+    "q_dedup_lsh_incremental",
+    # URL/domain curation family (verdict r5 #3)
+    "q_url_dedup", "q_domain_quality", "q_domain_blocklist",
+    # composed end-to-end curation plan (verdict r5 #4)
+    "q_curation_pipeline",
+    # corpus-path streaming twins (verdict r5 #5)
+    "q_stream_doc_dedup", "q_stream_token_rollup",
+    # mergeable sketch upgrades (verdict r5 #6)
+    "q_hll_union", "q_quantile_sketch",
+    # re-verification: decode_media now parses 4 container kinds (JPEG +
+    # MP4 added, verdict r5 #8) — the r05 row certifies the 2-kind output
     "q_media_dimensions",
-    # slack 46-49: justified re-verifications (see REVERIFY)
-    "q_abc_analysis", "q_bm25", "q_country_norm", "q_fx_join",
 ]
 
 
@@ -133,6 +122,10 @@ REVERIFY: dict[str, str] = {
     # rows predate the loader change for the two seed-joining keys
     "q_country_norm": "r04",
     "q_fx_join": "r04",
+    # r06 extended the synth/decode path from 2 container kinds (PNG/WAV)
+    # to 4 (+JPEG/MP4) and widened the output schema (+total_duration);
+    # the r05 row certifies the old 2-kind output
+    "q_media_dimensions": "r05",
 }
 
 
@@ -209,6 +202,7 @@ def load_all() -> None:
         audits,
         cohorts,
         corpus,
+        curation,
         dedup,
         joins,
         multimodal,
@@ -216,6 +210,7 @@ def load_all() -> None:
         scd2,
         sessionize,
         similarity,
+        sketches,
         sqlops,
         stats,
         text,

@@ -360,3 +360,159 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("window.start").alias("wstart"), "event_type", "n")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus-path streaming twins (verdict r5 next-round #5): documents as a
+# stream — digest dedup with a state TTL, and windowed token rollups
+# --------------------------------------------------------------------------
+DOC_EPOCH = 1704067200  # 2024-01-01 00:00:00 UTC
+DOC_TTL_MIN = 60  # digest-dedup state TTL (minutes)
+
+
+def doc_arrivals(docs: DataFrame) -> DataFrame:
+    """Turn the documents table into an arrival log: content digest +
+    token count + a deterministic arrival timestamp (one doc per minute
+    from DOC_EPOCH). Stand-in for a crawl-ingest stream; every derived
+    column is scan-local (md5/size/timestamp arithmetic in codegen)."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.timestamp_seconds(F.lit(DOC_EPOCH) + F.col("doc_id") * 60).alias("ts"),
+    )
+
+
+@query(
+    "q_stream_doc_dedup",
+    oracle=f"""
+    WITH arr AS (
+        SELECT doc_id, source, md5(text) AS h,
+               TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS ts
+        FROM documents
+    ),
+    flagged AS (
+        SELECT source,
+               CASE WHEN ts - LAG(ts) OVER w <= INTERVAL {DOC_TTL_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS dropped
+        FROM arr
+        WINDOW w AS (PARTITION BY h ORDER BY ts, doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS n_raw,
+           CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - SUM(dropped) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+)
+def q_stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming digest-dedup with a state TTL: a document
+    is dropped when the SAME content digest was last seen within
+    {DOC_TTL_MIN} minutes; a recrawl landing after the TTL is admitted as
+    new (the state was evicted). The TTL-refresh-on-sighting rule (lag
+    against the previous same-digest arrival, kept or not) is exactly
+    what a keyed state store with a sliding timeout implements — and what
+    bounds the state at 100 TB/day ingest: live keys = digests seen in
+    the last TTL, not ever. The live path is doc_dedup_stream
+    (dropDuplicatesWithinWatermark on the digest), driven by
+    tests/test_streaming.py.
+
+    Scale: digest + arrival projection is scan-local; the lag window
+    shuffles (h, ts, source) narrow rows keyed by digest — the text never
+    moves. NULL lag (first sighting) compares false -> kept."""
+    arr = doc_arrivals(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("ts", "doc_id")
+    flagged = arr.select(
+        "source",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            <= DOC_TTL_MIN * 60,
+            1,
+        )
+        .otherwise(0)
+        .alias("dropped"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            (F.count("*") - F.sum("dropped")).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_stream_token_rollup",
+    oracle="""
+    WITH arr AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_tokens,
+               TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS ts
+        FROM documents
+    )
+    SELECT date_trunc('hour', ts) AS wstart,
+           source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM arr GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_stream_token_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming token-throughput rollup: tumbling
+    1-hour windows of document and token counts per source — the live
+    gauge a corpus-ingest pipeline alerts on (tokens/hour per source).
+    Live path: token_rollup_stream (watermarked window agg, update mode),
+    driven by tests/test_streaming.py.
+
+    Scale: the token count is scan-local; the window agg shuffles
+    (window, source) partials, map-side combined — identical plan to
+    q_stream_tumbling on events."""
+    arr = doc_arrivals(load_table(spark, sf_dir, "documents"))
+    return (
+        arr.groupBy(F.window("ts", "1 hour"), "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            F.col("window.start").alias("wstart"),
+            "source",
+            "n_docs",
+            "total_tokens",
+        )
+        .orderBy("wstart", "source")
+    )
+
+
+def doc_dedup_stream(docs: DataFrame, ttl: str = "60 minutes") -> DataFrame:
+    """Streaming digest-dedup: dropDuplicatesWithinWatermark on the
+    content digest — state holds one digest per TTL horizon and is
+    evicted as the watermark advances (bounded state at any ingest
+    volume). Input must carry (h, ts); build it with doc_arrivals-shaped
+    projections on the stream side."""
+    return docs.withWatermark("ts", ttl).dropDuplicatesWithinWatermark(["h"])
+
+
+def token_rollup_stream(docs: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming token-throughput rollup: watermarked 1-hour tumbling
+    windows of doc/token counts per source (the live twin of
+    q_stream_token_rollup)."""
+    return (
+        docs.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            F.col("window.start").alias("wstart"),
+            "source",
+            "n_docs",
+            "total_tokens",
+        )
+    )

@@ -389,3 +389,69 @@ def test_incremental_mart_resumes_across_restarts(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert got3 == got2
+
+
+def test_stream_doc_dedup_drops_replayed_docs(spark, sf_dir, tmp_path):
+    """A replayed documents file dedups by content digest within the
+    watermark: output = one row per distinct digest."""
+    from saas_analytics_pipeline_spark.streaming.jobs import (
+        doc_arrivals,
+        doc_dedup_stream,
+    )
+
+    src = tmp_path / "doc_dup_src"
+    src.mkdir()
+    shutil.copy(table_path(sf_dir, "documents"), src / "part-000.parquet")
+    shutil.copy(table_path(sf_dir, "documents"), src / "part-001.parquet")
+    schema = spark.read.parquet(str(src)).schema
+
+    stream = doc_arrivals(stream_events(spark, str(src), schema))
+    # TTL >> the arrival span so every duplicate is inside the horizon;
+    # TTL *expiry* semantics are pinned by q_stream_doc_dedup's oracle
+    deduped = doc_dedup_stream(stream, ttl="10 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("doc_dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "doc_dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    n_digests = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.md5("text"))
+        .distinct()
+        .count()
+    )
+    out = spark.table("doc_dedup_out")
+    assert out.count() == n_digests
+    assert out.select("h").distinct().count() == n_digests
+
+
+def test_stream_token_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming token rollup under Trigger.AvailableNow equals the
+    batch twin exactly."""
+    from saas_analytics_pipeline_spark import qcatalog
+    from saas_analytics_pipeline_spark.streaming.jobs import (
+        doc_arrivals,
+        token_rollup_stream,
+    )
+
+    src = tmp_path / "doc_roll_src"
+    src.mkdir()
+    shutil.copy(table_path(sf_dir, "documents"), src / "part-000.parquet")
+    schema = spark.read.parquet(str(src)).schema
+
+    stream = doc_arrivals(stream_events(spark, str(src), schema))
+    q = run_available_now(
+        token_rollup_stream(stream), "token_rollup_out", str(tmp_path / "tr_ckpt")
+    )
+    q.awaitTermination(120)
+
+    qcatalog.load_all()
+    batch = qcatalog.QUERIES["q_stream_token_rollup"].fn(spark, sf_dir)
+    got = {tuple(r) for r in spark.table("token_rollup_out").collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
