@@ -662,3 +662,56 @@ def test_tpch_volume_shipping_supplier_prune_below_orderkey_join(
     ok_i, ok_depth = find(lambda l: "l_orderkey" in l and "o_orderkey" in l)
     sk_i, sk_depth = find(lambda l: "l_suppkey" in l and "s_suppkey" in l)
     assert sk_i > ok_i and sk_depth > ok_depth
+
+
+def test_curation_pipeline_fuses_gates_never_shuffles_text(spark, sf_dir):
+    """The composed curation plan must keep both gates + all hashes in the
+    scan project (text dies scan-side): no Exchange may carry the text
+    column, and the only wide ops are the narrow dedup window / budget
+    cumsum / funnel joins."""
+    import re
+
+    from saas_analytics_pipeline_spark.operators.curation import (
+        q_curation_pipeline,
+    )
+
+    df = q_curation_pipeline(spark, sf_dir)
+    df.collect()  # under AQE, codegen spans appear in the FINAL plan
+    plan = plan_of(df)
+    assert not re.search(r"Exchange[^\n]*\btext\b", plan)
+    # gates fuse into codegen stages (no interpreted filter fallback)
+    assert "codegen id" in plan
+
+
+def test_url_curation_scan_local_no_text_shuffle(spark, sf_dir):
+    """URL canonicalization is codegen string work: q_url_dedup shuffles
+    only (canonical_url, doc_id, source); q_domain_blocklist broadcasts
+    the blocklist and never shuffles the fact side by domain."""
+    import re
+
+    from saas_analytics_pipeline_spark.operators.curation import (
+        q_domain_blocklist,
+        q_url_dedup,
+    )
+
+    plan = plan_of(q_url_dedup(spark, sf_dir))
+    assert not re.search(r"Exchange[^\n]*\btext\b", plan)
+
+    plan = plan_of(q_domain_blocklist(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert not re.search(r"Exchange[^\n]*\btext\b", plan)
+
+
+def test_lsh_incremental_candidates_only_no_cartesian(spark, sf_dir):
+    """The incremental dedup's pair sources are band-bucket equi-joins on
+    both legs (never a cartesian), and text never crosses an Exchange —
+    shingle verification happens on candidate docs only."""
+    import re
+
+    from saas_analytics_pipeline_spark.operators.dedup import (
+        q_dedup_lsh_incremental,
+    )
+
+    plan = plan_of(q_dedup_lsh_incremental(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"Exchange[^\n]*\btext\b", plan)

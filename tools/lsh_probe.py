@@ -54,11 +54,41 @@ def main() -> None:
 
     # the candidate stage IS near_dup_pairs' candidate stage — same
     # helper, so this count cannot drift from the shipped pipeline
-    n_cand = lsh_candidate_pairs(docs).count()
+    cand = lsh_candidate_pairs(docs)
+    n_cand = cand.count()
 
     t0 = time.perf_counter()
     n_verified = near_dup_pairs(docs).count()
     wall = round(time.perf_counter() - t0, 3)
+
+    # incremental-path parity (q_dedup_lsh_incremental's two legs): the
+    # incremental candidate set must be exactly the batch candidates that
+    # involve >= 1 new-batch doc — i.e. the incremental path skips the
+    # old-vs-old work and NOTHING else
+    from pyspark.sql import functions as F
+
+    from saas_analytics_pipeline_spark.operators.dedup import lsh_band_buckets
+
+    corpus_bands = lsh_band_buckets(docs.where(F.col("doc_id") % 3 != 0))
+    batch_bands = lsh_band_buckets(docs.where(F.col("doc_id") % 3 == 0))
+    t1 = time.perf_counter()
+    inc_cand = (
+        batch_bands.alias("nb")
+        .join(corpus_bands.alias("ob"), ["band", "bucket"])
+        .select(F.col("ob.doc_id").alias("a"), F.col("nb.doc_id").alias("b"))
+        .unionByName(
+            batch_bands.alias("x")
+            .join(batch_bands.alias("y"), ["band", "bucket"])
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        )
+        .distinct()
+    )
+    n_inc = inc_cand.count()
+    inc_wall = round(time.perf_counter() - t1, 3)
+    n_batch_touching = cand.where(
+        (F.col("a") % 3 == 0) | (F.col("b") % 3 == 0)
+    ).count()
 
     possible = n_docs * (n_docs - 1) // 2
     print(
@@ -70,6 +100,10 @@ def main() -> None:
                 "candidate_share": round(n_cand / possible, 8),
                 "verified_pairs": n_verified,
                 "pipeline_wall_sec": wall,
+                "incremental_candidates": n_inc,
+                "batch_candidates_touching_new": n_batch_touching,
+                "incremental_matches_batch": n_inc == n_batch_touching,
+                "incremental_candidate_wall_sec": inc_wall,
             }
         )
     )
