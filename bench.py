@@ -65,7 +65,17 @@ HEADLINE_CORPUS = [
     "q_bm25",
 ]
 
-HEADLINE = HEADLINE_CORE + HEADLINE_TPCH + HEADLINE_CORPUS
+# r06+: the curation heavies — the composed lang/quality/dedup/budget
+# funnel (one plan, text dies scan-side) and two-sided incremental
+# MinHash-LSH dedup (batch bands vs persisted corpus bands). The two new
+# cost shapes of the round; a regression in either (a gate that stops
+# fusing, a candidate blowup) shows up as a timing step.
+HEADLINE_CURATION = [
+    "q_curation_pipeline",
+    "q_dedup_lsh_incremental",
+]
+
+HEADLINE = HEADLINE_CORE + HEADLINE_TPCH + HEADLINE_CORPUS + HEADLINE_CURATION
 
 
 def main() -> None:

@@ -69,6 +69,9 @@ ALLOW_NESTED_LOOP: dict[str, str] = {
     "q_scd2_asof_join": "equi hash join with residual range predicate (no NL at any size)",
     "q_key_skew": "per-key 1-row total frames crossJoined (|keys| rows total)",
     "q_backlog_aging": "single-row as-of anchor (global max orderdate) broadcast",
+    # round-6 additions
+    "q_hll_union": "two single-row frames crossJoined (merged-sketch row x exact-count row; each 4 KB sketch reduce)",
+    "q_quantile_sketch": "3-row quantile frame broadcast against the fact scan (|quantiles| constant)",
 }
 
 # Queries allowed a global (partition-less) window: the window input is an
@@ -108,6 +111,8 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_ks_test": "quantized CDF histogram (bin width bounds rows to hundreds)",
     "q_partition_volume": "per-day aggregate (calendar-bounded)",
     "q_ltv": "cohort x offset aggregate (months^2-bounded)",
+    # round-6 additions
+    "q_curation_pipeline": "32-row bucket-offset table (constant; bucketed_cumsum, same contract as q_token_budget)",
 }
 
 SMELL_RE = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
