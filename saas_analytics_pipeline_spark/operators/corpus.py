@@ -1535,3 +1535,87 @@ def q_wordfreq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus snapshot diff (docs/ROADMAP_r07.md #4): the delta between two
+# dataset releases, by document key + content digest
+# --------------------------------------------------------------------------
+
+# Deterministic stand-ins for two corpus releases over the one test lake:
+# v1 drops doc_id % DIFF_V1_MOD == 0 (those docs are ADDED in v2), v2 drops
+# doc_id % DIFF_V2_MOD == 0 (REMOVED since v1), and docs with
+# doc_id % DIFF_EDIT_MOD == 0 carry edited text in v2 (CHANGED digest).
+DIFF_V1_MOD = 19
+DIFF_V2_MOD = 17
+DIFF_EDIT_MOD = 7
+
+
+@query(
+    "q_corpus_diff",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT doc_id, source, md5(text) AS h FROM documents
+        WHERE doc_id % {DIFF_V1_MOD} <> 0
+    ),
+    v2 AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0
+                    THEN md5(text || ' rev2') ELSE md5(text) END AS h
+        FROM documents WHERE doc_id % {DIFF_V2_MOD} <> 0
+    ),
+    d AS (
+        SELECT COALESCE(v1.source, v2.source) AS source,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.h <> v2.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT source, status, COUNT(*) AS n_docs
+    FROM d GROUP BY source, status ORDER BY source, status
+    """,
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: docs added / removed / changed / unchanged
+    between two dataset releases, keyed by doc_id with change detected by
+    content digest — the delta a dataset card cites between versions and
+    the input to incremental re-training decisions. The two releases are
+    deterministic slices of the test lake (see DIFF_*_MOD).
+
+    Scale: each release contributes one (doc_id, source, digest) row —
+    the digest is computed in the scan, so text never shuffles; the full
+    outer join is doc_id-keyed narrow rows (at 100 TB both releases are
+    doc_id-partitioned lakes, so this is a co-partitioned sort-merge
+    join); the rollup is |sources| x 4 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % DIFF_V1_MOD != 0).select(
+        F.col("doc_id").alias("v1_id"),
+        F.col("source").alias("v1_source"),
+        F.md5("text").alias("v1_h"),
+    )
+    v2 = docs.where(F.col("doc_id") % DIFF_V2_MOD != 0).select(
+        F.col("doc_id").alias("v2_id"),
+        F.col("source").alias("v2_source"),
+        F.when(
+            F.col("doc_id") % DIFF_EDIT_MOD == 0,
+            F.md5(F.concat(F.col("text"), F.lit(" rev2"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("v2_h"),
+    )
+    status = (
+        F.when(F.col("v1_id").isNull(), "added")
+        .when(F.col("v2_id").isNull(), "removed")
+        .when(F.col("v1_h") != F.col("v2_h"), "changed")
+        .otherwise("unchanged")
+    )
+    d = v1.join(v2, F.col("v1_id") == F.col("v2_id"), "full_outer").select(
+        F.coalesce("v1_source", "v2_source").alias("source"),
+        status.alias("status"),
+    )
+    return (
+        d.groupBy("source", "status")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "status")
+    )

@@ -338,6 +338,120 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# model-based quality filter (docs/ROADMAP_r07.md #3): a trained linear
+# scorer applied at corpus scale without any ML runtime in the engine
+# --------------------------------------------------------------------------
+
+# Logistic-regression coefficients in integer MICRO-logits (1e-6), shipped
+# like a seed table (the fx_rates pattern: a versioned dim the pipeline
+# broadcasts). Trained offline; the engine only needs the dot product.
+# Integer units keep Spark and DuckDB bit-identical — the sigmoid is
+# monotonic, so the p >= 0.5 gate is exactly logit >= 0 and never needs
+# exp() at scoring time (exp differs in the last ulp across libms).
+QUALITY_COEF: dict[str, int] = {
+    "w_intercept": -1_200_000,
+    "w_token": 15_000,  # per whitespace token
+    "w_stop": 120_000,  # per stopword hit (prose signal)
+    "w_char": 500,  # per character
+    "w_digit": -50_000,  # per digit character (boilerplate/serial signal)
+}
+
+
+@query(
+    "q_quality_model",
+    oracle=f"""
+    WITH f AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop,
+               len(text) AS n_chr,
+               len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS n_digit
+        FROM documents
+    ),
+    s AS (
+        SELECT source,
+               {QUALITY_COEF["w_intercept"]}
+               + {QUALITY_COEF["w_token"]} * n_tokens
+               + {QUALITY_COEF["w_stop"]} * n_stop
+               + {QUALITY_COEF["w_char"]} * n_chr
+               + {QUALITY_COEF["w_digit"]} * n_digit AS logit
+        FROM f
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass,
+           CAST(SUM(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS pass_rate,
+           CAST(SUM(logit) AS DOUBLE) / COUNT(*) AS avg_logit_micro
+    FROM s GROUP BY source ORDER BY source
+    """,
+)
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: a logistic scorer over the engine's
+    quality signals (token count, stopword hits, char count, digit count),
+    with coefficients shipped as a broadcast seed row and the dot product
+    evaluated in whole-stage codegen — "classifier-based filtering"
+    (the FineWeb/DCLM-style quality model step) with no ML runtime in the
+    engine. Gate = p >= 0.5 == integer micro-logit >= 0 (sigmoid is
+    monotonic, so inference never calls exp). Per source: docs, passes,
+    pass rate, mean logit.
+
+    Scale: features are scan-local codegen; the coefficient frame is ONE
+    row crossJoined under broadcast (same contract as q_decay_score's
+    anchor row — allow-listed in tools/scale_lint.py); the rollup shuffles
+    |sources| partial rows. Swapping a retrained model = replacing the
+    seed row, no plan change."""
+    docs = load_table(spark, sf_dir, "documents")
+    coef = F.broadcast(
+        spark.createDataFrame(
+            [tuple(QUALITY_COEF.values())],
+            "w_intercept long, w_token long, w_stop long, "
+            "w_char long, w_digit long",
+        )
+    )
+    toks = F.split("text", " ")
+    feats = docs.select(
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))).alias(
+            "n_stop"
+        ),
+        F.length("text").alias("n_chr"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).alias("n_digit"),
+    )
+    logit = (
+        F.col("w_intercept")
+        + F.col("w_token") * F.col("n_tokens")
+        + F.col("w_stop") * F.col("n_stop")
+        + F.col("w_char") * F.col("n_chr")
+        + F.col("w_digit") * F.col("n_digit")
+    )
+    scored = feats.crossJoin(coef).select("source", logit.alias("logit"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("logit") >= 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+            (
+                F.sum(F.when(F.col("logit") >= 0, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("pass_rate"),
+            (F.sum("logit").cast("double") / F.count("*")).alias(
+                "avg_logit_micro"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def _lang_ok_sql() -> str:
     cases = " ".join(
         f"WHEN '{lg}' THEN {_score_sql(lg)}" for lg in sorted(LANG_MARKERS)

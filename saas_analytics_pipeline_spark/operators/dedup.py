@@ -205,6 +205,43 @@ def lsh_band_buckets(docs: DataFrame) -> DataFrame:
     )
 
 
+def row_band_buckets(docs: DataFrame, *carry: str) -> DataFrame:
+    """(doc_id, *carry, band, bucket) computed PER ROW with higher-order
+    functions — no groupBy, no shuffle. The STREAMING twin of
+    lsh_band_buckets: same shingles, salts, and narrow band layout, so the
+    buckets are bit-identical (pinned by tests/test_dedup.py). Batch code
+    keeps the groupBy path (explode spreads text fan-out across the
+    cluster); a stream must band each arriving row scan-side, because a
+    pre-aggregation in front of the keyed state store would be a second
+    stateful operator.
+
+    Scale: one md5 per shingle (the `hs` projection materializes the
+    hashed-shingle array once; the 16 per-permutation mins re-read it),
+    then N_PERM array_mins — all inside the scan projection."""
+    n_bands = N_PERM // 2
+
+    def _perm_min(salt: int) -> F.Column:
+        # outer closure: HOF lambdas receive ONLY Column params, so the
+        # salt must bind outside the lambda signature
+        return F.array_min(
+            F.transform("_hs", lambda h: h.bitwiseXOR(F.lit(salt)))
+        )
+
+    hs = docs.withColumn("_hs", F.transform(shingles(), hash60))
+    sig = hs.select(
+        "doc_id",
+        *carry,
+        *[_perm_min(PERM_SALTS[j]).alias(f"mh{j}") for j in range(N_PERM)],
+    )
+    return sig.select(
+        "doc_id",
+        *carry,
+        F.posexplode(
+            F.array(*[band_key(b, n_bands) for b in range(n_bands)])
+        ).alias("band", "bucket"),
+    )
+
+
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing >= 1 LSH band bucket —
     the ONLY pair source in the near-dup family (never all-pairs)."""

@@ -92,6 +92,13 @@ WINDOW_PRIORITY: list[str] = [
     # re-verification: decode_media now parses 4 container kinds (JPEG +
     # MP4 added, verdict r5 #8) — the r05 row certifies the 2-kind output
     "q_media_dimensions",
+    # r06 second wave (docs/ROADMAP_r07.md #1-#4, pulled forward):
+    # streaming near-dup dedup twin, model-based quality filter,
+    # schema evolution on read, corpus snapshot diff
+    "q_stream_lsh_dedup",
+    "q_quality_model",
+    "q_schema_evolution",
+    "q_corpus_diff",
 ]
 
 
@@ -205,6 +212,7 @@ def load_all() -> None:
         curation,
         dedup,
         joins,
+        lake,
         multimodal,
         retrieval,
         scd2,

@@ -489,6 +489,115 @@ def q_stream_token_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# streaming NEAR-dup dedup (docs/ROADMAP_r07.md #1): MinHash band buckets
+# as the state key — the live twin the near-dup family lacked (digest
+# dedup above streams EXACT content only)
+# --------------------------------------------------------------------------
+LSH_TTL_MIN = 360  # band-bucket sighting TTL (minutes)
+
+
+def lsh_arrival_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc near-dup flag under the streaming rule: a document is
+    flagged when ANY of its MinHash band buckets was last sighted within
+    LSH_TTL_MIN minutes (sightings refresh the TTL, kept or not — the
+    same lag-vs-previous-sighting rule as q_stream_doc_dedup, per bucket
+    instead of per digest). Returns (doc_id, source, dup). Shared by the
+    batch twin below and the live-path equivalence test."""
+    from pyspark.sql import Window
+
+    from saas_analytics_pipeline_spark.operators.dedup import lsh_band_buckets
+
+    arr = doc_arrivals(docs).select("doc_id", "source", "ts")
+    joined = lsh_band_buckets(docs).join(arr, "doc_id")
+    w = Window.partitionBy("band", "bucket").orderBy("ts", "doc_id")
+    hit = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        <= LSH_TTL_MIN * 60
+    )
+    flags = joined.select(
+        "doc_id", "source", F.when(hit, 1).otherwise(0).alias("hit")
+    )
+    return flags.groupBy("doc_id", "source").agg(F.max("hit").alias("dup"))
+
+
+def _lsh_stream_oracle() -> str:
+    from saas_analytics_pipeline_spark.functions import hash60_sql
+    from saas_analytics_pipeline_spark.operators.dedup import (
+        N_PERM,
+        SHINGLES_SQL,
+        _band_union_sql,
+        _mins_sql,
+    )
+
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, {hash60_sql('shingle')} AS h FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               {_mins_sql()}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        {_band_union_sql(N_PERM // 2, with_doc_id=True)}
+    ),
+    arr AS (
+        SELECT doc_id, source,
+               TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS ts
+        FROM documents
+    ),
+    hits AS (
+        SELECT b.doc_id,
+               CASE WHEN a.ts - LAG(a.ts) OVER (
+                        PARTITION BY b.band, b.bucket ORDER BY a.ts, b.doc_id
+                    ) <= INTERVAL {LSH_TTL_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS hit
+        FROM bands b JOIN arr a ON a.doc_id = b.doc_id
+    ),
+    dup AS (SELECT doc_id, MAX(hit) AS dup FROM hits GROUP BY doc_id)
+    SELECT a.source,
+           COUNT(*) AS n_raw,
+           CAST(SUM(d.dup) AS BIGINT) AS n_flagged,
+           CAST(COUNT(*) - SUM(d.dup) AS BIGINT) AS n_kept
+    FROM arr a JOIN dup d ON d.doc_id = a.doc_id
+    GROUP BY a.source ORDER BY a.source
+    """
+
+
+@query("q_stream_lsh_dedup", oracle=_lsh_stream_oracle())
+def q_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming NEAR-dup dedup: MinHash band buckets are
+    the state keys, and a document is flagged when any of its buckets was
+    sighted within the {LSH_TTL_MIN}-minute TTL — per source, raw /
+    flagged / kept counts. The live path is lsh_dedup_stream
+    (streaming/stateful.py): scan-local per-row banding
+    (dedup.row_band_buckets, bit-identical to the batch banding) into an
+    applyInPandasWithState store keyed by (band, bucket) with event-time
+    TTL eviction; per-doc equivalence against THIS twin's flags is driven
+    by tests/test_streaming.py. The DuckDB oracle replays signatures,
+    banding, and the TTL lag rule end to end.
+
+    Scale: state is one timestamp per band bucket LIVE IN THE LAST TTL —
+    bounded by arrival rate x TTL, not corpus size; banding is scan-local;
+    only (bucket, ts) narrow rows shuffle. This is the LSH-recall
+    analogue of exact digest dedup: candidates flagged here are verified
+    (exact Jaccard) downstream exactly as in q_dedup_lsh_incremental."""
+    flags = lsh_arrival_flags(load_table(spark, sf_dir, "documents"))
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.sum("dup").cast("long").alias("n_flagged"),
+            (F.count("*") - F.sum("dup")).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 def doc_dedup_stream(docs: DataFrame, ttl: str = "60 minutes") -> DataFrame:
     """Streaming digest-dedup: dropDuplicatesWithinWatermark on the
     content digest — state holds one digest per TTL horizon and is

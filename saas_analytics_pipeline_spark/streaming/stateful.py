@@ -248,3 +248,79 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --------------------------------------------------------------------------
+# streaming near-dup dedup: keyed state per MinHash band bucket
+# --------------------------------------------------------------------------
+LSH_HIT_SCHEMA = "doc_id bigint, band int, hit int"
+LSH_STATE_SCHEMA = "last_us bigint"  # last sighting per (band, bucket)
+
+
+def _lsh_bucket_fn(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState function for ONE (band, bucket) key: emit a
+    hit for every arrival whose previous same-bucket sighting (in-batch or
+    in-state) is within the TTL; refresh the state to the newest sighting;
+    evict via event-time timeout when the watermark passes last + TTL."""
+    from saas_analytics_pipeline_spark.streaming.jobs import LSH_TTL_MIN
+
+    ttl_us = LSH_TTL_MIN * 60 * 1_000_000
+    if state.hasTimedOut:
+        state.remove()  # eviction only — hits were emitted on arrival
+        return
+
+    parts = [pdf for pdf in pdf_iter if len(pdf)]
+    if not parts:
+        return
+    pdf = pd.concat(parts).sort_values(["ts", "doc_id"])
+    ts_us = pdf["ts"].astype("int64").floordiv(1000)
+    prev_us = ts_us.shift(1)
+    if state.exists:
+        (last_us,) = state.get
+        prev_us.iloc[0] = float(last_us)
+    hit = ((ts_us - prev_us) <= ttl_us).astype("int32")  # NaN compares False
+
+    last = int(ts_us.iloc[-1])
+    state.update((last,))
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(last // 1000 + LSH_TTL_MIN * 60_000, wm_ms + 1))
+    yield pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].astype("int64").values,
+            "band": int(key[0]),
+            "hit": hit.values,
+        }
+    )
+
+
+def lsh_dedup_stream(docs: DataFrame, watermark: str = "12 hours") -> DataFrame:
+    """Streaming NEAR-dup dedup: per-row scan-local MinHash banding
+    (dedup.row_band_buckets — bit-identical to the batch banding), then a
+    keyed state store per (band, bucket) holding the last sighting, with
+    event-time TTL eviction. Emits (doc_id, band, hit) rows; a doc is a
+    near-dup candidate when any band hits (max over bands, aggregated by
+    the consumer — tests/test_streaming.py proves per-doc equivalence with
+    the batch twin q_stream_lsh_dedup/lsh_arrival_flags).
+
+    Scale: state = one 8-byte timestamp per bucket sighted within the TTL
+    (bounded by arrival rate x TTL, not corpus size); banding never
+    shuffles — only (band, bucket, doc_id, ts) rows reach the state
+    exchange. Input must carry (doc_id, ts, text)."""
+    from saas_analytics_pipeline_spark.operators.dedup import row_band_buckets
+
+    bands = row_band_buckets(docs, "ts")
+    return (
+        bands.withWatermark("ts", watermark)
+        .groupBy("band", "bucket")
+        .applyInPandasWithState(
+            _lsh_bucket_fn,
+            outputStructType=LSH_HIT_SCHEMA,
+            stateStructType=LSH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1501,3 +1501,20 @@ def test_recursive_chains_match_windowed_islands(spark, sf_dir):
     )
     want = {(r.chain_len, r.n_chains) for r in islands.collect()}
     assert got == want
+
+
+def test_row_band_buckets_bit_identical_to_batch_banding(spark, sf_dir):
+    """The scan-local (per-row HOF) banding used by the streaming near-dup
+    path produces exactly the batch lsh_band_buckets rows — same shingles,
+    salts, and band layout. A drift here silently desynchronizes the live
+    dedup from the oracle-checked batch twin."""
+    from saas_analytics_pipeline_spark.operators.dedup import (
+        lsh_band_buckets,
+        row_band_buckets,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = {tuple(r) for r in lsh_band_buckets(docs).collect()}
+    scan = {tuple(r) for r in row_band_buckets(docs).collect()}
+    assert batch == scan and len(batch) > 0

@@ -72,6 +72,7 @@ ALLOW_NESTED_LOOP: dict[str, str] = {
     # round-6 additions
     "q_hll_union": "two single-row frames crossJoined (merged-sketch row x exact-count row; each 4 KB sketch reduce)",
     "q_quantile_sketch": "3-row quantile frame broadcast against the fact scan (|quantiles| constant)",
+    "q_quality_model": "single-row model-coefficient seed frame broadcast against the fact scan (the q_decay_score anchor-row contract)",
 }
 
 # Queries allowed a global (partition-less) window: the window input is an

@@ -11,6 +11,13 @@ orchestration implies):
              (built-in streaming agg — JVM state store)
   sessionize applyInPandasWithState custom sessionizer
              (Arrow-batched python state path — the expensive kind)
+  lsh_dedup  streaming near-dup dedup over the sf3 documents replica:
+             scan-local per-row MinHash banding into keyed
+             (band, bucket) state (applyInPandasWithState) — the
+             heaviest corpus-path stream (md5-per-shingle compute +
+             Arrow state). Docs streamed in doc_id order
+             (repartitionByRange) so arrival tracks event time, like
+             an ordered ingest log.
 
 Reported per job: wall seconds, input rows/s, output rows. The file is
 split into micro-batches via maxFilesPerTrigger=1 over a multi-file
@@ -32,12 +39,17 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 SF3_EVENTS = ROOT / ".localdata" / "sf3" / "events.parquet"
+SF3_DOCS = ROOT / ".localdata" / "sf3" / "documents.parquet"
 SRC_DIR = Path("/tmp/stream_probe_events")
+DOC_SRC_DIR = Path("/tmp/stream_probe_docs")
 CKPT = Path("/tmp/stream_probe_ckpt")
 
 SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, "
     "event_type string, value double, props string"
+)
+DOC_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
 )
 
 
@@ -103,6 +115,66 @@ def main() -> None:
         run("tumbling", tumbling_counts_stream, "complete"),
         run("sessionize", sessionize_stream, "append"),
     ]
+
+    # --- streaming near-dup dedup over the documents replica ---
+    from pyspark.sql import functions as F
+
+    from saas_analytics_pipeline_spark.streaming.jobs import DOC_EPOCH
+    from saas_analytics_pipeline_spark.streaming.stateful import (
+        lsh_dedup_stream,
+    )
+
+    shutil.rmtree(DOC_SRC_DIR, ignore_errors=True)
+    docs = spark.read.parquet(str(SF3_DOCS))
+    n_docs = docs.count()
+    # range-partitioned by doc_id: files arrive in event-time order (an
+    # ordered ingest log), so the watermark never drops the tail
+    docs.repartitionByRange(8, "doc_id").write.mode("overwrite").parquet(
+        str(DOC_SRC_DIR)
+    )
+
+    doc_stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(DOC_SRC_DIR))
+        .select(
+            "doc_id",
+            F.timestamp_seconds(F.lit(DOC_EPOCH) + F.col("doc_id") * 60).alias(
+                "ts"
+            ),
+            "text",
+        )
+    )
+    q = (
+        lsh_dedup_stream(doc_stream)
+        .writeStream.format("memory")
+        .queryName("probe_lsh_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(CKPT / "lsh_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    t0 = time.perf_counter()
+    q.awaitTermination()
+    wall = round(time.perf_counter() - t0, 3)
+    flagged = (
+        spark.table("probe_lsh_dedup")
+        .groupBy("doc_id")
+        .agg(F.max("hit").alias("dup"))
+        .agg(F.sum("dup"))
+        .first()[0]
+    )
+    results.append(
+        {
+            "job": "lsh_dedup",
+            "wall_sec": wall,
+            "rows_per_sec": int(n_docs / wall),
+            "micro_batches": len(q.recentProgress),
+            "output_rows": spark.table("probe_lsh_dedup").count(),
+            "input_docs": n_docs,
+            "docs_flagged": int(flagged),
+        }
+    )
     print(json.dumps({"input_rows": n_rows, "jobs": results}))
 
 
