@@ -287,6 +287,52 @@ def exact_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
+def pairwise_jaccard(cand: DataFrame, docs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs via per-doc shingle ARRAYS:
+    re-read text ONLY for docs in some pair (left-semi prune == a
+    doc_id-pruned scan against the corpus lake), build each candidate
+    doc's distinct-shingle array once, join it to the pair's two sides,
+    and compute the intersection per pair in the JVM (array_intersect).
+
+    Same values as exact_jaccard (pinned bit-identical in
+    tests/test_operators.py) with a different cost shape: no shingle-ROW
+    pair shuffle, and the candidate subplan is consumed 3x total
+    (pair join + two set joins) instead of exact_jaccard's 4 sh-side
+    consumptions — which matters when `cand` is itself an expensive
+    lineage (the incremental path recomputed its banding joins ~12x
+    through exact_jaccard). exact_jaccard remains the right shape when
+    the shingle rows are already materialized (near_dup_pairs)."""
+    # no .distinct() on the id list: left-semi dedups the probe side
+    # inherently, so distinct would only add an exchange
+    cand_docs = cand.select(F.col("a").alias("doc_id")).unionByName(
+        cand.select(F.col("b").alias("doc_id"))
+    )
+    sets = docs.join(cand_docs, "doc_id", "left_semi").select(
+        "doc_id", F.array_distinct(shingles()).alias("ss")
+    )
+    paired = (
+        cand.join(sets.alias("sa"), F.col("a") == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), F.col("b") == F.col("sb.doc_id"))
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect(F.col("sa.ss"), F.col("sb.ss"))).alias(
+                "n_inter"
+            ),
+            F.size(F.col("sa.ss")).alias("n_a"),
+            F.size(F.col("sb.ss")).alias("n_b"),
+        )
+    )
+    return paired.select(
+        "a",
+        "b",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("jaccard"),
+    )
+
+
 def near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.7) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
     candidate pairs -> exact Jaccard verify. Returns (a, b, jaccard).
@@ -1028,6 +1074,37 @@ def _lsh_incr_oracle() -> str:
     """
 
 
+def incremental_candidates(docs: DataFrame) -> DataFrame:
+    """Candidate pairs for the two-sided incremental dedup, as ONE
+    banding self-join with membership predicates: the right side must be
+    a batch doc (old-vs-old never pairs), corpus-vs-batch pairs are
+    unordered, batch-vs-batch pairs keep a < b. Set-identical to the
+    two-leg (new-vs-old UNION new-vs-new) construction — the probe
+    (tools/lsh_probe.py) asserts the count equals the batch candidates
+    touching >= 1 new doc — but with one banding subplan per join SIDE
+    instead of one per leg: Catalyst pushes the y-side membership
+    predicate below the banding to the scan, so the probe side bands
+    ONLY batch docs (the persisted-corpus production shape computes
+    exactly that) and the build side bands each doc once instead of
+    once per leg it appears in. Mirrors the oracle's `cand` CTE
+    exactly."""
+    bands = lsh_band_buckets(docs)
+    return (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .where(
+            (F.col("y.doc_id") % 3 == 0)
+            & (F.col("x.doc_id") != F.col("y.doc_id"))
+            & (
+                (F.col("x.doc_id") % 3 != 0)
+                | (F.col("x.doc_id") < F.col("y.doc_id"))
+            )
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+
+
 @query("q_dedup_lsh_incremental", oracle=_lsh_incr_oracle())
 def q_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided incremental MinHash-LSH dedup — the production shape of
@@ -1047,39 +1124,26 @@ def q_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored (doc_id, band, bucket) table bucketed by (band, bucket) — the
     join with the batch's bands shuffles ONLY the batch side; corpus text
     is re-read ONLY for docs that appear in a candidate pair (the
-    left-semi prune below == a doc_id-pruned scan against the corpus
-    lake). Candidate volume stays LSH-bounded on both legs; the batch
-    self-join is the same banding, so one band build serves both legs."""
+    left-semi prune inside pairwise_jaccard == a doc_id-pruned scan
+    against the corpus lake). Candidate volume stays LSH-bounded on both
+    legs; the candidate construction is ONE banding self-join with
+    membership predicates (incremental_candidates), so each side bands
+    every doc at most once — and the candidate set is cache()d before
+    the verify fan-out (see below)."""
     docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.where(F.col("doc_id") % 3 != 0)
     batch = docs.where(F.col("doc_id") % 3 == 0)
-    # production: corpus_bands is a persisted table keyed (band, bucket);
-    # recomputed here because the test lake stores no derived state
-    corpus_bands = lsh_band_buckets(corpus)
-    batch_bands = lsh_band_buckets(batch)
-    vs_corpus = (
-        batch_bands.alias("nb")
-        .join(corpus_bands.alias("ob"), ["band", "bucket"])
-        .select(F.col("ob.doc_id").alias("a"), F.col("nb.doc_id").alias("b"))
-    )
-    vs_batch = (
-        batch_bands.alias("x")
-        .join(batch_bands.alias("y"), ["band", "bucket"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-    )
-    cand = vs_corpus.unionByName(vs_batch).distinct()
-    # re-read text only for docs in some candidate pair (pruned scan)
-    cand_docs = (
-        cand.select(F.col("a").alias("doc_id"))
-        .unionByName(cand.select(F.col("b").alias("doc_id")))
-        .distinct()
-    )
-    sh = (
-        docs.join(cand_docs, "doc_id", "left_semi")
-        .select("doc_id", F.explode(F.array_distinct(shingles())).alias("s"))
-    )
-    verified = exact_jaccard(cand, sh).where(F.col("jaccard") >= 0.7)
+    # production: the corpus side of the banding is a persisted table
+    # keyed (band, bucket); recomputed here because the test lake stores
+    # no derived state
+    # the candidate set is the natural materialization barrier (production
+    # persists it before the verify pass): it is consumed 5x downstream
+    # (pair join, both set joins, the accept rollup), each consumption
+    # would otherwise recompute the banding self-join — cache() bounds
+    # that to one build. LSH-bounded rows (a, b), ~16 bytes/pair; the
+    # plan cache memoizes this DataFrame per (session, sf), so one cached
+    # frame exists per lake, not per invocation.
+    cand = incremental_candidates(docs).cache()
+    verified = pairwise_jaccard(cand, docs).where(F.col("jaccard") >= 0.7)
     return (
         batch.select("doc_id")
         .join(verified, F.col("b") == F.col("doc_id"), "left")

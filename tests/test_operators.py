@@ -1518,3 +1518,28 @@ def test_row_band_buckets_bit_identical_to_batch_banding(spark, sf_dir):
     batch = {tuple(r) for r in lsh_band_buckets(docs).collect()}
     scan = {tuple(r) for r in row_band_buckets(docs).collect()}
     assert batch == scan and len(batch) > 0
+
+
+def test_pairwise_jaccard_bit_identical_to_exact_jaccard(spark, sf_dir):
+    """The array-intersect verify (pairwise_jaccard, used by the
+    incremental dedup) returns exactly exact_jaccard's (a, b, jaccard)
+    rows on the same candidates — same shingle sets, same double math,
+    different cost shape only."""
+    from pyspark.sql import functions as F
+
+    from saas_analytics_pipeline_spark.operators.dedup import (
+        exact_jaccard,
+        incremental_candidates,
+        pairwise_jaccard,
+        shingles,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = incremental_candidates(docs)
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles())).alias("s")
+    )
+    want = {tuple(r) for r in exact_jaccard(cand, sh).collect()}
+    got = {tuple(r) for r in pairwise_jaccard(cand, docs).collect()}
+    assert got == want and len(got) > 0

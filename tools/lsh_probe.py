@@ -67,23 +67,14 @@ def main() -> None:
     # old-vs-old work and NOTHING else
     from pyspark.sql import functions as F
 
-    from saas_analytics_pipeline_spark.operators.dedup import lsh_band_buckets
-
-    corpus_bands = lsh_band_buckets(docs.where(F.col("doc_id") % 3 != 0))
-    batch_bands = lsh_band_buckets(docs.where(F.col("doc_id") % 3 == 0))
-    t1 = time.perf_counter()
-    inc_cand = (
-        batch_bands.alias("nb")
-        .join(corpus_bands.alias("ob"), ["band", "bucket"])
-        .select(F.col("ob.doc_id").alias("a"), F.col("nb.doc_id").alias("b"))
-        .unionByName(
-            batch_bands.alias("x")
-            .join(batch_bands.alias("y"), ["band", "bucket"])
-            .where(F.col("x.doc_id") < F.col("y.doc_id"))
-            .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        )
-        .distinct()
+    from saas_analytics_pipeline_spark.operators.dedup import (
+        incremental_candidates,
     )
+
+    t1 = time.perf_counter()
+    # the SAME candidate construction the production key runs
+    # (single banding self-join with membership predicates)
+    inc_cand = incremental_candidates(docs)
     n_inc = inc_cand.count()
     inc_wall = round(time.perf_counter() - t1, 3)
     n_batch_touching = cand.where(
