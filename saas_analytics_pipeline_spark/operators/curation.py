@@ -531,7 +531,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the same WholeStageCodegen (guarded in tests/test_plans.py). The
     dedup window and budget cumsum shuffle only narrow (doc_id, hash,
     n_tokens) rows; the budget uses the bucketed range-partition cumsum
-    (no global sort). The funnel joins are doc_id-keyed narrow joins."""
+    (no global sort). The funnel itself is TWO per-source aggregates
+    (pre-gate counts from the scan, post-dedup/budget counts carried
+    through the cumsum) joined at |sources| grain — no doc_id-keyed
+    funnel join ever materializes."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n_tokens = F.size(toks)
@@ -548,6 +551,15 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("n_chars").between(3 * n_tokens, 12 * n_tokens)
         ).alias("quality_ok"),
     )
+    pre = base.groupBy("source").agg(
+        F.count("*").alias("n_in"),
+        F.sum(F.when(F.col("lang_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lang"),
+        F.sum(F.when(F.col("lang_ok") & F.col("quality_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gated"),
+    )
     gated = base.where(F.col("lang_ok") & F.col("quality_ok"))
     w = Window.partitionBy("h").orderBy("doc_id")
     uniq = (
@@ -555,35 +567,34 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select(
             "doc_id",
+            "source",
             "n_tokens",
             F.col("tb_h").alias("h"),
             F.shiftright("tb_h", BUDGET_SHIFT).alias("bucket"),
         )
     )
-    budget = bucketed_cumsum(uniq, "n_tokens").select(
-        F.col("doc_id").alias("b_doc_id"),
-        F.col("n_tokens").alias("b_tokens"),
-        (F.col("cum_tokens") * 4 <= F.col("total")).alias("in_budget"),
-    )
-    surv = uniq.select(F.col("doc_id").alias("u_doc_id"))
-    funnel = base.join(
-        surv, base.doc_id == surv.u_doc_id, "left"
-    ).join(budget, base.doc_id == budget.b_doc_id, "left")
-    return (
-        funnel.groupBy("source")
+    in_budget = F.col("cum_tokens") * 4 <= F.col("total")
+    post = (
+        bucketed_cumsum(uniq, "n_tokens")
+        .groupBy("source")
         .agg(
-            F.count("*").alias("n_in"),
-            F.sum(F.when(F.col("lang_ok"), 1).otherwise(0))
+            F.count("*").cast("long").alias("n_unique"),
+            F.count(F.when(in_budget, 1)).cast("long").alias("n_budget"),
+            F.coalesce(F.sum(F.when(in_budget, F.col("n_tokens"))), F.lit(0))
             .cast("long")
-            .alias("n_lang"),
-            F.sum(F.when(F.col("lang_ok") & F.col("quality_ok"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_gated"),
-            F.count("u_doc_id").cast("long").alias("n_unique"),
-            F.count(F.when(F.col("in_budget"), 1)).cast("long").alias("n_budget"),
-            F.coalesce(
-                F.sum(F.when(F.col("in_budget"), F.col("b_tokens"))), F.lit(0)
-            )
+            .alias("budget_tokens"),
+        )
+    )
+    return (
+        pre.join(post, "source", "left")
+        .select(
+            "source",
+            "n_in",
+            "n_lang",
+            "n_gated",
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.coalesce("n_budget", F.lit(0)).cast("long").alias("n_budget"),
+            F.coalesce("budget_tokens", F.lit(0))
             .cast("long")
             .alias("budget_tokens"),
         )
