@@ -307,9 +307,13 @@ def pairwise_jaccard(cand: DataFrame, docs: DataFrame) -> DataFrame:
     cand_docs = cand.select(F.col("a").alias("doc_id")).unionByName(
         cand.select(F.col("b").alias("doc_id"))
     )
-    sets = docs.join(cand_docs, "doc_id", "left_semi").select(
-        "doc_id", F.array_distinct(shingles()).alias("ss")
-    )
+    # spread BEFORE the shingle projection: the O(tokens) slice+concat per
+    # shingle position is the expensive part, and a few parquet input
+    # splits would otherwise serialize it on a handful of cores (the
+    # scan-parallelism ceiling measured in docs/SCALE.md — 10x at sf3)
+    sets = spread_for_fanout(
+        docs.join(cand_docs, "doc_id", "left_semi")
+    ).select("doc_id", F.array_distinct(shingles()).alias("ss"))
     paired = (
         cand.join(sets.alias("sa"), F.col("a") == F.col("sa.doc_id"))
         .join(sets.alias("sb"), F.col("b") == F.col("sb.doc_id"))

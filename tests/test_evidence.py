@@ -49,7 +49,7 @@ def test_probe_record_is_complete_and_green():
     probes = rec["probes"]
     expected = {
         "skew_probe", "bucket_probe", "scd2_probe",
-        "stream_probe", "ann_probe", "lsh_probe",
+        "stream_probe", "ann_probe", "lsh_probe", "layout_probe",
     }
     missing = expected - set(probes)
     assert not missing, f"probes missing from docs/PROBES.json: {missing}"

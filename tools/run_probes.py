@@ -31,6 +31,7 @@ PROBES: list[tuple[str, list[str]]] = [
     ("stream_probe", []),
     ("ann_probe", []),
     ("lsh_probe", []),
+    ("layout_probe", []),
 ]
 
 
