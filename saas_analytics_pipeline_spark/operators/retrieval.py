@@ -106,10 +106,11 @@ def _bm25_term_exprs() -> list[str]:
     return out
 
 
-@query(
-    "q_bm25",
-    oracle=f"""
-    WITH tok AS (
+# the BM25 scoring pipeline as a DuckDB CTE block — shared verbatim by
+# q_bm25 and q_rrf_fusion so the lexical side of the fusion is, by
+# construction, the same scorer the standalone key certifies
+_BM25_CTE = f"""
+    tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
     tf AS (
@@ -140,26 +141,14 @@ def _bm25_term_exprs() -> list[str]:
                      6) AS bm25
         FROM tf JOIN dl USING (doc_id) CROSS JOIN corpus CROSS JOIN dfs
     )
-    SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
-    ORDER BY bm25 DESC, doc_id LIMIT 20
-    """,
-)
-def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 lexical retrieval over the corpus for a pinned term set
-    (corpus probes: "find the docs about X" before a curation decision).
+"""
 
-    Scale: tokens explode scan-side and collapse to per-doc tf columns
-    (one shuffle of 5 ints per doc); corpus stats and per-term document
-    frequencies are 1-row aggregates broadcast back; the four-term score
-    is a fixed-order scalar expression (engine-portable); top-20 is
-    TakeOrderedAndProject. Ref surface: README.md:8 (marts layer) +
-    BASELINE.json text-analysis extension."""
-    docs = load_table(spark, sf_dir, "documents")
-    # measured: NO fan-out spread here — the token explode is ~150 short
-    # tokens/doc and the tf aggregate collapses map-side, so the
-    # conditional exchange (re-run for both tf consumers) costs more than
-    # the parallelism buys; the 5-gram shingle explodes are where
-    # spread_for_fanout pays (q_dup_span_fraction, q_containment)
+
+def bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25) for every document against the pinned BM25_TERMS —
+    the Spark twin of the _BM25_CTE block, factored so q_bm25 and
+    q_rrf_fusion score with the SAME pipeline (same shuffles, same
+    fixed-order double math)."""
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
@@ -183,17 +172,190 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     terms = _bm25_term_exprs()
-    scored = (
+    return (
         tf.join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .crossJoin(F.broadcast(dfs))
         .withColumn("bm25", F.round(F.expr(" + ".join(terms)), 6))
-    )
-    return (
-        scored.where(F.col("bm25") > 0)
         .select("doc_id", "bm25")
+    )
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH {_BM25_CTE}
+    SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval over the corpus for a pinned term set
+    (corpus probes: "find the docs about X" before a curation decision).
+
+    Scale: tokens explode scan-side and collapse to per-doc tf columns
+    (one shuffle of 5 ints per doc); corpus stats and per-term document
+    frequencies are 1-row aggregates broadcast back; the four-term score
+    is a fixed-order scalar expression (engine-portable); top-20 is
+    TakeOrderedAndProject. Ref surface: README.md:8 (marts layer) +
+    BASELINE.json text-analysis extension."""
+    docs = load_table(spark, sf_dir, "documents")
+    # measured: NO fan-out spread here — the token explode is ~150 short
+    # tokens/doc and the tf aggregate collapses map-side, so the
+    # conditional exchange (re-run for both tf consumers) costs more than
+    # the parallelism buys; the 5-gram shingle explodes are where
+    # spread_for_fanout pays (q_dup_span_fraction, q_containment)
+    return (
+        bm25_scored(docs)
+        .where(F.col("bm25") > 0)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
+    )
+
+
+# Reciprocal-rank fusion of the lexical (BM25) and dense (cosine) systems:
+# standard hybrid-retrieval combiner, score = sum over systems of
+# 1 / (RRF_K + rank), missing-from-top-N contributes 0.
+RRF_K = 60
+RRF_DEPTH = 50  # per-system candidate depth
+RRF_OUT = 20
+# pinned dense query vector: 64 values, all k/16 with |k| <= 16, so the
+# array<float> cast is EXACT and the double fold matches bit-for-bit
+RRF_QUERY_VEC = [((i * 37) % 33 - 16) / 16.0 for i in range(64)]
+_QV_SQL = (
+    "CAST(["
+    + ", ".join(repr(v) for v in RRF_QUERY_VEC)
+    + "] AS FLOAT[])"
+)
+_DENSE_COS_SQL = (
+    "round("
+    + _DOT_SQL.format(a="embedding", b=_QV_SQL)
+    + " / ("
+    + _NORM_SQL.format(v="embedding")
+    + " * "
+    + _NORM_SQL.format(v=_QV_SQL)
+    + "), 6)"
+)
+
+
+@query(
+    "q_rrf_fusion",
+    oracle=f"""
+    WITH {_BM25_CTE},
+    lex AS (
+        SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+        ORDER BY bm25 DESC, doc_id LIMIT {RRF_DEPTH}
+    ),
+    lexr AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                    AS BIGINT) AS lex_rank
+        FROM lex
+    ),
+    dsc AS (
+        SELECT vec_id, {_DENSE_COS_SQL} AS cos FROM embeddings
+    ),
+    den AS (
+        SELECT vec_id, cos FROM dsc
+        ORDER BY cos DESC, vec_id LIMIT {RRF_DEPTH}
+    ),
+    denr AS (
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id)
+                    AS BIGINT) AS dense_rank
+        FROM den
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, d.vec_id) AS doc_id,
+               COALESCE(l.lex_rank, 0) AS lex_rank,
+               COALESCE(d.dense_rank, 0) AS dense_rank
+        FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.vec_id
+    )
+    SELECT doc_id, lex_rank, dense_rank,
+           round(CASE WHEN lex_rank > 0
+                      THEN 1.0 / ({RRF_K} + lex_rank) ELSE 0.0 END
+               + CASE WHEN dense_rank > 0
+                      THEN 1.0 / ({RRF_K} + dense_rank) ELSE 0.0 END,
+                 6) AS rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT {RRF_OUT}
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the lexical system
+    (the SAME BM25 scorer q_bm25 certifies — shared bm25_scored /
+    _BM25_CTE) and the dense system (cosine of each embedding against a
+    pinned query vector) each contribute their top-{RRF_DEPTH} ranking;
+    a document's fused score is sum over systems of 1/({RRF_K}+rank),
+    with 0 for a system whose top list it missed (the standard RRF
+    combiner for sparse+dense search). Embeddings are keyed by vec_id ==
+    doc_id (TESTDATA.md), so the fusion is a full outer join of the two
+    rank lists.
+
+    Scale: each system's candidate list is TakeOrderedAndProject (no
+    global sort — per-partition top-{RRF_DEPTH}, merged on the driver);
+    the rank window then runs over <= {RRF_DEPTH} rows by construction
+    (scale_lint allow-listed), and the fusion join is {RRF_DEPTH}x2 rows.
+    The dense scan is scan-local codegen (the query vector is a literal;
+    the guarded unrolled dot — similarity.dot_expr — never leaves the
+    JVM). At 100 TB the per-system top-k IS the scale path: candidate
+    depth bounds every post-scan structure."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex_top = (
+        bm25_scored(docs)
+        .where(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+    lexr = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+
+    qv = F.array(*[F.lit(v) for v in RRF_QUERY_VEC]).cast("array<float>")
+    from saas_analytics_pipeline_spark.operators.similarity import cos_expr
+
+    dense_top = (
+        emb.withColumn("_qv", qv)
+        .select(
+            "vec_id",
+            F.round(cos_expr("embedding", "_qv"), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(RRF_DEPTH)
+    )
+    denr = dense_top.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos"), "vec_id"))
+        .cast("long")
+        .alias("dense_rank"),
+    )
+
+    fused = (
+        lexr.join(denr, lexr["doc_id"] == denr["vec_id"], "full_outer")
+        .select(
+            F.coalesce(lexr["doc_id"], denr["vec_id"]).alias("doc_id"),
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"),
+        )
+    )
+    lex_term = F.when(
+        F.col("lex_rank") > 0, F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank"))
+    ).otherwise(F.lit(0.0))
+    dense_term = F.when(
+        F.col("dense_rank") > 0,
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rank")),
+    ).otherwise(F.lit(0.0))
+    return (
+        fused.withColumn("rrf", F.round(lex_term + dense_term, 6))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(RRF_OUT)
     )
 
 

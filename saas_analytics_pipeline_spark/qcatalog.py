@@ -75,9 +75,10 @@ DRIVER_VERIFIED: dict[str, str] = dict.fromkeys(
 # Round-6 window: the r05 backlog fully verified (238/238), so the freeze
 # is LIFTED with the r05 discipline — every new key below passed the
 # DuckDB oracle + selfcheck (--pandas and --vanilla) BEFORE entering this
-# list. 10 pins (9 new keys + 1 justified re-verification); the remaining
-# 40 slots auto-fill with the stalest-certified keys (ordered_keys now
-# rotates oldest-green-first, verdict r5 defect #2 fixed).
+# list. 18 pins (17 new keys + 1 justified re-verification); the
+# remaining 32 slots auto-fill with the stalest-certified keys
+# (ordered_keys now rotates oldest-green-first, verdict r5 defect #2
+# fixed).
 WINDOW_PRIORITY: list[str] = [
     # two-sided incremental MinHash-LSH dedup (verdict r5 #2)
     "q_dedup_lsh_incremental",
@@ -99,6 +100,14 @@ WINDOW_PRIORITY: list[str] = [
     "q_quality_model",
     "q_schema_evolution",
     "q_corpus_diff",
+    # r06 third wave (docs/ROADMAP_r07.md #3 + retrieval fusion): range
+    # clustering + footer pruning, small-file compaction gauge, keyed
+    # merge-upsert, and reciprocal-rank hybrid retrieval — each passed
+    # oracle + --pandas + --vanilla selfcheck before entering this list
+    "q_layout_cluster",
+    "q_compaction_gauge",
+    "q_merge_upsert",
+    "q_rrf_fusion",
 ]
 
 

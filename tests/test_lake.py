@@ -1,5 +1,7 @@
-"""Schema evolution on read: added columns merge (NULL-backfilled on old
-files), true type conflicts are rejected loudly — never silently coerced."""
+"""Lake mechanics: schema evolution on read (added columns merge
+NULL-backfilled, type conflicts rejected loudly), range-clustered layout
+whose parquet footers actually prune, compaction file-count contract, and
+merge-upsert insert/update semantics."""
 
 from __future__ import annotations
 
@@ -47,3 +49,105 @@ def test_merge_schema_rejects_true_type_conflict(spark, sf_dir, tmp_path):
         spark.read.option("mergeSchema", "true").parquet(
             str(tmp_path / "gen_x"), str(tmp_path / "gen_y")
         ).collect()
+
+
+def test_clustered_footers_are_disjoint_and_prune(spark, sf_dir):
+    """The range-clustered write's parquet footers must carry DISJOINT
+    o_custkey min/max bands across row groups — the property min/max
+    pruning needs. A selective band predicate must therefore overlap only
+    a small fraction of row groups: the row-group-skip evidence read from
+    the same statistics Spark's pushed filter prunes by."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from saas_analytics_pipeline_spark.operators.lake import (
+        CLUSTER_DIV,
+        write_clustered,
+    )
+
+    base = write_clustered(spark, sf_dir)
+    ranges = []
+    for f in glob.glob(f"{base}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }["o_custkey"]
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            ranges.append((st.min, st.max))
+    assert len(ranges) >= 4  # clustering produced multiple row groups
+    # disjoint bands: sorted by min, each group's max < next group's min
+    # may touch at the boundary key (<=), but never truly interleave
+    ranges.sort()
+    overlaps = sum(
+        1 for (a, b) in zip(ranges, ranges[1:]) if a[1] > b[0]
+    )
+    assert overlaps == 0, f"row-group key ranges interleave: {ranges}"
+    # a 1/CLUSTER_DIV band predicate overlaps only the leading groups
+    bound = max(r[1] for r in ranges) // CLUSTER_DIV
+    touched = sum(1 for (lo, hi) in ranges if lo <= bound)
+    assert touched / len(ranges) <= 0.5, (
+        f"band predicate should skip most row groups, touched "
+        f"{touched}/{len(ranges)}"
+    )
+
+
+def test_compaction_gauge_file_counts(spark, sf_dir):
+    """The gauge row's file counts must equal the physical file counts on
+    disk (not just input_file_name()'s view of them) and the compacted
+    row count must match the source exactly."""
+    import glob
+    import math
+    import os
+    import tempfile
+
+    from saas_analytics_pipeline_spark.operators.lake import (
+        FRAG_FILES,
+        ROWS_PER_FILE,
+        q_compaction_gauge,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    row = q_compaction_gauge(spark, sf_dir).first()
+    n = load_table(spark, sf_dir, "orders").count()
+    assert row.files_before == FRAG_FILES
+    assert row.files_after == max(1, math.ceil(n / ROWS_PER_FILE))
+    assert row.n_rows == n
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"saas_lake_compact_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    on_disk = len(glob.glob(os.path.join(base, "compact", "*.parquet")))
+    assert on_disk == row.files_after
+
+
+def test_merge_upsert_applies_latest_version_and_inserts(spark, sf_dir):
+    """Keys % 10 == 0 are INSERTED (absent from the target), odd
+    multiples of 5 are UPDATED in place (custkey bumped by the v2 amount
+    — never v1's), and every other key survives untouched."""
+    from saas_analytics_pipeline_spark.operators.lake import (
+        UPSERT_BUMP,
+        q_merge_upsert,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    rows = {r.bucket: r for r in q_merge_upsert(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    src = {
+        r.bucket: r
+        for r in orders.groupBy(
+            (F.col("o_orderkey") % 10).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_custkey").cast("long").alias("s"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(range(10))
+    for b in range(10):
+        assert rows[b].n_rows == src[b].n  # no row lost or duplicated
+        expected = src[b].s + (src[b].n * UPSERT_BUMP if b in (0, 5) else 0)
+        assert rows[b].sum_custkey == expected, f"bucket {b}"

@@ -73,6 +73,9 @@ ALLOW_NESTED_LOOP: dict[str, str] = {
     "q_hll_union": "two single-row frames crossJoined (merged-sketch row x exact-count row; each 4 KB sketch reduce)",
     "q_quantile_sketch": "3-row quantile frame broadcast against the fact scan (|quantiles| constant)",
     "q_quality_model": "single-row model-coefficient seed frame broadcast against the fact scan (the q_decay_score anchor-row contract)",
+    "q_layout_cluster": "single-row band-bound frame (in production the bound is a literal and reaches the scan as a pushed filter)",
+    "q_compaction_gauge": "two single-row gauge frames crossJoined (file counts + checksum)",
+    "q_rrf_fusion": "two 1-row BM25 stat frames (inherited from q_bm25) + 50-row-capped rank lists",
 }
 
 # Queries allowed a global (partition-less) window: the window input is an
@@ -114,6 +117,7 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_ltv": "cohort x offset aggregate (months^2-bounded)",
     # round-6 additions
     "q_curation_pipeline": "32-row bucket-offset table (constant; bucketed_cumsum, same contract as q_token_budget)",
+    "q_rrf_fusion": "rank over an orderBy+limit(50) prefix per system (<= RRF_DEPTH rows by construction)",
 }
 
 SMELL_RE = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
