@@ -220,6 +220,138 @@ def q_layout_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Z-order clustering: bucket each dimension to 2^ZORDER_BITS cells,
+# interleave the bucket bits into a morton code, range-partition + sort on
+# it — each written file then covers a narrow band of BOTH dimensions, so
+# footer min/max prune on either predicate (a single-key sort prunes only
+# its own key; pinned comparatively in tests/test_lake.py).
+ZORDER_BITS = 4
+ZORDER_FILES = 16
+# the 2-d band read: lowest quarter of the custkey range AND the first
+# ~quarter of the order-date span (fixed literal, engine-portable)
+ZORDER_DATE_BOUND = "1996-09-01 00:00:00"
+
+
+def morton_expr(bx: str, by: str, bits: int = ZORDER_BITS) -> F.Column:
+    """Interleave the low ``bits`` bits of two bucket columns into a
+    morton (Z-curve) code — scan-local integer codegen, no UDF. Bit i of
+    bx lands at position 2i, bit i of by at 2i+1; the terms are disjoint
+    bits so + is |."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft(shiftright({bx}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({by}, {i}) & 1, {2 * i + 1})")
+    return F.expr(" + ".join(terms))
+
+
+def write_zordered(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the Z-ordered copy of orders: bucket o_custkey and
+    o_orderdate each to 2^{ZORDER_BITS} range-preserving cells (scaled by
+    the data min/max — a 1-row broadcast), interleave into a morton code,
+    then ONE repartitionByRange shuffle + in-partition sort on the code.
+    The helper columns are dropped before the write; the layout is the
+    only thing that changes."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"saas_lake_zorder_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    # Spark's default parquet timestamp encoding (INT96) carries NO
+    # min/max statistics — the whole point of the clustered layout is
+    # footer pruning, so write real TIMESTAMP_MICROS (also the testdata's
+    # own encoding)
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cells = 1 << ZORDER_BITS
+    stats = orders.agg(
+        F.max("o_custkey").alias("_mc"),
+        F.min("o_orderdate").alias("_d0"),
+        F.max("o_orderdate").alias("_d1"),
+    )
+    coded = (
+        orders.join(F.broadcast(stats))
+        .withColumn(
+            "_bx", F.expr(f"(o_custkey * {cells}) div (_mc + 1)")
+        )
+        .withColumn(
+            "_by",
+            F.expr(
+                f"(datediff(o_orderdate, _d0) * {cells})"
+                " div (datediff(_d1, _d0) + 1)"
+            ),
+        )
+        .withColumn("_z", morton_expr("_bx", "_by"))
+    )
+    (
+        coded.repartitionByRange(ZORDER_FILES, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_mc", "_d0", "_d1", "_bx", "_by", "_z")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    return base
+
+
+@query(
+    "q_layout_zorder",
+    oracle=f"""
+    WITH b AS (
+        SELECT max(o_custkey) // 4 AS bound FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders, b
+    WHERE o_custkey <= bound
+      AND o_orderdate < TIMESTAMP '{ZORDER_DATE_BOUND}'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (multi-dimension) clustering round trip: orders are
+    rewritten sorted by a morton interleave of bucketed (o_custkey,
+    o_orderdate), then a TWO-dimensional band — lowest quarter of the
+    custkey range AND orders before {ZORDER_DATE_BOUND} — is read back
+    and rolled up per priority. The oracle replays the band on the
+    SOURCE table, so a layout rewrite that dropped/duplicated rows
+    breaks the hash. What Z-order buys over the single-key sort
+    (q_layout_cluster): every written file covers a narrow band of BOTH
+    dimensions, so footer min/max prune on either predicate alone —
+    pinned comparatively on the actual footers in tests/test_lake.py
+    (date-band predicate skips most Z-ordered files but NO custkey-sorted
+    files).
+
+    Scale: clustering is one range shuffle at write time; the morton
+    code is scan-local integer codegen (no UDF). At 100 TB this is the
+    Delta/Iceberg OPTIMIZE ZORDER story with plain parquet + DataFrame
+    ops; the band rollup is a partial-aggregable groupBy."""
+    base = write_zordered(spark, sf_dir)
+    z = spark.read.parquet(base)
+    bound = z.agg(F.expr("max(o_custkey) div 4").alias("bound"))
+    return (
+        z.join(F.broadcast(bound))
+        .where(
+            (F.col("o_custkey") <= F.col("bound"))
+            & (
+                F.col("o_orderdate")
+                < F.lit(ZORDER_DATE_BOUND).cast("timestamp")
+            )
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # fragmented write = this many small files; compaction targets this many
 # rows per output file
 FRAG_FILES = 64

@@ -105,6 +105,7 @@ WINDOW_PRIORITY: list[str] = [
     # merge-upsert, and reciprocal-rank hybrid retrieval — each passed
     # oracle + --pandas + --vanilla selfcheck before entering this list
     "q_layout_cluster",
+    "q_layout_zorder",
     "q_compaction_gauge",
     "q_merge_upsert",
     "q_rrf_fusion",

@@ -94,6 +94,68 @@ def test_clustered_footers_are_disjoint_and_prune(spark, sf_dir):
     )
 
 
+def test_zorder_footers_prune_on_both_dimensions(spark, sf_dir):
+    """The Z-ordered layout's row-group footers must let a predicate on
+    EITHER dimension skip most groups, while the single-key
+    custkey-sorted layout prunes only its own key (a date-band predicate
+    touches every one of its row groups) — the comparative property that
+    justifies paying the morton interleave."""
+    import datetime
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from saas_analytics_pipeline_spark.operators.lake import (
+        ZORDER_DATE_BOUND,
+        write_clustered,
+        write_zordered,
+    )
+
+    def group_stats(base, col):
+        out = []
+        for f in glob.glob(f"{base}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            if md.num_row_groups == 0:
+                continue  # empty range partition -> footer-only file
+            idx = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)
+            }[col]
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                st = rg.column(idx).statistics
+                if rg.num_rows == 0 or st is None:
+                    continue
+                out.append((st.min, st.max))
+        return out
+
+    zbase = write_zordered(spark, sf_dir)
+    cbase = write_clustered(spark, sf_dir)
+
+    ck = group_stats(zbase, "o_custkey")
+    bound = max(hi for _, hi in ck) // 4
+    ck_touched = sum(1 for lo, _ in ck if lo <= bound)
+
+    date_bound = datetime.datetime.fromisoformat(ZORDER_DATE_BOUND)
+
+    def dt_min(v):  # pyarrow may surface timestamp stats tz-aware
+        return v.replace(tzinfo=None) if hasattr(v, "replace") else v
+
+    dt = group_stats(zbase, "o_orderdate")
+    dt_touched = sum(1 for lo, _ in dt if dt_min(lo) < date_bound)
+
+    assert len(ck) >= 8
+    # both single-dimension predicates skip at least ~40% of the groups
+    assert ck_touched / len(ck) <= 0.6, f"{ck_touched}/{len(ck)}"
+    assert dt_touched / len(dt) <= 0.6, f"{dt_touched}/{len(dt)}"
+
+    # the custkey-sorted copy cannot prune on date: every group's date
+    # range spans the bound
+    cdt = group_stats(cbase, "o_orderdate")
+    c_touched = sum(1 for lo, _ in cdt if dt_min(lo) < date_bound)
+    assert c_touched == len(cdt)
+
+
 def test_compaction_gauge_file_counts(spark, sf_dir):
     """The gauge row's file counts must equal the physical file counts on
     disk (not just input_file_name()'s view of them) and the compacted

@@ -74,6 +74,7 @@ ALLOW_NESTED_LOOP: dict[str, str] = {
     "q_quantile_sketch": "3-row quantile frame broadcast against the fact scan (|quantiles| constant)",
     "q_quality_model": "single-row model-coefficient seed frame broadcast against the fact scan (the q_decay_score anchor-row contract)",
     "q_layout_cluster": "single-row band-bound frame (in production the bound is a literal and reaches the scan as a pushed filter)",
+    "q_layout_zorder": "single-row band-bound frame (same contract as q_layout_cluster; the write-side min/max stats frame is also 1 row)",
     "q_compaction_gauge": "two single-row gauge frames crossJoined (file counts + checksum)",
     "q_rrf_fusion": "two 1-row BM25 stat frames (inherited from q_bm25) + 50-row-capped rank lists",
 }
