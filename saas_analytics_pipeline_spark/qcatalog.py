@@ -75,8 +75,8 @@ DRIVER_VERIFIED: dict[str, str] = dict.fromkeys(
 # Round-6 window: the r05 backlog fully verified (238/238), so the freeze
 # is LIFTED with the r05 discipline — every new key below passed the
 # DuckDB oracle + selfcheck (--pandas and --vanilla) BEFORE entering this
-# list. 18 pins (17 new keys + 1 justified re-verification); the
-# remaining 32 slots auto-fill with the stalest-certified keys
+# list. 19 pins (18 new keys + 1 justified re-verification); the
+# remaining 31 slots auto-fill with the stalest-certified keys
 # (ordered_keys now rotates oldest-green-first, verdict r5 defect #2
 # fixed).
 WINDOW_PRIORITY: list[str] = [

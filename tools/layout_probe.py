@@ -28,8 +28,15 @@ Two measurements, primary first:
 
 This is the Z-order-lite story at 100 TB: sort the lake by its hottest
 filter key at write time and selective scans stop paying for the other
-99% of the data. (True multi-column Z-order needs a table format;
-single-key range clustering is the vanilla-parquet form.)
+99% of the data.
+
+A second section measures TRUE multi-dimension clustering on vanilla
+parquet (operators/lake.py write_zordered): orders rewritten sorted by a
+morton interleave of bucketed (o_custkey, o_orderdate) vs the same rows
+sorted by custkey alone. Footer counts for a single-dimension predicate
+on EACH dimension show the Z-curve's trade: the custkey-sorted copy
+prunes perfectly on custkey and not at all on date; the Z-ordered copy
+prunes substantially on BOTH.
 
 Run:  python tools/layout_probe.py
 """
@@ -139,6 +146,89 @@ def main() -> None:
     un_rg = rowgroup_overlap(BASE / "unclustered")
     cl_rg = rowgroup_overlap(BASE / "clustered")
 
+    # ---- multi-dimension (Z-order) section: orders, 2 predicates ----
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from saas_analytics_pipeline_spark.operators.lake import (
+        ZORDER_DATE_BOUND,
+        morton_expr,
+    )
+
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    orders = spark.read.parquet(str(SF3 / "orders.parquet"))
+    stats = orders.agg(
+        F.max("o_custkey").alias("_mc"),
+        F.min("o_orderdate").alias("_d0"),
+        F.max("o_orderdate").alias("_d1"),
+    )
+    coded = (
+        orders.join(F.broadcast(stats))
+        .withColumn("_bx", F.expr("(o_custkey * 16) div (_mc + 1)"))
+        .withColumn(
+            "_by",
+            F.expr(
+                "(datediff(o_orderdate, _d0) * 16)"
+                " div (datediff(_d1, _d0) + 1)"
+            ),
+        )
+        .withColumn("_z", morton_expr("_bx", "_by"))
+    )
+    (
+        coded.repartitionByRange(16, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_mc", "_d0", "_d1", "_bx", "_by", "_z")
+        .write.mode("overwrite")
+        .parquet(str(BASE / "zorder"))
+    )
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(str(BASE / "cksort"))
+    )
+
+    def footer_touch(path: Path) -> dict:
+        """Row groups a custkey-band predicate and (separately) a
+        date-band predicate would decode, from the footers alone."""
+        ck_ranges, dt_ranges = [], []
+        for f in sorted(path.glob("*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            if md.num_row_groups == 0:
+                continue
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                ck = rg.column(idx["o_custkey"]).statistics
+                dt = rg.column(idx["o_orderdate"]).statistics
+                if ck is None or dt is None:
+                    continue
+                ck_ranges.append((ck.min, ck.max))
+                dt_ranges.append((dt.min, dt.max))
+        bound = max(hi for _, hi in ck_ranges) // 4
+        dbound = datetime.datetime.fromisoformat(ZORDER_DATE_BOUND)
+
+        def naive(v):
+            return v.replace(tzinfo=None) if hasattr(v, "replace") else v
+
+        return {
+            "row_groups": len(ck_ranges),
+            "custkey_band_decoded": sum(
+                1 for lo, _ in ck_ranges if lo <= bound
+            ),
+            "date_band_decoded": sum(
+                1 for lo, _ in dt_ranges if naive(lo) < dbound
+            ),
+        }
+
+    z_touch = footer_touch(BASE / "zorder")
+    c_touch = footer_touch(BASE / "cksort")
+
     print(
         json.dumps(
             {
@@ -162,6 +252,14 @@ def main() -> None:
                     else None
                 ),
                 "wall_speedup": round(un_min / cl_min, 2) if cl_min else None,
+                "zorder": {
+                    "predicates": (
+                        "custkey <= max div 4 | orderdate < "
+                        + ZORDER_DATE_BOUND
+                    ),
+                    "zordered": z_touch,
+                    "custkey_sorted": c_touch,
+                },
             }
         )
     )
