@@ -422,6 +422,84 @@ def q_compaction_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return before.join(F.broadcast(after))
 
 
+# idempotent partition overwrite: re-run ONE month's load with changed
+# rows; only that month's partition may change
+OVW_MONTH = "1997-03-01"
+OVW_BUMP = 1_000_000
+
+
+@query(
+    "q_partition_overwrite",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS dt,
+               CASE WHEN CAST(date_trunc('month', o_orderdate) AS DATE)
+                         = DATE '{OVW_MONTH}'
+                    THEN o_custkey + {OVW_BUMP} ELSE o_custkey END AS ck,
+               o_totalprice
+        FROM orders
+    )
+    SELECT dt, COUNT(*) AS n_rows,
+           CAST(SUM(ck) AS BIGINT) AS sum_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM m GROUP BY dt ORDER BY dt
+    """,
+)
+def q_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent partition overwrite, certified end to end: orders are
+    loaded month-partitioned (plans/incremental.write_day_increment —
+    dynamic partitionOverwriteMode), then ONE month ({OVW_MONTH}) is
+    re-loaded with corrected rows (custkey bumped by {OVW_BUMP} — the
+    backfill shape: re-run one period after a fix). The per-month rollup
+    of the read-back lake is hash-checked against an oracle that replays
+    the final state from the source: every month must carry its original
+    rows EXCEPT the re-run month, which must carry exactly the corrected
+    batch — an overwrite that leaked into other partitions, duplicated
+    the re-run month, or dropped it breaks the hash. Promotes the
+    reference's per-day incremental-load contract
+    (`/root/reference/README.md:82,24`) from pytest-only
+    (test_incremental) to a driver-verified key.
+
+    Scale: dynamic overwrite touches ONLY the partitions present in the
+    increment frame — a one-month backfill rewrites one directory of a
+    100 TB lake; the load itself is one shuffle keyed by partition so
+    each period lands in few large files."""
+    from saas_analytics_pipeline_spark.plans.incremental import (
+        write_day_increment,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"saas_lake_povw_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.date_trunc("month", "o_orderdate").alias("om"),
+    )
+    # full historical load (all months), then the one-month corrected
+    # re-run — dynamic overwrite must replace exactly that partition
+    write_day_increment(spark, orders, base, "om")
+    rerun = orders.where(
+        F.col("om") == F.lit(OVW_MONTH).cast("timestamp")
+    ).withColumn("o_custkey", F.col("o_custkey") + F.lit(OVW_BUMP))
+    write_day_increment(spark, rerun, base, "om")
+    return (
+        spark.read.parquet(base)
+        .groupBy("dt")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_custkey").cast("long").alias("sum_custkey"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("dt")
+    )
+
+
 # merge-upsert fixture: keys % 5 == 0 arrive in the increment (two
 # versions each — latest wins); the custkey bump marks the applied update
 UPSERT_BUMP = 1_000_000

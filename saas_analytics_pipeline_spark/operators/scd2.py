@@ -86,6 +86,77 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# incremental apply cut: events span 2024-01-01..2024-01-30 (TESTDATA.md);
+# mid-month splits the change log into a built dimension + a new batch
+SCD2_CUT = "2024-01-16 00:00:00"
+
+
+@query(
+    "q_scd2_incremental",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           event_type AS state,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS version_n
+    FROM events
+    """,
+)
+def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 apply, certified against the rebuild: the change
+    log is split at a mid-range cut; the pre-cut slice is SCD2-built into
+    a dimension, the post-cut slice applied as a batch via
+    plans/incremental.scd2_apply_increment (close open versions of
+    changed keys at their first new ts, append new versions with
+    continuing version numbers, pass untouched keys through). The oracle
+    is the FULL REBUILD over the whole log — the defining invariant of
+    incremental SCD2 (apply == rebuild), so any drift in close
+    timestamps, version numbering, or survivor passthrough breaks the
+    hash. Promotes the pytest-only incremental path (test_incremental,
+    tools/scd2_probe.py: 3.0x over rebuild at 30 versions/key) to a
+    driver-verified key.
+
+    Scale: history of unchanged keys never shuffles — the expensive
+    slice is (open rows of changed keys) + (the batch), both
+    batch-bounded and broadcast; see plans/incremental.py."""
+    from saas_analytics_pipeline_spark.plans.incremental import (
+        scd2_apply_increment,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    cut = F.lit(SCD2_CUT).cast("timestamp")
+    cols = [
+        "user_id", "event_id", "event_type",
+        "valid_from", "valid_to", "is_current", "version_n",
+    ]
+    dim0 = build_scd2(
+        ev.where(F.col("ts") < cut), "user_id", "ts", "event_id"
+    ).select(*cols)
+    out = scd2_apply_increment(
+        dim0,
+        ev.where(F.col("ts") >= cut),
+        "user_id",
+        "ts",
+        attrs=["event_id", "event_type"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+        "version_n",
+    )
+
+
 @query(
     "q_scd2_overlap",
     oracle="""

@@ -75,8 +75,8 @@ DRIVER_VERIFIED: dict[str, str] = dict.fromkeys(
 # Round-6 window: the r05 backlog fully verified (238/238), so the freeze
 # is LIFTED with the r05 discipline — every new key below passed the
 # DuckDB oracle + selfcheck (--pandas and --vanilla) BEFORE entering this
-# list. 19 pins (18 new keys + 1 justified re-verification); the
-# remaining 31 slots auto-fill with the stalest-certified keys
+# list. 21 pins (20 new keys + 1 justified re-verification); the
+# remaining 29 slots auto-fill with the stalest-certified keys
 # (ordered_keys now rotates oldest-green-first, verdict r5 defect #2
 # fixed).
 WINDOW_PRIORITY: list[str] = [
@@ -109,6 +109,10 @@ WINDOW_PRIORITY: list[str] = [
     "q_compaction_gauge",
     "q_merge_upsert",
     "q_rrf_fusion",
+    # r06 fourth wave: the two remaining pytest-only incremental plans
+    # promoted to driver-verified keys (apply == rebuild oracles)
+    "q_scd2_incremental",
+    "q_partition_overwrite",
 ]
 
 
