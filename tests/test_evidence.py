@@ -43,13 +43,13 @@ def test_scale_lint_swept_the_whole_catalog():
 
 def test_probe_record_is_complete_and_green():
     """docs/PROBES.json must contain every probe in tools/run_probes.py's
-    suite, none errored, and the lsh probe must carry the incremental
-    parity section (round-6 extension)."""
+    suite (eight as of r06), none errored, and the lsh probe must carry
+    the incremental parity section (round-6 extension)."""
     rec = json.loads((DOCS / "PROBES.json").read_text())
     probes = rec["probes"]
     expected = {
-        "skew_probe", "bucket_probe", "scd2_probe",
-        "stream_probe", "ann_probe", "lsh_probe", "layout_probe",
+        "skew_probe", "bucket_probe", "scd2_probe", "stream_probe",
+        "ann_probe", "lsh_probe", "layout_probe", "bloom_probe",
     }
     missing = expected - set(probes)
     assert not missing, f"probes missing from docs/PROBES.json: {missing}"

@@ -715,3 +715,20 @@ def test_lsh_incremental_candidates_only_no_cartesian(spark, sf_dir):
     plan = plan_of(q_dedup_lsh_incremental(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert not re.search(r"Exchange[^\n]*\btext\b", plan)
+
+
+def test_rrf_fusion_candidate_lists_are_take_ordered(spark, sf_dir):
+    """Each retrieval system's candidate list must be
+    TakeOrderedAndProject (per-partition top-k + driver merge), never a
+    global Sort over the scored fact stream — the property that bounds
+    every post-scan structure at 100 TB. Text must not cross an
+    Exchange (BM25 reduces to per-doc tf ints before shuffling)."""
+    import re
+
+    from saas_analytics_pipeline_spark.operators.retrieval import (
+        q_rrf_fusion,
+    )
+
+    plan = plan_of(q_rrf_fusion(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"Exchange[^\n]*\btext\b", plan)

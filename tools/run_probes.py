@@ -32,6 +32,7 @@ PROBES: list[tuple[str, list[str]]] = [
     ("ann_probe", []),
     ("lsh_probe", []),
     ("layout_probe", []),
+    ("bloom_probe", []),
 ]
 
 
