@@ -75,8 +75,8 @@ DRIVER_VERIFIED: dict[str, str] = dict.fromkeys(
 # Round-6 window: the r05 backlog fully verified (238/238), so the freeze
 # is LIFTED with the r05 discipline — every new key below passed the
 # DuckDB oracle + selfcheck (--pandas and --vanilla) BEFORE entering this
-# list. 21 pins (20 new keys + 1 justified re-verification); the
-# remaining 29 slots auto-fill with the stalest-certified keys
+# list. 22 pins (21 new keys + 1 justified re-verification); the
+# remaining 28 slots auto-fill with the stalest-certified keys
 # (ordered_keys now rotates oldest-green-first, verdict r5 defect #2
 # fixed).
 WINDOW_PRIORITY: list[str] = [
@@ -110,9 +110,12 @@ WINDOW_PRIORITY: list[str] = [
     "q_merge_upsert",
     "q_rrf_fusion",
     # r06 fourth wave: the two remaining pytest-only incremental plans
-    # promoted to driver-verified keys (apply == rebuild oracles)
+    # promoted to driver-verified keys (apply == rebuild oracles), plus
+    # the stream-stream join's batch twin (shared join body with the
+    # live path)
     "q_scd2_incremental",
     "q_partition_overwrite",
+    "q_stream_join",
 ]
 
 

@@ -299,36 +299,80 @@ def run_incremental_mart(
     )
 
 
+def _click_side(events: DataFrame) -> DataFrame:
+    return events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+
+
+def _purchase_side(events: DataFrame) -> DataFrame:
+    return events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+
+
+def click_purchase_pairs(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """The shared join body of the stream-stream join and its batch twin
+    (q_stream_join): purchases matched to the same user's clicks within
+    the preceding ``horizon``. Equi on user + a residual event-time band
+    — a hash join with a range filter, never a nested loop."""
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"interval {horizon}")
+        ),
+    ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
 def clicks_to_purchases_stream(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
     """Stream-stream inner join: purchases matched to the same user's
     clicks within the preceding hour. Both sides watermarked so the join
     state (buffered clicks awaiting purchases and vice versa) is evicted
     once the event-time horizon passes — bounded state, the only way a
     stream-stream join survives unbounded input."""
-    clicks = (
-        events.where(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", horizon)
-    )
-    purchases = (
-        events.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", horizon)
-    )
-    return purchases.join(
-        clicks,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("click_ts") <= F.col("purchase_ts"))
-        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"interval {horizon}")),
-    ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts")
+    clicks = _click_side(events).withWatermark("click_ts", horizon)
+    purchases = _purchase_side(events).withWatermark("purchase_ts", horizon)
+    return click_purchase_pairs(clicks, purchases, horizon)
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+    SELECT p.user_id AS p_user,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           c.event_id AS click_id,
+           c.ts AS click_ts
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream join (clicks_to_purchases_stream,
+    driven live with per-pair equivalence in tests/test_streaming.py):
+    every (purchase, click) pair for the same user with the click inside
+    the preceding hour — the attribution-candidate join a conversion
+    pipeline runs. Same shared join body (click_purchase_pairs) as the
+    live path, so certifying the twin certifies the stream's join
+    semantics; the stream adds only watermarks for state eviction.
+
+    Scale: equi hash join on user_id with a residual time-band filter —
+    no nested loop at any size; in the live path both sides' buffered
+    state is evicted at the event-time horizon, so state is
+    horizon-bounded regardless of stream length."""
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_pairs(_click_side(ev), _purchase_side(ev))
 
 
 @query(
