@@ -600,3 +600,76 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# probability-proportional (quality-weighted) sampling
+# --------------------------------------------------------------------------
+
+# weight_micro = least(n_chars, WS_CAP) * WS_SCALE in [0, 1e6]: longer
+# docs (a stand-in for any quality score) keep proportionally more mass;
+# a doc is accepted iff its hash-uniform draw u < weight_micro. All
+# integer math — no float probability ever compares across engines.
+WS_CAP = 2000
+WS_SCALE = 500  # WS_CAP * WS_SCALE == WS_MOD: weight 1.0 at the cap
+WS_MOD = 1_000_000
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               least(n_chars, {WS_CAP}) * {WS_SCALE} AS weight_micro,
+               {hash60_sql("'ws:' || CAST(doc_id AS VARCHAR)")} % {WS_MOD}
+                   AS u
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(weight_micro) AS BIGINT) AS expected_micro,
+           COUNT(*) FILTER (WHERE u < weight_micro) AS n_sampled
+    FROM w GROUP BY source ORDER BY source
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic probability-proportional sampling — the "soft
+    quality filter" shape modern curation pipelines use instead of a
+    hard gate: each doc survives with probability proportional to its
+    weight (here length-capped n_chars standing in for any quality
+    score). The accept rule is u < weight with u a content-independent
+    hash draw (hash60 of a salted doc_id, mod 1e6) — reproducible
+    across runs, partitionings, and engines, unlike rand(). Per source
+    the result reports population, total expected mass (the calibration
+    target: n_sampled ~= expected_micro / 1e6), and the realized sample
+    count; the oracle replays weights, draws, and the accept rule
+    exactly, all in integer math.
+
+    Scale: scan-local weight + draw in codegen, one partial-aggregable
+    groupBy on the enum-sized source key; the sampling decision needs no
+    global state, so it composes with any upstream gate (same contract
+    as q_hash_sample's rate-based form — this one is weight-
+    proportional)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "source",
+        (F.least(F.col("n_chars"), F.lit(WS_CAP)) * WS_SCALE).alias(
+            "weight_micro"
+        ),
+        (
+            hash60(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+            % WS_MOD
+        ).alias("u"),
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("weight_micro").cast("long").alias("expected_micro"),
+            F.count(F.when(F.col("u") < F.col("weight_micro"), 1)).alias(
+                "n_sampled"
+            ),
+        )
+        .orderBy("source")
+    )
