@@ -156,6 +156,56 @@ def test_zorder_footers_prune_on_both_dimensions(spark, sf_dir):
     assert c_touched == len(cdt)
 
 
+def test_morton_interleave_is_exact_and_bijective(spark):
+    """morton_expr must equal the bit-interleave reference for EVERY cell
+    of the 16x16 bucket grid (exhaustive, one job) and be a bijection on
+    it — a wrong shift would silently degrade Z-order into a weaker
+    clustering without failing any correctness hash (the layout never
+    changes values, only locality)."""
+    from saas_analytics_pipeline_spark.operators.lake import (
+        ZORDER_BITS,
+        morton_expr,
+    )
+
+    cells = 1 << ZORDER_BITS
+    rows = [(x, y) for x in range(cells) for y in range(cells)]
+    df = spark.createDataFrame(rows, "bx int, by int").withColumn(
+        "z", morton_expr("bx", "by")
+    )
+
+    def ref(x, y):
+        z = 0
+        for i in range(ZORDER_BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    got = {(r.bx, r.by): r.z for r in df.collect()}
+    assert got == {(x, y): ref(x, y) for x, y in rows}
+    assert len(set(got.values())) == cells * cells
+
+
+def test_weighted_sample_is_calibrated(spark, sf_dir):
+    """The realized sample count must track the expected mass (sum of
+    weights): the whole point of probability-proportional sampling. A
+    biased draw (wrong modulus, salt reuse correlating with doc_id
+    parity) shows up as a calibration gap long before it breaks the
+    oracle hash."""
+    from saas_analytics_pipeline_spark.operators.curation import (
+        WS_MOD,
+        q_weighted_sample,
+    )
+
+    rows = q_weighted_sample(spark, sf_dir).collect()
+    n_sampled = sum(r.n_sampled for r in rows)
+    expected = sum(r.expected_micro for r in rows) / WS_MOD
+    n_docs = sum(r.n_docs for r in rows)
+    assert 0 < n_sampled < n_docs  # a real subsample, not a gate
+    # binomial-ish tolerance: 5 sigma of sqrt(expected), floor of 10
+    tol = max(10, 5 * expected**0.5)
+    assert abs(n_sampled - expected) <= tol, (n_sampled, expected)
+
+
 def test_compaction_gauge_file_counts(spark, sf_dir):
     """The gauge row's file counts must equal the physical file counts on
     disk (not just input_file_name()'s view of them) and the compacted
