@@ -717,6 +717,18 @@ def test_lsh_incremental_candidates_only_no_cartesian(spark, sf_dir):
     assert not re.search(r"Exchange[^\n]*\btext\b", plan)
 
 
+def test_merge_upsert_target_survivors_via_broadcast_anti(spark, sf_dir):
+    """merge_upsert's survivor scan must be a BroadcastHashJoin LeftAnti
+    against the increment's key set — the 100 TB contract is that the
+    target side never shuffles for the merge; a planner regression to a
+    shuffled SortMergeJoin LeftAnti would silently break it."""
+    from saas_analytics_pipeline_spark.operators.lake import q_merge_upsert
+
+    plan = plan_of(q_merge_upsert(spark, sf_dir))
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "SortMergeJoin LeftAnti" not in plan
+
+
 def test_rrf_fusion_candidate_lists_are_take_ordered(spark, sf_dir):
     """Each retrieval system's candidate list must be
     TakeOrderedAndProject (per-partition top-k + driver merge), never a
