@@ -246,10 +246,10 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_chunk_docs",
-    oracle=f"""
-    WITH t AS (
+# the chunk frame as a DuckDB CTE block — shared verbatim by q_chunk_docs
+# and q_chunk_dedup so the dedup audits the SAME chunks the chunker emits
+_CHUNKS_CTE = f"""
+    t AS (
         SELECT doc_id, string_split(text, ' ') AS toks,
                len(string_split(text, ' ')) AS n
         FROM documents
@@ -260,29 +260,25 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}))
                    AS chunk_idx
         FROM t
+    ),
+    chunk_rows AS (
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(len(toks[chunk_idx * {CHUNK_STRIDE} + 1 :
+                         chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS INT)
+                   AS n_tokens,
+               {hash60_sql(f"array_to_string(toks[chunk_idx * {CHUNK_STRIDE} + 1 :"
+                           f" chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')")}
+                   AS chunk_hash
+        FROM chunks
     )
-    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-           CAST(len(toks[chunk_idx * {CHUNK_STRIDE} + 1 :
-                     chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS INT)
-               AS n_tokens,
-           {hash60_sql(f"array_to_string(toks[chunk_idx * {CHUNK_STRIDE} + 1 :"
-                       f" chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')")}
-               AS chunk_hash
-    FROM chunks
-    """,
-)
-def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context chunking for training prep: each document split into
-    {CHUNK_TOKENS}-token windows with {CHUNK_TOKENS - CHUNK_STRIDE}-token
-    overlap (stride {CHUNK_STRIDE}); emits one row per chunk with its token
-    count and a content hash (the hash makes the oracle verify chunk
-    CONTENT, not just counts).
+"""
 
-    Scale: pure JVM explode — sequence/slice/array_join inside codegen, no
-    Python, no shuffle (chunking is scan-local; the downstream writer
-    partitions by whatever sharding the training job wants). Fan-out is
-    bounded: ~n_tokens/stride rows per doc."""
-    docs = load_table(spark, sf_dir, "documents")
+
+def chunk_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_hash) for every sliding
+    {CHUNK_TOKENS}-token window (stride {CHUNK_STRIDE}) — the Spark twin
+    of _CHUNKS_CTE, factored so q_chunk_docs and q_chunk_dedup emit the
+    same chunks by construction. Pure JVM explode, scan-local."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     n_chunks = F.lit(1) + F.floor(
@@ -302,6 +298,82 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.size(chunk).cast("int").alias("n_tokens"),
         hash60(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+@query(
+    "q_chunk_docs",
+    oracle=f"""
+    WITH {_CHUNKS_CTE}
+    SELECT doc_id, chunk_idx, n_tokens, chunk_hash FROM chunk_rows
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context chunking for training prep: each document split into
+    {CHUNK_TOKENS}-token windows with {CHUNK_TOKENS - CHUNK_STRIDE}-token
+    overlap (stride {CHUNK_STRIDE}); emits one row per chunk with its token
+    count and a content hash (the hash makes the oracle verify chunk
+    CONTENT, not just counts).
+
+    Scale: pure JVM explode — sequence/slice/array_join inside codegen, no
+    Python, no shuffle (chunking is scan-local; the downstream writer
+    partitions by whatever sharding the training job wants). Fan-out is
+    bounded: ~n_tokens/stride rows per doc."""
+    return chunk_frame(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_chunk_dedup",
+    oracle=f"""
+    WITH {_CHUNKS_CTE},
+    g AS (
+        SELECT chunk_hash,
+               COUNT(*) AS n_copies,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM chunk_rows GROUP BY chunk_hash
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(SUM(n_copies) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE n_copies >= 2) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(SUM(CASE WHEN n_copies >= 2 THEN n_copies - 1 ELSE 0 END)
+                AS BIGINT) AS n_removable,
+           CAST(COUNT(*) FILTER (WHERE n_docs >= 2) AS BIGINT)
+               AS n_cross_doc
+    FROM g
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup audit — the dedup grain of a RAG store or a
+    packed-context training set (doc-level dedup misses boilerplate
+    chunks shared by otherwise-distinct docs; span rewrite targets
+    n-grams, this targets exactly the retrieval/packing unit): over the
+    SAME chunk frame q_chunk_docs certifies (shared chunk_frame /
+    _CHUNKS_CTE), count distinct chunk contents, duplicated ones, the
+    removable excess copies, and cross-document duplicates (the
+    boilerplate signal — within-doc repeats come from stride overlap on
+    repetitive text).
+
+    Scale: chunking is scan-local; only (chunk_hash, doc_id) pairs
+    shuffle once — text never moves; the final rollup is a 1-row
+    map-side-combinable reduce over the hash-grain aggregate."""
+    g = (
+        chunk_frame(load_table(spark, sf_dir, "documents"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    dup = F.col("n_copies") >= 2
+    return g.agg(
+        F.count("*").alias("n_distinct_chunks"),
+        F.sum("n_copies").cast("long").alias("n_chunks"),
+        F.count(F.when(dup, 1)).alias("n_dup_chunks"),
+        F.sum(F.when(dup, F.col("n_copies") - 1).otherwise(0))
+        .cast("long")
+        .alias("n_removable"),
+        F.count(F.when(F.col("n_docs") >= 2, 1)).alias("n_cross_doc"),
     )
 
 

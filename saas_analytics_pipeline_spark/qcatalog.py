@@ -75,8 +75,8 @@ DRIVER_VERIFIED: dict[str, str] = dict.fromkeys(
 # Round-6 window: the r05 backlog fully verified (238/238), so the freeze
 # is LIFTED with the r05 discipline — every new key below passed the
 # DuckDB oracle + selfcheck (--pandas and --vanilla) BEFORE entering this
-# list. 23 pins (22 new keys + 1 justified re-verification); the
-# remaining 27 slots auto-fill with the stalest-certified keys
+# list. 24 pins (23 new keys + 1 justified re-verification); the
+# remaining 26 slots auto-fill with the stalest-certified keys
 # (ordered_keys now rotates oldest-green-first, verdict r5 defect #2
 # fixed).
 WINDOW_PRIORITY: list[str] = [
@@ -118,6 +118,8 @@ WINDOW_PRIORITY: list[str] = [
     "q_stream_join",
     # probability-proportional sampling (soft quality filter)
     "q_weighted_sample",
+    # chunk-level dedup audit (RAG-store / packed-context dedup grain)
+    "q_chunk_dedup",
 ]
 
 
