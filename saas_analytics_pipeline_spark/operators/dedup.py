@@ -1142,11 +1142,13 @@ def q_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidate set is the natural materialization barrier (production
     # persists it before the verify pass): it is consumed 5x downstream
     # (pair join, both set joins, the accept rollup), each consumption
-    # would otherwise recompute the banding self-join — cache() bounds
-    # that to one build. LSH-bounded rows (a, b), ~16 bytes/pair; the
-    # plan cache memoizes this DataFrame per (session, sf), so one cached
-    # frame exists per lake, not per invocation.
-    cand = incremental_candidates(docs).cache()
+    # would otherwise recompute the banding self-join — localCheckpoint
+    # bounds that to one build. LSH-bounded rows (a, b), ~16 bytes/pair.
+    # localCheckpoint, NOT cache(): CacheManager holds cached plans by
+    # strong reference forever, while checkpoint blocks free when the
+    # plan is garbage-collected — i.e. when qcatalog._PLAN_CACHE evicts
+    # this query's memoized frame on session turnover (ADVICE r6).
+    cand = incremental_candidates(docs).localCheckpoint(eager=False)
     verified = pairwise_jaccard(cand, docs).where(F.col("jaccard") >= 0.7)
     return (
         batch.select("doc_id")

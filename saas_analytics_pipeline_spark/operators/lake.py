@@ -255,13 +255,6 @@ def write_zordered(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(),
         f"saas_lake_zorder_{os.path.basename(os.path.normpath(sf_dir))}",
     )
-    # Spark's default parquet timestamp encoding (INT96) carries NO
-    # min/max statistics — the whole point of the clustered layout is
-    # footer pruning, so write real TIMESTAMP_MICROS (also the testdata's
-    # own encoding)
-    spark.conf.set(
-        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-    )
     orders = load_table(spark, sf_dir, "orders")
     cells = 1 << ZORDER_BITS
     stats = orders.agg(
@@ -283,13 +276,28 @@ def write_zordered(spark: SparkSession, sf_dir: str) -> str:
         )
         .withColumn("_z", morton_expr("_bx", "_by"))
     )
-    (
-        coded.repartitionByRange(ZORDER_FILES, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_mc", "_d0", "_d1", "_bx", "_by", "_z")
-        .write.mode("overwrite")
-        .parquet(base)
-    )
+    # Spark's default parquet timestamp encoding (INT96) carries NO
+    # min/max statistics — the whole point of the clustered layout is
+    # footer pruning, so write real TIMESTAMP_MICROS (also the testdata's
+    # own encoding). Scoped to THIS write: the session conf is saved and
+    # restored so an unrelated later write in the same session keeps its
+    # own timestamp encoding (e.g. for INT96-expecting consumers).
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "TIMESTAMP_MICROS")
+    try:
+        (
+            coded.repartitionByRange(ZORDER_FILES, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_mc", "_d0", "_d1", "_bx", "_by", "_z")
+            .write.mode("overwrite")
+            .parquet(base)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     return base
 
 

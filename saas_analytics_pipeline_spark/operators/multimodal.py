@@ -111,17 +111,35 @@ def decode_media(payload: bytes, mime: str) -> dict[str, Any]:
     if mime == "image/jpeg":
         if len(payload) < 4 or payload[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG: missing SOI marker")
-        # walk marker segments: each is FF <type> <len16 incl itself>;
-        # SOF0-SOF3 (baseline..lossless) carry precision/height/width/ncomp.
-        # C4/C8/CC are DHT/JPG/DAC — length-bearing but not frame headers.
+        # walk marker segments: FF <type> <len16 incl itself>, allowing
+        # legal 0xFF fill/padding bytes before the type and standalone
+        # (length-less) markers — TEM (0x01), RST0-7, SOI, EOI. Any SOFn
+        # (0xC0-0xCF except DHT/JPG/DAC = C4/C8/CC) carries precision/
+        # height/width/ncomp. The walk stops at SOS: entropy-coded data
+        # follows and a frame header must precede it.
         off = 2
-        while off + 4 <= len(payload):
+        n = len(payload)
+        while off + 2 <= n:
             if payload[off] != 0xFF:
                 raise ValueError("corrupt JPEG: expected marker at segment")
+            # skip 0xFF fill bytes: the marker code is the first non-FF
+            while off + 1 < n and payload[off + 1] == 0xFF:
+                off += 1
             marker = payload[off + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                if marker == 0xD9:  # EOI before any SOF
+                    break
+                off += 2  # standalone marker: no length word
+                continue
+            if marker == 0xDA:  # SOS before any SOF
+                break
+            if off + 4 > n:
+                raise ValueError("truncated JPEG: segment length cut short")
             (seg_len,) = struct.unpack(">H", payload[off + 2 : off + 4])
-            if 0xC0 <= marker <= 0xC3:
-                if off + 10 > len(payload):
+            if seg_len < 2:
+                raise ValueError("corrupt JPEG: segment length < 2")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if off + 10 > n:
                     raise ValueError("truncated JPEG: SOF header cut short")
                 precision = payload[off + 4]
                 height, width = struct.unpack(">HH", payload[off + 5 : off + 9])

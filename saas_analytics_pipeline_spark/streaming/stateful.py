@@ -279,12 +279,21 @@ def _lsh_bucket_fn(
     pdf = pd.concat(parts).sort_values(["ts", "doc_id"])
     ts_us = pdf["ts"].astype("int64").floordiv(1000)
     prev_us = ts_us.shift(1)
+    last_us = 0
     if state.exists:
         (last_us,) = state.get
-        prev_us.iloc[0] = float(last_us)
+        # The state holds only the NEWEST sighting, so a row older than it
+        # (out-of-order across micro-batches) has an unknowable event-time
+        # predecessor — skip the state comparison for it rather than let a
+        # negative delta satisfy <= ttl. Exact equivalence with the batch
+        # twin's event-time lag rule therefore requires event-time-ordered
+        # ingest across micro-batches (see lsh_dedup_stream's docstring);
+        # in-batch disorder is handled by the sort above.
+        if int(ts_us.iloc[0]) >= last_us:
+            prev_us.iloc[0] = float(last_us)
     hit = ((ts_us - prev_us) <= ttl_us).astype("int32")  # NaN compares False
 
-    last = int(ts_us.iloc[-1])
+    last = max(int(ts_us.iloc[-1]), last_us)  # monotone: state is a max
     state.update((last,))
     wm_ms = state.getCurrentWatermarkMs()
     state.setTimeoutTimestamp(max(last // 1000 + LSH_TTL_MIN * 60_000, wm_ms + 1))
@@ -305,6 +314,14 @@ def lsh_dedup_stream(docs: DataFrame, watermark: str = "12 hours") -> DataFrame:
     near-dup candidate when any band hits (max over bands, aggregated by
     the consumer — tests/test_streaming.py proves per-doc equivalence with
     the batch twin q_stream_lsh_dedup/lsh_arrival_flags).
+
+    Ordering contract: the state stores only the newest sighting per
+    bucket, so per-doc equivalence with the batch twin's event-time lag
+    rule holds for event-time-ordered ingest ACROSS micro-batches (the
+    normal log-replay shape); within a micro-batch arrival order is
+    irrelevant (rows sort by event time first). A row older than the
+    stored sighting compares only against its in-batch predecessor — its
+    true event-time predecessor is unknowable from a last-sighting state.
 
     Scale: state = one 8-byte timestamp per bucket sighted within the TTL
     (bounded by arrival rate x TTL, not corpus size); banding never

@@ -248,6 +248,29 @@ def test_decode_media_headers():
         "jpeg", 640, 480, 3,
     )
 
+    # spec-valid JPEG variants the plain length-walk mis-parsed (ADVICE
+    # r6): 0xFF fill bytes before a marker code, standalone RST/TEM
+    # markers (no length word), and a progressive SOF2 frame header
+    sof2 = (
+        b"\xff\xc2" + struct.pack(">H", 17) + bytes([8])
+        + struct.pack(">HH", 120, 160) + bytes([3]) + bytes(9)
+    )
+    fancy = (
+        b"\xff\xd8"
+        + b"\xff\xff"  # fill bytes before APP0
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+        + b"\xff\xd0" + b"\xff\x01"  # RST0 + TEM: standalone markers
+        + b"\xff\xff" + sof2  # fill again, then SOF2
+        + b"\xff\xd9"
+    )
+    d = decode_media(fancy, "image/jpeg")
+    assert (d["kind"], d["width"], d["height"]) == ("jpeg", 160, 120)
+    # EOI/SOS with no SOF stays a loud ValueError, not a mis-walk
+    with pytest.raises(ValueError):
+        decode_media(b"\xff\xd8\xff\xd9", "image/jpeg")
+    with pytest.raises(ValueError):
+        decode_media(b"\xff\xd8\xff\xda\x00\x04\x01\x02", "image/jpeg")
+
     # MP4: nested box walk (ftyp, then moov > mvhd v0)
     mvhd = b"\x00" * 4 + b"\x00" * 8 + struct.pack(">II", 1000, 42000)
     mvhd += b"\x00" * (100 - len(mvhd))

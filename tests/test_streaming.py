@@ -505,3 +505,68 @@ def test_stream_lsh_dedup_matches_batch_flags(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert sum(d for _, d in want) > 0  # the rule actually fires on testdata
+
+
+def test_lsh_bucket_fn_out_of_order_state_guard():
+    """A row OLDER than the stored last sighting (out-of-order across
+    micro-batches) must not hit via a negative delta against the newer
+    state timestamp; the state itself stays a monotone max (ADVICE r6)."""
+    import pandas as pd
+
+    from saas_analytics_pipeline_spark.streaming.jobs import LSH_TTL_MIN
+    from saas_analytics_pipeline_spark.streaming.stateful import _lsh_bucket_fn
+
+    class FakeState:
+        def __init__(self, value):
+            self._v = value
+            self.hasTimedOut = False
+            self.updated = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.updated = v
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+        def remove(self):
+            pass
+
+    ttl_us = LSH_TTL_MIN * 60 * 1_000_000
+    last_us = 10_000_000_000_000  # stored newest sighting
+    # one late row, 1 TTL-width older than the stored sighting
+    late = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([(last_us - 2 * ttl_us) * 1000]),
+            "doc_id": [7],
+        }
+    )
+    state = FakeState((last_us,))
+    (out,) = _lsh_bucket_fn((3, "bkt"), iter([late]), state)
+    # no known earlier sighting -> not a hit (the old code emitted hit=1
+    # because the negative delta satisfied <= ttl)
+    assert out["hit"].tolist() == [0]
+    # state stays the max: the late row must not rewind the sighting
+    assert state.updated == (last_us,)
+
+    # control: an in-order arrival within the TTL still hits and advances
+    fresh = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([(last_us + ttl_us // 2) * 1000]),
+            "doc_id": [8],
+        }
+    )
+    state = FakeState((last_us,))
+    (out,) = _lsh_bucket_fn((3, "bkt"), iter([fresh]), state)
+    assert out["hit"].tolist() == [1]
+    assert state.updated == (last_us + ttl_us // 2,)
