@@ -673,3 +673,283 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# HTML/boilerplate extraction: the step BEFORE lang-id in a real crawl funnel
+# --------------------------------------------------------------------------
+
+
+def synth_html(docs: DataFrame) -> DataFrame:
+    """Wrap each doc's text in deterministic HTML markup (closed-form from
+    doc_id, the synth_urls pattern): head with title (+ style/script blocks
+    on some residues), nav + h1 + the text as the paragraph body (+ inline
+    <b> and entity noise on other residues), and a footer div. Exactly the
+    noise extraction must strip: script/style payloads, nav/footer
+    boilerplate, inline tags, entities, extra whitespace."""
+    d = F.col("doc_id")
+    style = F.when(
+        d % 3 == 0, F.lit("<style>body{margin:0;color:#222}</style>")
+    ).otherwise(F.lit(""))
+    script = F.when(
+        d % 2 == 1,
+        F.concat(
+            F.lit('<script type="text/javascript">var page='),
+            (d % 7).cast("string"),
+            F.lit(";track(page);</script>"),
+        ),
+    ).otherwise(F.lit(""))
+    head = F.concat(
+        F.lit("<html><head><title>Doc "),
+        d.cast("string"),
+        F.lit("</title>"),
+        style,
+        script,
+        F.lit("</head>"),
+    )
+    nav = F.concat(
+        F.lit('<nav>home | about | <a href="/d'),
+        (d % 13).cast("string"),
+        F.lit('">section</a></nav>'),
+    )
+    body_text = F.when(
+        d % 4 == 0,
+        F.regexp_replace("text", r"^(\w+)", "<b>$1</b>"),
+    ).otherwise(F.col("text"))
+    body_text = F.when(
+        d % 7 == 2,
+        F.concat(body_text, F.lit(" &amp; more &lt;soon&gt;")),
+    ).otherwise(body_text)
+    footer = F.when(
+        d % 5 < 2,
+        F.concat(
+            F.lit('<div class="footer">(c) example '),
+            (d % 5).cast("string"),
+            F.lit(" | terms | privacy</div>"),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        head,
+        F.lit("<body>"),
+        nav,
+        F.lit("<h1>Doc "),
+        d.cast("string"),
+        F.lit("</h1> <p>"),
+        body_text,
+        F.lit("</p>"),
+        footer,
+        F.lit("</body></html>"),
+    )
+    return docs.withColumn("html", html)
+
+
+HTML_SQL = """
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+    || CASE WHEN doc_id % 3 = 0
+            THEN '<style>body{margin:0;color:#222}</style>' ELSE '' END
+    || CASE WHEN doc_id % 2 = 1
+            THEN '<script type="text/javascript">var page='
+                 || CAST(doc_id % 7 AS VARCHAR) || ';track(page);</script>'
+            ELSE '' END
+    || '</head><body>'
+    || '<nav>home | about | <a href="/d' || CAST(doc_id % 13 AS VARCHAR)
+    || '">section</a></nav>'
+    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1> <p>'
+    || CASE WHEN doc_id % 4 = 0
+            THEN regexp_replace(text, '^(\\w+)', '<b>\\1</b>')
+            ELSE text END
+    || CASE WHEN doc_id % 7 = 2 THEN ' &amp; more &lt;soon&gt;' ELSE '' END
+    || '</p>'
+    || CASE WHEN doc_id % 5 < 2
+            THEN '<div class="footer">(c) example '
+                 || CAST(doc_id % 5 AS VARCHAR) || ' | terms | privacy</div>'
+            ELSE '' END
+    || '</body></html>'
+"""
+
+
+def extract_text(html: F.Column | str) -> F.Column:
+    """Boilerplate-stripping text extraction, fully scan-local codegen:
+    drop head/script/style payloads and nav/footer boilerplate BLOCKS
+    (tag + content), strip remaining tags (content kept), decode the
+    basic entities, collapse whitespace. The fixed strip order is the
+    contract both engines replay."""
+    s = F.col(html) if isinstance(html, str) else html
+    s = F.regexp_replace(s, r"<head>.*?</head>", " ")
+    s = F.regexp_replace(s, r"<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"<nav>.*?</nav>", " ")
+    s = F.regexp_replace(s, r'<div class="footer">.*?</div>', " ")
+    s = F.regexp_replace(s, r"<[^>]+>", " ")
+    s = F.replace(s, F.lit("&lt;"), F.lit("<"))
+    s = F.replace(s, F.lit("&gt;"), F.lit(">"))
+    s = F.replace(s, F.lit("&amp;"), F.lit("&"))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def _extract_sql(col: str) -> str:
+    """DuckDB twin of extract_text (same strip order)."""
+    s = col
+    for pat in (
+        "<head>.*?</head>",
+        "<script[^>]*>.*?</script>",
+        "<style[^>]*>.*?</style>",
+        "<nav>.*?</nav>",
+        '<div class="footer">.*?</div>',
+        "<[^>]+>",
+    ):
+        s = f"regexp_replace({s}, '{pat}', ' ', 'g')"
+    s = f"replace(replace(replace({s}, '&lt;', '<'), '&gt;', '>'), '&amp;', '&')"
+    return f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+
+
+@query(
+    "q_html_extract",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, source, {HTML_SQL} AS html, text FROM documents
+    ),
+    ext AS (
+        SELECT doc_id, source, html, {_extract_sql('html')} AS extracted,
+               text
+        FROM raw
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(html)) AS BIGINT) AS raw_chars,
+           CAST(SUM(len(extracted)) AS BIGINT) AS extracted_chars,
+           round(SUM(len(extracted)) * 100.0 / SUM(len(html)), 2)
+               AS pct_kept,
+           CAST(SUM(CASE WHEN position(text IN extracted) > 0
+                         OR position(replace(text, '&', '&')
+                                     IN extracted) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_body_preserved
+    FROM ext GROUP BY source ORDER BY source
+    """,
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/boilerplate text extraction — the step BEFORE lang-id in every
+    real crawl funnel (q_curation_pipeline starts at lang-id; this is the
+    funnel's step zero). Each doc's text is wrapped in deterministic
+    markup (synth_html: head/title, style+script payloads, nav + footer
+    boilerplate, inline tags, entities), then extracted back scan-side:
+    block-strip script/style/nav/footer, tag-strip the rest, entity
+    decode, whitespace collapse. Per-source stats: raw vs extracted
+    length, percent kept, and how many docs kept their body text intact
+    (n_body_preserved counts extracted containing the original text —
+    docs with injected inline markup round-trip modulo the <b> split,
+    which is exactly what the containment check certifies).
+
+    Scale: synthesis and extraction are regexp_replace/replace chains in
+    whole-stage codegen — zero UDFs, text dies in the scan (plan-guarded
+    in test_plans.py); only |sources|-grain partial aggregates shuffle.
+    At 100 TB this is the trafilatura/jusText position in the pipeline
+    with the plumbing (schema, scan-locality, aggregate grain) real.
+
+    Reference scope: no crawl surface in the reference (documents are
+    synthetic, data_gen/generate_and_load_script.py) — north-star
+    extension (BASELINE.json)."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = synth_html(docs)
+    ext = raw.select(
+        "doc_id",
+        "source",
+        "html",
+        "text",
+        extract_text("html").alias("extracted"),
+    )
+    preserved = F.when(
+        F.position(F.col("text"), F.col("extracted")) > 0, 1
+    ).otherwise(0)
+    return (
+        ext.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("html")).cast("long").alias("raw_chars"),
+            F.sum(F.length("extracted")).cast("long").alias(
+                "extracted_chars"
+            ),
+            F.round(
+                F.sum(F.length("extracted"))
+                * 100.0
+                / F.sum(F.length("html")),
+                2,
+            ).alias("pct_kept"),
+            F.sum(preserved).cast("long").alias("n_body_preserved"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_domain_median",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {URL_SQL} AS url, n_chars FROM documents
+    ),
+    d AS (SELECT {CANON_HOST_SQL} AS domain, n_chars FROM raw)
+    SELECT domain,
+           COUNT(*) AS n_docs,
+           CAST(median(n_chars) AS DOUBLE) AS median_chars
+    FROM d GROUP BY domain ORDER BY domain
+    """,
+)
+def q_domain_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe EXACT median per domain — the aggregation-path answer to
+    Zipf-skewed crawl domains (q_domain_quality names the skew; this key
+    exercises the mitigation). A sort-based holistic median puts every
+    row of the hot domain on ONE reducer (AQE skew splitting applies to
+    joins only, never aggregates). The two-stage rewrite: collapse rows
+    to a (domain, value) histogram map-side — partial-aggregable, so the
+    hot domain's reduce-side row count drops from |rows| to |distinct
+    values| — then take the exact weighted median from cumulative counts
+    over the bounded histogram. Result is IDENTICAL to a plain median
+    (the oracle is DuckDB's median()).
+
+    Measured honestly (tools/skew_probe.py aggregation section): Spark's
+    own percentile() is itself a mergeable counts-map partial aggregate,
+    so on Spark this formulation matches-but-does-not-beat the built-in
+    on a 50%-hot key — it is the portable shape for engines whose exact
+    percentile IS sort-based, and the only one whose window input is
+    bounded by |distinct values|. The probe's genuinely skew-bound shape
+    is the full-output window (plain vs bucketed cumsum: 2.7x at
+    50%-hot, identity asserted); that mitigation — bucketed_cumsum — is
+    the budget shape q_curation_pipeline already ships.
+
+    The interpolation contract: even counts average the two middle
+    values, odd counts take the middle — percentile_cont(0.5) semantics,
+    exact in doubles for integer values."""
+    docs = synth_urls(load_table(spark, sf_dir, "documents"))
+    _, domain = canonical_parts("url")
+    base = docs.select(domain.alias("domain"), "n_chars")
+    # stage 1: partial-aggregable histogram collapse (the skew fix)
+    hist = base.groupBy("domain", "n_chars").agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("hi", F.sum("c").over(w))
+    tot = hist.groupBy("domain").agg(F.sum("c").alias("n"))
+    j = cum.join(F.broadcast(tot), "domain")
+    pos_lo = F.expr("(n + 1) div 2")
+    pos_hi = F.expr("(n + 2) div 2")
+    # stage 2: exact weighted median from the bounded histogram
+    return (
+        j.groupBy("domain")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.min(F.when(F.col("hi") >= pos_lo, F.col("n_chars"))).alias(
+                "_v_lo"
+            ),
+            F.min(F.when(F.col("hi") >= pos_hi, F.col("n_chars"))).alias(
+                "_v_hi"
+            ),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            ((F.col("_v_lo") + F.col("_v_hi")) / 2.0).alias("median_chars"),
+        )
+        .orderBy("domain")
+    )

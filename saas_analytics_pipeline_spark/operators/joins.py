@@ -542,3 +542,88 @@ def q_fx_triangulate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_ccy", "to_ccy")
     )
+
+
+# --------------------------------------------------------------------------
+# runtime bloom-filter semi-join reduction, keyed (tools/bloom_probe.py's
+# mechanism promoted to a hash-verified result-identity certificate)
+# --------------------------------------------------------------------------
+BLOOM_PRICE_FLOOR = 450_000  # ~10% of orders survive at test sf
+
+_BLOOM_CONFS = {
+    # the mechanism the 100 TB defaults enable on their own (see
+    # tools/bloom_probe.py's two local-scale caveats): injection is gated
+    # on a >= 10 GB application-side scan, and without CBO stats the
+    # creation side's estimate busts the 10 MB creation threshold
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+    # both fact sides "too big to broadcast" — the SMJ regime where the
+    # runtime filter is the only thing keeping dead rows off the shuffle
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_prejoin_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy join+rollup: selective orders (price floor) against all
+    lineitems, rolled up per return flag. Built WITHOUT touching session
+    confs — callers scope _BLOOM_CONFS around planning/execution."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > BLOOM_PRICE_FLOOR
+    )
+    return (
+        li.join(sel, li["l_orderkey"] == sel["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_ext_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_bloom_prejoin",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_ext_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > {BLOOM_PRICE_FLOOR}
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction as a KEYED result-identity
+    certificate: the selective fact-fact SMJ executes with
+    InjectRuntimeFilter active at tools/bloom_probe.py's thresholds — the
+    big side's rows pass a might_contain(bloom(o_orderkey)) probe BELOW
+    its Exchange, so ~90% die at the scan instead of riding the shuffle
+    (measured 1.4-4x wall in the probe) — and the hash-green oracle row
+    certifies the filter is semantically transparent: bit-identical
+    totals to the plain SQL join. Plan injection is separately guarded in
+    tests/test_plans.py.
+
+    Conf scoping: bloom injection happens at physical planning, so the
+    relaxed thresholds are set, the plan materialized EAGERLY (the
+    |returnflags|-row rollup localCheckpoints — the lake-key eager
+    pattern), and every conf restored before returning; later queries in
+    the session see unchanged planning behavior (the write_zordered
+    lesson, ADVICE r6)."""
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return bloom_prejoin_frame(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -784,8 +784,18 @@ def q_similarity_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     set by key. Embeddings shuffle once, keyed by cell, exactly like
     production IVF."""
     emb = load_table(spark, sf_dir, "embeddings")
-    anchors = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    anchors = pinned_anchors(emb)
+    cells = assign_cells(emb, anchors).select("vec_id", "anchor_id")
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    return ivf_probe_rerank(q, cells, anchors, emb)
+
+
+def pinned_anchors(vecs: DataFrame) -> DataFrame:
+    """{N_ANCHORS} deterministic anchor vectors: the members of `vecs`
+    with the smallest md5(vec_id) — a fixed, engine-independent rule the
+    DuckDB oracle replays verbatim."""
+    return (
+        vecs.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(N_ANCHORS)
         .select(
             F.col("vec_id").alias("anchor_id"),
@@ -794,31 +804,50 @@ def q_similarity_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def cos_to_anchor(emb_col: str, norm: str) -> F.Column:
-        return cos_expr(emb_col, "a_emb", a_norm=norm, b_norm="an")
 
-    c = emb.select(
+def assign_cells(vecs: DataFrame, anchors: DataFrame) -> DataFrame:
+    """(vec_id, anchor_id, acos): each vector's max-cosine anchor (ties ->
+    smallest anchor_id) plus the winning cosine. The map-side assignment
+    pass shared by index build (all vectors) and incremental maintenance
+    (the new batch only): the bounded {N_ANCHORS}x fan-out collapses via
+    max_by BEFORE any shuffle — only (vec_id, anchor_id, acos) triples
+    ever move."""
+    c = vecs.select(
         "vec_id",
         F.col("embedding").alias("c_emb"),
         norm_col("embedding").alias("cn"),
     )
-    # map-side argmax over the bounded anchor fan-out: only (vec_id,
-    # anchor_id) pairs reach the shuffle
-    cells = (
+    return (
         c.crossJoin(F.broadcast(anchors))
         .select(
             "vec_id",
             "anchor_id",
-            cos_to_anchor("c_emb", "cn").alias("acos"),
+            cos_expr("c_emb", "a_emb", a_norm="cn", b_norm="an").alias("acos"),
         )
         .groupBy("vec_id")
         .agg(
             F.max_by(
-                "anchor_id", F.struct(F.col("acos"), (-F.col("anchor_id")).alias("na"))
-            ).alias("anchor_id")
+                F.struct("anchor_id", "acos"),
+                F.struct(F.col("acos"), (-F.col("anchor_id")).alias("na")),
+            ).alias("m")
         )
+        .select("vec_id", "m.anchor_id", "m.acos")
     )
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+
+
+def ivf_probe_rerank(
+    queries_df: DataFrame,
+    cells: DataFrame,
+    anchors: DataFrame,
+    corpus: DataFrame,
+) -> DataFrame:
+    """Probe + exact rerank against a (vec_id, anchor_id) cell index:
+    each query routes to its top-{N_PROBE} anchors, candidates come only
+    from those cells, and the bounded candidate set is reranked with
+    exact cosine. Shared by the one-shot pinned index and the
+    incremental (assign-only) index — the search path is identical, only
+    the cell table differs."""
+    q = queries_df.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         norm_col("embedding").alias("qn"),
@@ -829,7 +858,9 @@ def q_similarity_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (
         q.crossJoin(F.broadcast(anchors))
         .select(
-            "query_id", "anchor_id", cos_to_anchor("q_emb", "qn").alias("acos")
+            "query_id",
+            "anchor_id",
+            cos_expr("q_emb", "a_emb", a_norm="qn", b_norm="an").alias("acos"),
         )
         .withColumn("rn", F.row_number().over(probe_w))
         .where(F.col("rn") <= N_PROBE)
@@ -839,6 +870,11 @@ def q_similarity_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.join(F.broadcast(probes), "anchor_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
+    )
+    c = corpus.select(
+        "vec_id",
+        F.col("embedding").alias("c_emb"),
+        norm_col("embedding").alias("cn"),
     )
     scored = (
         cand.join(F.broadcast(q), "query_id")
@@ -855,3 +891,199 @@ def q_similarity_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", F.round("cos", 6).alias("cos_r"), "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# incremental IVF index maintenance: assign-only batch ingest + drift gauge
+# --------------------------------------------------------------------------
+IVF_BATCH_MOD = 4  # vec_id % 4 == 0 -> the new daily batch; else the corpus
+
+
+def _ivf_incr_ctes() -> str:
+    """Shared oracle CTEs: persisted-corpus anchors, full cell assignment
+    (corpus index + incremental batch assignment are the same per-vector
+    argmax, so the oracle assigns the union in one pass)."""
+    return f"""
+    corpus AS (SELECT * FROM embeddings WHERE vec_id % {IVF_BATCH_MOD} <> 0),
+    anchors AS (
+        SELECT vec_id AS anchor_id, embedding
+        FROM corpus
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {N_ANCHORS}
+    ),
+    assign AS (
+        SELECT c.vec_id, a.anchor_id,
+               {_dot_sql('c', 'a')}
+                   / ({_norm_sql('c')} * {_norm_sql('a')}) AS acos,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                   ORDER BY {_dot_sql('c', 'a')}
+                            / ({_norm_sql('c')} * {_norm_sql('a')}) DESC,
+                            a.anchor_id ASC) AS rn
+        FROM embeddings c CROSS JOIN anchors a
+    ),
+    cells AS (SELECT vec_id, anchor_id, acos FROM assign WHERE rn = 1)"""
+
+
+@query(
+    "q_similarity_ivf_incremental",
+    oracle=f"""
+    WITH {_ivf_incr_ctes()},
+    probes AS (
+        SELECT q.vec_id AS query_id, a.anchor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_dot_sql('q', 'a')}
+                            / ({_norm_sql('q')} * {_norm_sql('a')}) DESC,
+                            a.anchor_id ASC) AS rn
+        FROM embeddings q CROSS JOIN anchors a
+        WHERE q.vec_id % {IVF_BATCH_MOD} = 0
+          AND q.vec_id < {N_QUERIES * IVF_BATCH_MOD}
+    ),
+    cand AS (
+        SELECT p.query_id, c.vec_id
+        FROM probes p
+        JOIN cells c ON c.anchor_id = p.anchor_id
+        WHERE p.rn <= {N_PROBE} AND c.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT cd.query_id, cd.vec_id,
+               {_dot_sql('q', 'c')} / ({_norm_sql('q')} * {_norm_sql('c')}) AS cos
+        FROM cand cd
+        JOIN embeddings q ON q.vec_id = cd.query_id
+        JOIN embeddings c ON c.vec_id = cd.vec_id
+    )
+    SELECT query_id, vec_id, round(cos, 6) AS cos_r, rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def q_similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance: a NEW embedding batch
+    (vec_id % {IVF_BATCH_MOD} == 0 — the daily ingest) joins a PERSISTED
+    pinned-anchor IVF index (anchors chosen from the corpus side only, so
+    the quantizer predates the batch) by assignment alone — no refit, no
+    re-clustering, no touch of the corpus assignments. New vectors route
+    to their max-cosine anchor exactly like the index build did
+    (assign_cells — the shared per-vector argmax), the merged cell table
+    is corpus-cells UNION batch-cells, and the batch's own first
+    {N_QUERIES} vectors then query the merged index (probe top-{N_PROBE}
+    cells, exact rerank) — the production RAG-ingest shape: embed today's
+    documents, attach them to the serving index, and verify they are
+    immediately searchable. The per-cell drift gauge that decides when a
+    refit IS due is the companion key q_ivf_cell_drift.
+
+    Scale: the corpus side of the cell table is a persisted (vec_id,
+    anchor_id) index in production — recomputed here because the test
+    lake stores no derived state (same note as q_dedup_lsh_incremental).
+    The incremental cost is one map-side argmax over |batch| x
+    {N_ANCHORS} (measured assign-only vs refit in tools/ann_probe.py);
+    nothing corpus-sized recomputes, shuffles, or re-clusters.
+
+    Reference scope: the reference declares no vector search; this is the
+    north-star extension surface (BASELINE.json)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % IVF_BATCH_MOD != 0)
+    batch = emb.where(F.col("vec_id") % IVF_BATCH_MOD == 0)
+    anchors = pinned_anchors(corpus)
+    # production: persisted index read back from the lake
+    corpus_cells = assign_cells(corpus, anchors).select("vec_id", "anchor_id")
+    # the incremental step: assign-only, against the SAME frozen anchors
+    batch_cells = assign_cells(batch, anchors).select("vec_id", "anchor_id")
+    cells = corpus_cells.unionByName(batch_cells)
+    q = batch.where(F.col("vec_id") < N_QUERIES * IVF_BATCH_MOD)
+    return ivf_probe_rerank(q, cells, anchors, emb)
+
+
+@query(
+    "q_ivf_cell_drift",
+    oracle=f"""
+    WITH {_ivf_incr_ctes()},
+    tagged AS (
+        SELECT anchor_id, vec_id % {IVF_BATCH_MOD} = 0 AS is_batch,
+               CAST(round(acos, 6) AS DECIMAL(18,6)) AS acos_r
+        FROM cells
+    ),
+    per_cell AS (
+        SELECT anchor_id,
+               COUNT(*) FILTER (WHERE NOT is_batch) AS n_corpus,
+               COUNT(*) FILTER (WHERE is_batch) AS n_batch,
+               round(CAST(SUM(acos_r) FILTER (WHERE NOT is_batch) AS DOUBLE)
+                     / COUNT(*) FILTER (WHERE NOT is_batch), 6)
+                   AS avg_cos_corpus,
+               round(CAST(SUM(acos_r) FILTER (WHERE is_batch) AS DOUBLE)
+                     / COUNT(*) FILTER (WHERE is_batch), 6)
+                   AS avg_cos_batch
+        FROM tagged GROUP BY anchor_id
+    )
+    SELECT anchor_id, n_corpus, n_batch,
+           round(n_batch * 100.0 / n_corpus, 2) AS growth_pct,
+           avg_cos_corpus, avg_cos_batch,
+           round(avg_cos_corpus - avg_cos_batch, 6) AS drift,
+           CASE WHEN round(n_batch * 100.0 / n_corpus, 2) > 50.0
+                  OR avg_cos_batch < avg_cos_corpus - 0.05
+                THEN 1 ELSE 0 END AS recluster
+    FROM per_cell ORDER BY anchor_id
+    """,
+)
+def q_ivf_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell drift gauge — the re-cluster trigger for the incremental
+    IVF index (q_similarity_ivf_incremental): for every pinned-anchor
+    cell, how many corpus vs new-batch vectors it holds, how well each
+    side matches its anchor (mean assignment cosine), and whether the
+    cell has drifted enough to schedule a refit (batch growth > 50% of
+    the corpus cell, or the batch's mean anchor cosine more than 0.05
+    below the corpus's — new data the frozen quantizer routes poorly).
+
+    Exactness: per-row cosines round to 6 decimals and sum as
+    DECIMAL(18,6) — an exact, order-independent aggregate (the
+    embedding-audit pattern) — so the means hash-match the oracle without
+    depending on double summation order.
+
+    Scale: input is the (vec_id, anchor_id, acos) assignment table (the
+    persisted index + the batch assignment — nothing embedding-sized);
+    one {N_ANCHORS}-group rollup, fully partial-aggregable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % IVF_BATCH_MOD != 0)
+    batch = emb.where(F.col("vec_id") % IVF_BATCH_MOD == 0)
+    anchors = pinned_anchors(corpus)
+    cells = assign_cells(corpus, anchors).unionByName(
+        assign_cells(batch, anchors)
+    )
+    tagged = cells.select(
+        "anchor_id",
+        (F.col("vec_id") % IVF_BATCH_MOD == 0).alias("is_batch"),
+        F.round("acos", 6).cast("decimal(18,6)").alias("acos_r"),
+    )
+    corpus_sum = F.sum(F.when(~F.col("is_batch"), F.col("acos_r")))
+    batch_sum = F.sum(F.when(F.col("is_batch"), F.col("acos_r")))
+    n_corpus = F.count(F.when(~F.col("is_batch"), F.lit(1)))
+    n_batch = F.count(F.when(F.col("is_batch"), F.lit(1)))
+    per_cell = tagged.groupBy("anchor_id").agg(
+        n_corpus.alias("n_corpus"),
+        n_batch.alias("n_batch"),
+        F.round(corpus_sum.cast("double") / n_corpus, 6).alias(
+            "avg_cos_corpus"
+        ),
+        F.round(batch_sum.cast("double") / n_batch, 6).alias("avg_cos_batch"),
+    )
+    growth = F.round(F.col("n_batch") * 100.0 / F.col("n_corpus"), 2)
+    return per_cell.select(
+        "anchor_id",
+        "n_corpus",
+        "n_batch",
+        growth.alias("growth_pct"),
+        "avg_cos_corpus",
+        "avg_cos_batch",
+        F.round(F.col("avg_cos_corpus") - F.col("avg_cos_batch"), 6).alias(
+            "drift"
+        ),
+        F.when(
+            (growth > 50.0)
+            | (F.col("avg_cos_batch") < F.col("avg_cos_corpus") - 0.05),
+            1,
+        )
+        .otherwise(0)
+        .alias("recluster"),
+    ).orderBy("anchor_id")

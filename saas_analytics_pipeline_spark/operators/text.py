@@ -1184,3 +1184,140 @@ def q_doc_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.count("*").alias("n_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-fidelity token counting: pinned merge table applied as real merges
+# --------------------------------------------------------------------------
+
+
+def load_bpe_merges() -> list[tuple[str, str]]:
+    """The pinned BPE merge table (seeds/bpe_merges.csv), rank order.
+    Plain-file parse so the oracle SQL can embed the merges at import
+    time; the Spark query loads the SAME file through the seed contract
+    (seeds.load_seed) at query time."""
+    import csv
+
+    from saas_analytics_pipeline_spark.seeds import seed_path
+
+    with open(seed_path("bpe_merges")) as f:
+        rows = sorted(csv.DictReader(f), key=lambda r: int(r["rank"]))
+    return [(r["left"], r["right"]) for r in rows]
+
+
+def bpe_symbol_count(t: F.Column, merges: list[tuple[str, str]]) -> F.Column:
+    """Symbols remaining after applying the merge list to ONE pre-token:
+    char-split into a space-delimited symbol sequence, then each merge in
+    rank order as one global left-to-right ' l r ' -> ' lr ' replace —
+    ordered-single-pass BPE. Left-to-right non-overlapping replace equals
+    BPE's leftmost-greedy merging of a pair's occurrences, and the pinned
+    table is CLOSED under the single pass: applying the merges once in
+    rank order reaches the same fixed point as iterative lowest-rank-
+    first BPE for every corpus word (pinned by
+    tests/test_operators.py::test_bpe_single_pass_matches_true_bpe)."""
+    seq = F.concat(F.lit(" "), F.regexp_replace(t, "(.)", "$1 "))
+    for left, right in merges:
+        seq = F.replace(
+            seq, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+        )
+    return F.size(F.split(F.trim(seq), " "))
+
+
+def _bpe_count_sql(merges: list[tuple[str, str]]) -> str:
+    """DuckDB twin of the per-doc BPE token count (same merge order,
+    same replace semantics)."""
+    s = r"' ' || regexp_replace(t, '(.)', '\1 ', 'g')"
+    for left, right in merges:
+        s = f"replace({s}, ' {left} {right} ', ' {left}{right} ')"
+    return (
+        "coalesce(list_sum(list_transform(regexp_extract_all(text, "
+        r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'), "
+        f"t -> CAST(len(string_split(trim({s}), ' ')) AS BIGINT))), 0)"
+    )
+
+
+_BPE_MERGES = load_bpe_merges()
+
+
+@query(
+    "q_bpe_tokenize",
+    oracle=rf"""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_toks,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+                   AS regex_toks,
+               {_bpe_count_sql(_BPE_MERGES)} AS bpe_toks
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws_toks) AS BIGINT) AS ws_tokens,
+           CAST(SUM(regex_toks) AS BIGINT) AS regex_tokens,
+           CAST(SUM(bpe_toks) AS BIGINT) AS bpe_tokens,
+           round(CAST(SUM(bpe_toks) AS DOUBLE) / SUM(ws_toks), 6)
+               AS fertility_bpe,
+           round(CAST(SUM(bpe_toks) AS DOUBLE) / SUM(ws_toks)
+                 - CAST(SUM(regex_toks) AS DOUBLE) / SUM(ws_toks), 6)
+               AS fertility_delta
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fidelity token counting: REAL BPE merges from a pinned,
+    checked-in merge table (seeds/bpe_merges.csv — learned offline with
+    classic pair-frequency BPE over the corpus word frequencies, the
+    fx_rates seed pattern) instead of the regex proxy
+    (tokenize_regex). Per language: whitespace / regex-proxy / BPE token
+    counts, BPE fertility, and the fertility DELTA vs the proxy — the
+    number that says how far the proxy's budget estimates
+    (q_token_budget, q_sequence_pack) drift from a production tokenizer.
+
+    Mechanics: each pre-token char-splits into a symbol sequence and the
+    merge list applies in rank order as global string replaces —
+    ordered-single-pass BPE, closed under the pinned table (see
+    bpe_symbol_count). Everything is scan-local codegen string work
+    (transform/replace/split higher-order chain, zero UDFs); the only
+    shuffle is the |langs|-row aggregate. The seed is dim-sized and the
+    merge chain compiles into the scan projection — at 100 TB this costs
+    one pass over text, like every other text-family key.
+
+    Reference scope: the reference has no tokenizer surface; north-star
+    extension (BASELINE.json)."""
+    from saas_analytics_pipeline_spark.seeds import load_seed
+
+    # contract-path load (validates the CSV); dim-sized driver
+    # materialization, the documented seed exception
+    seed_rows = sorted(
+        load_seed(spark, "bpe_merges").collect(), key=lambda r: int(r.rank)
+    )
+    merges = [(r.left, r.right) for r in seed_rows]
+    docs = load_table(spark, sf_dir, "documents")
+    bpe_per_doc = F.aggregate(
+        F.transform(
+            tokenize_regex(), lambda t: bpe_symbol_count(t, merges)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v.cast("long"),
+    )
+    per = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("ws_toks"),
+        F.size(tokenize_regex()).cast("long").alias("regex_toks"),
+        bpe_per_doc.alias("bpe_toks"),
+    )
+    fert_bpe = F.sum("bpe_toks").cast("double") / F.sum("ws_toks")
+    fert_regex = F.sum("regex_toks").cast("double") / F.sum("ws_toks")
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ws_toks").cast("long").alias("ws_tokens"),
+            F.sum("regex_toks").cast("long").alias("regex_tokens"),
+            F.sum("bpe_toks").cast("long").alias("bpe_tokens"),
+            F.round(fert_bpe, 6).alias("fertility_bpe"),
+            F.round(fert_bpe - fert_regex, 6).alias("fertility_delta"),
+        )
+        .orderBy("lang")
+    )

@@ -72,54 +72,32 @@ DRIVER_VERIFIED: dict[str, str] = dict.fromkeys(
     "r01",
 )
 
-# Round-6 window: the r05 backlog fully verified (238/238), so the freeze
-# is LIFTED with the r05 discipline — every new key below passed the
-# DuckDB oracle + selfcheck (--pandas and --vanilla) BEFORE entering this
-# list. 24 pins (23 new keys + 1 justified re-verification); the
-# remaining 26 slots auto-fill with the stalest-certified keys
-# (ordered_keys now rotates oldest-green-first, verdict r5 defect #2
-# fixed).
+# Round-7 window (the r06 window is fully verified — CORRECTNESS_r06 is
+# 48 hash-green + 2 rows-only — so its pins auto-drop via verified_keys).
+# r05/r06 discipline unchanged: every key below passed the DuckDB oracle
+# + selfcheck (--pandas and --vanilla) BEFORE entering this list; the
+# remaining slots auto-fill with the stalest certifications
+# (oldest-green-first rotation).
 WINDOW_PRIORITY: list[str] = [
-    # two-sided incremental MinHash-LSH dedup (verdict r5 #2)
-    "q_dedup_lsh_incremental",
-    # URL/domain curation family (verdict r5 #3)
-    "q_url_dedup", "q_domain_quality", "q_domain_blocklist",
-    # composed end-to-end curation plan (verdict r5 #4)
-    "q_curation_pipeline",
-    # corpus-path streaming twins (verdict r5 #5)
-    "q_stream_doc_dedup", "q_stream_token_rollup",
-    # mergeable sketch upgrades (verdict r5 #6)
-    "q_hll_union", "q_quantile_sketch",
-    # re-verification: decode_media now parses 4 container kinds (JPEG +
-    # MP4 added, verdict r5 #8) — the r05 row certifies the 2-kind output
-    "q_media_dimensions",
-    # r06 second wave (docs/ROADMAP_r07.md #1-#4, pulled forward):
-    # streaming near-dup dedup twin, model-based quality filter,
-    # schema evolution on read, corpus snapshot diff
-    "q_stream_lsh_dedup",
-    "q_quality_model",
-    "q_schema_evolution",
-    "q_corpus_diff",
-    # r06 third wave (docs/ROADMAP_r07.md #3 + retrieval fusion): range
-    # clustering + footer pruning, small-file compaction gauge, keyed
-    # merge-upsert, and reciprocal-rank hybrid retrieval — each passed
-    # oracle + --pandas + --vanilla selfcheck before entering this list
-    "q_layout_cluster",
-    "q_layout_zorder",
-    "q_compaction_gauge",
-    "q_merge_upsert",
-    "q_rrf_fusion",
-    # r06 fourth wave: the two remaining pytest-only incremental plans
-    # promoted to driver-verified keys (apply == rebuild oracles), plus
-    # the stream-stream join's batch twin (shared join body with the
-    # live path)
-    "q_scd2_incremental",
-    "q_partition_overwrite",
-    "q_stream_join",
-    # probability-proportional sampling (soft quality filter)
-    "q_weighted_sample",
-    # chunk-level dedup audit (RAG-store / packed-context dedup grain)
-    "q_chunk_dedup",
+    # incremental ANN index maintenance (verdict r6 #3): assign-only
+    # batch ingest against the persisted pinned-anchor index + the
+    # per-cell drift gauge that triggers a refit
+    "q_similarity_ivf_incremental",
+    "q_ivf_cell_drift",
+    # HTML/boilerplate extraction — the crawl funnel's step zero
+    # (verdict r6 #5): synthesized markup stripped scan-side, oracle
+    # replays synthesis + extraction
+    "q_html_extract",
+    # BPE-fidelity token counts from the pinned merge-table seed
+    # (verdict r6 #6): real merges vs the regex proxy, fertility delta
+    "q_bpe_tokenize",
+    # skew-safe exact median over the Zipf domain key (verdict r6 #4):
+    # histogram two-stage, result identical to plain median
+    "q_domain_median",
+    # runtime bloom-filter semi-join reduction keyed (verdict r6 #7):
+    # hash row certifies the filter is semantically transparent; plan
+    # guard pins might_contain below the Exchange
+    "q_bloom_prejoin",
 ]
 
 
@@ -154,6 +132,12 @@ REVERIFY: dict[str, str] = {
     # to 4 (+JPEG/MP4) and widened the output schema (+total_duration);
     # the r05 row certifies the old 2-kind output
     "q_media_dimensions": "r05",
+    # r07 refactored the cell assignment + probe/rerank bodies into
+    # helpers shared with the incremental index (pinned_anchors /
+    # assign_cells / ivf_probe_rerank); values are identical (same argmax
+    # tie-break chain, selfcheck-verified in all three modes) but the r06
+    # row certifies the pre-refactor inline body
+    "q_similarity_ivf_pinned": "r06",
 }
 
 

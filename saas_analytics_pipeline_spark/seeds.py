@@ -35,6 +35,16 @@ SEED_SCHEMAS: dict[str, T.StructType] = {
     "iso_countries": T.StructType(
         [T.StructField("country_name", T.StringType())]
     ),
+    # pinned BPE merge table (rank order), learned offline with classic
+    # pair-frequency BPE over the sf0.01 corpus word frequencies — see
+    # operators/text.py::q_bpe_tokenize for the application contract
+    "bpe_merges": T.StructType(
+        [
+            T.StructField("rank", T.StringType()),
+            T.StructField("left", T.StringType()),
+            T.StructField("right", T.StringType()),
+        ]
+    ),
 }
 
 

@@ -65,6 +65,15 @@ def test_probe_record_is_complete_and_green():
     )
     assert lsh["incremental_matches_batch"] is True
     assert lsh["incremental_candidates"] == lsh["batch_candidates_touching_new"]
+    ann = probes["ann_probe"]
+    assert "incremental" in ann, (
+        "ann_probe record lacks the assign-only-vs-refit section "
+        "(round-7 extension) — rerun tools/run_probes.py on this tree"
+    )
+    # ingesting a batch must be materially cheaper than a quantizer refit
+    assert ann["incremental"]["assign_only_sec"] < ann["incremental"][
+        "refit_full_sec"
+    ]
 
 
 def test_scaling_record_has_no_superlinear_query():

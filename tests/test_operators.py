@@ -1566,3 +1566,68 @@ def test_pairwise_jaccard_bit_identical_to_exact_jaccard(spark, sf_dir):
     want = {tuple(r) for r in exact_jaccard(cand, sh).collect()}
     got = {tuple(r) for r in pairwise_jaccard(cand, docs).collect()}
     assert got == want and len(got) > 0
+
+
+def test_bpe_single_pass_matches_true_bpe(spark, sf_dir):
+    """The pinned merge table must be CLOSED under ordered-single-pass
+    application: one global replace per merge in rank order reaches the
+    same fixed point as true iterative BPE (lowest-rank applicable pair
+    first, leftmost-greedy) for EVERY corpus word — the property that
+    makes q_bpe_tokenize's replace-chain implementation exact, not
+    approximate."""
+    from saas_analytics_pipeline_spark.operators.text import load_bpe_merges
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    merges = load_bpe_merges()
+    assert len(merges) >= 16  # a real table, not a stub
+    rank = {m: i for i, m in enumerate(merges)}
+
+    def true_bpe(w: str) -> list[str]:
+        syms = list(w)
+        while True:
+            best = min(
+                (
+                    rank[(syms[i], syms[i + 1])]
+                    for i in range(len(syms) - 1)
+                    if (syms[i], syms[i + 1]) in rank
+                ),
+                default=None,
+            )
+            if best is None:
+                return syms
+            left, right = merges[best]
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+
+    def single_pass(w: str) -> list[str]:
+        s = " " + " ".join(w) + " "
+        for left, right in merges:
+            s = s.replace(f" {left} {right} ", f" {left}{right} ")
+        return s.split()
+
+    import pyspark.sql.functions as F
+
+    words = [
+        r.w
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+        .collect()
+    ]
+    assert len(words) > 10
+    bad = [w for w in words if true_bpe(w) != single_pass(w)]
+    assert not bad, f"single-pass diverges from true BPE for: {bad[:5]}"
+    # and the merges actually compress: fewer symbols than characters
+    assert sum(len(true_bpe(w)) for w in words) < sum(len(w) for w in words)

@@ -744,3 +744,80 @@ def test_rrf_fusion_candidate_lists_are_take_ordered(spark, sf_dir):
     plan = plan_of(q_rrf_fusion(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert not re.search(r"Exchange[^\n]*\btext\b", plan)
+
+
+def test_html_extract_text_dies_in_scan(spark, sf_dir):
+    """q_html_extract: synthesis + extraction are scan-local codegen — no
+    Exchange may carry html/extracted/text; only the per-source partial
+    aggregates shuffle (the funnel's step-zero contract)."""
+    import re
+
+    from saas_analytics_pipeline_spark.operators.curation import (
+        q_html_extract,
+    )
+
+    df = q_html_extract(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    assert not re.search(r"Exchange[^\n]*\b(text|html|extracted)\b", plan)
+    assert "codegen id" in plan
+    # the aggregate is partial (map-side combine below the exchange)
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+def test_domain_quality_rollup_is_partial_aggregable(spark, sf_dir):
+    """q_domain_quality (Zipf-skewed domain key at crawl scale): the
+    rollup must run a partial HashAggregate BELOW the exchange — map-side
+    combine is what makes a skewed-key SUM rollup flat (measured in
+    tools/skew_probe.py's aggregation section)."""
+    import re
+
+    from saas_analytics_pipeline_spark.operators.curation import (
+        q_domain_quality,
+    )
+
+    df = q_domain_quality(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    # a partial aggregate must appear, and no Exchange may carry text
+    assert re.search(r"partial", plan, re.IGNORECASE) or re.search(
+        r"HashAggregate[^\n]*merge", plan
+    )
+    assert not re.search(r"Exchange[^\n]*\btext\b", plan)
+
+
+def test_bloom_prejoin_filter_injected_below_exchange(spark, sf_dir):
+    """q_bloom_prejoin at the probe thresholds: InjectRuntimeFilter must
+    add a might_contain(bloom(o_orderkey)) probe on the BIG side BELOW
+    its Exchange — dead lineitems die at the scan, not on the shuffle —
+    and the join must stay a shuffle join (no broadcast: the 100 TB
+    regime the thresholds simulate)."""
+    from saas_analytics_pipeline_spark.operators.joins import (
+        _BLOOM_CONFS,
+        bloom_prejoin_frame,
+    )
+
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = bloom_prejoin_frame(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert "BroadcastHashJoin" not in plan
+        # the filter sits below the exchange: the scan side's subtree
+        # containing might_contain must also contain the lineitem scan,
+        # and an Exchange must appear between the filter and the join
+        lines = plan.splitlines()
+        mc = next(i for i, ln in enumerate(lines) if "might_contain" in ln)
+        ex = [i for i, ln in enumerate(lines) if "Exchange" in ln]
+        assert any(i < mc for i in ex), (
+            "no Exchange above the bloom probe — filter not below the "
+            "shuffle:\n" + plan
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

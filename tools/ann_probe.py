@@ -105,6 +105,48 @@ def main() -> None:
                 "min_sec": round(best, 3),
             }
         )
+    # incremental maintenance A/B (q_similarity_ivf_incremental): ingesting
+    # a new batch must cost ONE assign-only pass against frozen anchors,
+    # not a quantizer refit. Times (a) the full KMeans refit over
+    # corpus+batch — what a non-incremental index pays per ingest — vs
+    # (b) pinned-anchor assignment of just the batch. Both materialize
+    # (vec_id, cell/anchor) for their input; min of 2 passes after warm.
+    from saas_analytics_pipeline_spark.operators.similarity import (
+        IVF_BATCH_MOD,
+        assign_cells,
+        pinned_anchors,
+    )
+
+    batch = corpus.where(F.col("vec_id") % IVF_BATCH_MOD == 0)
+    old = corpus.where(F.col("vec_id") % IVF_BATCH_MOD != 0)
+    n_batch = batch.count()
+    anchors = pinned_anchors(old)
+    anchors.cache().count()  # the persisted quantizer: not part of the A/B
+
+    def timed(fn) -> float:
+        fn()  # warm
+        best = 9e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    refit_sec = timed(
+        lambda: ivf_fit_assign(corpus, n_cells=n_cells)[0]
+        .select("vec_id", "cell")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    assign_sec = timed(
+        lambda: assign_cells(batch, anchors)
+        .select("vec_id", "anchor_id")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
     print(
         json.dumps(
             {
@@ -115,6 +157,14 @@ def main() -> None:
                 "ivf_fit_sec": fit_sec,
                 "exact_baseline_sec": exact_sec,
                 "points": points,
+                "incremental": {
+                    "n_batch": n_batch,
+                    "refit_full_sec": refit_sec,
+                    "assign_only_sec": assign_sec,
+                    "speedup": round(refit_sec / assign_sec, 1)
+                    if assign_sec
+                    else None,
+                },
             }
         )
     )

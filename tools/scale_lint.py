@@ -44,6 +44,8 @@ ALLOW_NESTED_LOOP: dict[str, str] = {
     "q_sketch_error": "single-row mean-error reduce",
     "q_tpch_important_parts": "single-row HAVING-threshold frame (Q11 scalar subquery)",
     "q_similarity_ivf_pinned": "8-row pinned-anchor broadcast (bounded coarse-cell fan-out)",
+    "q_similarity_ivf_incremental": "8-row frozen-anchor broadcast (bounded assign fan-out; no refit)",
+    "q_ivf_cell_drift": "8-row frozen-anchor broadcast (bounded assign fan-out; drift rollup)",
     "q_tpch_dormant_customers": "single-row positive-average frame (Q22 scalar subquery)",
     "q_crossmodal_dedup": "two single-row pair-count frames",
     "q_abandonment": "single-row anchor frame",
