@@ -899,6 +899,64 @@ def ivf_probe_rerank(
 IVF_BATCH_MOD = 4  # vec_id % 4 == 0 -> the new daily batch; else the corpus
 
 
+def anchor_sql_literal(anchors: DataFrame) -> str:
+    """Render the pinned anchor set as a SQL array<struct> literal —
+    array(named_struct('anchor_id', ..., 'a_emb', array(...), 'an', ...)).
+
+    This is the STREAM-SERVING form of the quantizer: {N_ANCHORS} anchor
+    rows materialize to the driver once (the bounded dim-seed precedent,
+    seeds.py) and bake into the plan as a constant, so per-row assignment
+    is a pure scan-side projection — no join, no shuffle, usable inside a
+    Structured Streaming micro-batch where a per-row argmax aggregation
+    would otherwise need unbounded keyed state. Exactness: float32
+    embedding elements upcast to double exactly, and `an` is the fold
+    norm Spark already computed (pinned_anchors), so every downstream
+    cosine is bit-identical to assign_cells' and to the DuckDB oracle's."""
+    rows = anchors.select("anchor_id", "a_emb", "an").orderBy("anchor_id").collect()
+    structs = []
+    for r in rows:
+        emb = ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in r.a_emb)
+        structs.append(
+            f"named_struct('anchor_id', CAST({int(r.anchor_id)} AS BIGINT), "
+            f"'a_emb', array({emb}), 'an', CAST({float(r.an)!r} AS DOUBLE))"
+        )
+    return "array(" + ", ".join(structs) + ")"
+
+
+def row_assign_cells(
+    vecs: DataFrame, anchors: DataFrame, keep: list[str] | None = None
+) -> DataFrame:
+    """Scan-side per-ROW cell assignment against a frozen anchor literal:
+    transform the {N_ANCHORS}-element anchor constant into (acos, -id,
+    id) structs and take array_max — max cosine, ties to the smallest
+    anchor_id, exactly assign_cells' max_by tie-break chain (pinned equal
+    in tests/test_operators.py). Returns `keep` + (vec_id, anchor_id,
+    acos).
+
+    Scale: zero shuffles and zero state — each row scores {N_ANCHORS}
+    anchors in one projection (fold dot == the unrolled/oracle sum
+    bit-for-bit, see the cost-model note at the top), which is what lets
+    the STREAMING twin (streaming/jobs.py ann_assign_stream) assign
+    inside a micro-batch and roll up by event-time window only."""
+    arr = anchor_sql_literal(anchors)
+    fold_dot = (
+        "aggregate(zip_with(embedding, a.a_emb, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    best = F.expr(
+        f"array_max(transform({arr}, a -> named_struct("
+        f"'acos', {fold_dot} / (cn * a.an), "
+        "'nid', -a.anchor_id, 'aid', a.anchor_id)))"
+    )
+    keep = keep or []
+    return (
+        vecs.select(*keep, "vec_id", "embedding", norm_col("embedding").alias("cn"))
+        .withColumn("m", best)
+        .select(*keep, "vec_id", F.col("m.aid").alias("anchor_id"), F.col("m.acos").alias("acos"))
+    )
+
+
 def _ivf_incr_ctes() -> str:
     """Shared oracle CTEs: persisted-corpus anchors, full cell assignment
     (corpus index + incremental batch assignment are the same per-vector
@@ -1087,3 +1145,225 @@ def q_ivf_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("recluster"),
     ).orderBy("anchor_id")
+
+
+# --------------------------------------------------------------------------
+# drift-TRIGGERED partial refit: re-cluster only the worst cells
+# (docs/ROADMAP_r08.md #3 — the reaction to q_ivf_cell_drift's flag)
+# --------------------------------------------------------------------------
+REFIT_K = 3  # refit budget: cells re-clustered per maintenance cycle
+REFIT_SPLIT = 2  # sub-anchors a refitted cell splits into
+
+
+def _refit_oracle() -> str:
+    dec = "CAST(round(acos, 6) AS DECIMAL(18,6))"
+    mod = IVF_BATCH_MOD
+    return f"""
+    WITH {_ivf_incr_ctes()},
+    per_cell AS (
+        SELECT anchor_id,
+               COUNT(*) AS n_members,
+               round(CAST(SUM({dec}) AS DOUBLE) / COUNT(*), 6) AS avg_before,
+               round(round(CAST(SUM({dec}) FILTER (WHERE vec_id % {mod} <> 0) AS DOUBLE)
+                     / NULLIF(COUNT(*) FILTER (WHERE vec_id % {mod} <> 0), 0), 6)
+                   - round(CAST(SUM({dec}) FILTER (WHERE vec_id % {mod} = 0) AS DOUBLE)
+                     / NULLIF(COUNT(*) FILTER (WHERE vec_id % {mod} = 0), 0), 6), 6)
+                   AS drift
+        FROM cells GROUP BY anchor_id
+    ),
+    flagged AS (
+        SELECT anchor_id FROM (
+            SELECT anchor_id,
+                   ROW_NUMBER() OVER (ORDER BY drift DESC NULLS LAST,
+                                      anchor_id ASC) AS rn
+            FROM per_cell
+        ) WHERE rn <= {REFIT_K}
+    ),
+    members AS (
+        SELECT c.vec_id, c.anchor_id FROM cells c
+        JOIN flagged f ON f.anchor_id = c.anchor_id
+    ),
+    subanchors AS (
+        SELECT anchor_id AS parent, vec_id AS new_anchor FROM (
+            SELECT anchor_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY anchor_id
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM members
+        ) WHERE rn <= {REFIT_SPLIT}
+    ),
+    rescored AS (
+        SELECT m.anchor_id AS parent, m.vec_id, s.new_anchor,
+               {{DOT}} / ({{MNORM}} * {{SNORM}}) AS acos,
+               ROW_NUMBER() OVER (PARTITION BY m.vec_id
+                   ORDER BY {{DOT}} / ({{MNORM}} * {{SNORM}}) DESC,
+                            s.new_anchor ASC) AS rn
+        FROM members m
+        JOIN subanchors s ON s.parent = m.anchor_id
+        JOIN embeddings me ON me.vec_id = m.vec_id
+        JOIN embeddings se ON se.vec_id = s.new_anchor
+    ),
+    split_cells AS (
+        SELECT parent, new_anchor, 1 AS is_split,
+               COUNT(*) AS n_members,
+               round(CAST(SUM({dec}) AS DOUBLE) / COUNT(*), 6) AS avg_acos
+        FROM rescored WHERE rn = 1 GROUP BY parent, new_anchor
+    ),
+    untouched AS (
+        SELECT c.anchor_id AS parent, c.anchor_id AS new_anchor, 0 AS is_split,
+               COUNT(*) AS n_members,
+               round(CAST(SUM({dec}) AS DOUBLE) / COUNT(*), 6) AS avg_acos
+        FROM cells c
+        WHERE c.anchor_id NOT IN (SELECT anchor_id FROM flagged)
+        GROUP BY c.anchor_id
+    ),
+    unioned AS (
+        SELECT * FROM split_cells UNION ALL SELECT * FROM untouched
+    )
+    SELECT u.parent AS parent_anchor, u.new_anchor, u.is_split, u.n_members,
+           u.avg_acos, round(u.avg_acos - p.avg_before, 6) AS improve
+    FROM unioned u JOIN per_cell p ON p.anchor_id = u.parent
+    ORDER BY parent_anchor, new_anchor
+    """.replace(
+        "{DOT}", _dot_sql("me", "se")
+    ).replace("{MNORM}", _norm_sql("me")).replace("{SNORM}", _norm_sql("se"))
+
+
+@query("q_ivf_refit_partial", oracle=_refit_oracle())
+def q_ivf_refit_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-TRIGGERED partial index refit — the reaction to
+    q_ivf_cell_drift's flag that completes the incremental-ANN
+    maintenance loop (ingest: q_similarity_ivf_incremental; gauge:
+    q_ivf_cell_drift; repair: this). The {REFIT_K} most-drifted cells
+    (largest corpus-vs-batch mean-cosine gap, the gauge's drift metric;
+    ties and null-drift cells rank last by anchor_id — a refit BUDGET,
+    the production knob) each split into {REFIT_SPLIT} sub-cells:
+    sub-anchors are the cell's own md5-min members (the pinned_anchors
+    rule applied locally, so the refit is deterministic and
+    oracle-replayable), and ONLY the flagged cells' members reassign —
+    every other cell's assignments are untouched, which is the entire
+    point of partial maintenance. Output: one row per post-refit cell
+    with its membership, mean assignment cosine, and the improvement vs
+    the cell's pre-refit mean (untouched cells improve by exactly 0).
+
+    Scale: the drift ranking reads the per-cell gauge ({N_ANCHORS}
+    rows); the flagged set ({REFIT_K} ids) broadcasts into a semi-join
+    on the persisted (vec_id, anchor_id) index, so the embedding scan
+    touches only flagged members (in production the index is partitioned
+    by cell — partition-pruned reads); reassignment is a broadcast join
+    against {REFIT_K}x{REFIT_SPLIT} sub-anchor rows collapsed map-side
+    by max_by. Nothing corpus-sized shuffles; refit cost is proportional
+    to the flagged cells' membership, not the index.
+
+    Reference scope: the reference declares no vector search; this is
+    the north-star extension surface (BASELINE.json)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % IVF_BATCH_MOD != 0)
+    batch = emb.where(F.col("vec_id") % IVF_BATCH_MOD == 0)
+    anchors = pinned_anchors(corpus)
+    cells = assign_cells(corpus, anchors).unionByName(
+        assign_cells(batch, anchors)
+    )
+    acos_dec = F.round("acos", 6).cast("decimal(18,6)")
+    is_corpus = F.col("vec_id") % IVF_BATCH_MOD != 0
+    corpus_sum = F.sum(F.when(is_corpus, acos_dec))
+    batch_sum = F.sum(F.when(~is_corpus, acos_dec))
+    n_corpus = F.count(F.when(is_corpus, F.lit(1)))
+    n_batch = F.count(F.when(~is_corpus, F.lit(1)))
+    per_cell = cells.groupBy("anchor_id").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.sum(acos_dec).cast("double") / F.count("*"), 6).alias(
+            "avg_before"
+        ),
+        F.round(
+            F.round(
+                corpus_sum.cast("double") / F.nullif(n_corpus, F.lit(0)), 6
+            )
+            - F.round(
+                batch_sum.cast("double") / F.nullif(n_batch, F.lit(0)), 6
+            ),
+            6,
+        ).alias("drift"),
+    )
+    rank_w = Window.orderBy(F.desc_nulls_last("drift"), F.asc("anchor_id"))
+    flagged = (
+        per_cell.withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") <= REFIT_K)
+        .select("anchor_id")
+    )
+    members = cells.join(F.broadcast(flagged), "anchor_id").select(
+        "vec_id", "anchor_id", "acos"
+    )
+    sub_w = Window.partitionBy("anchor_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    subanchor_ids = (
+        members.withColumn("rn", F.row_number().over(sub_w))
+        .where(F.col("rn") <= REFIT_SPLIT)
+        .select(F.col("anchor_id").alias("parent"), F.col("vec_id").alias("new_anchor"))
+    )
+    subanchors = subanchor_ids.join(
+        emb.select(F.col("vec_id").alias("new_anchor"), F.col("embedding").alias("s_emb")),
+        "new_anchor",
+    ).select("parent", "new_anchor", "s_emb", norm_col("s_emb").alias("sn"))
+    members_emb = members.select(
+        "vec_id", F.col("anchor_id").alias("parent")
+    ).join(emb.select("vec_id", F.col("embedding").alias("m_emb")), "vec_id")
+    rescored = (
+        members_emb.withColumn("mn", norm_col("m_emb"))
+        .join(F.broadcast(subanchors), "parent")
+        .select(
+            "parent",
+            "vec_id",
+            "new_anchor",
+            cos_expr("m_emb", "s_emb", a_norm="mn", b_norm="sn").alias("acos"),
+        )
+    )
+    pick = (
+        rescored.groupBy("parent", "vec_id")
+        .agg(
+            F.max_by(
+                F.struct("new_anchor", "acos"),
+                F.struct(F.col("acos"), (-F.col("new_anchor")).alias("nn")),
+            ).alias("m")
+        )
+        .select("parent", "m.new_anchor", "m.acos")
+    )
+    split_cells = pick.groupBy("parent", "new_anchor").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.sum(acos_dec).cast("double") / F.count("*"), 6).alias(
+            "avg_acos"
+        ),
+    ).select("parent", "new_anchor", F.lit(1).alias("is_split"), "n_members", "avg_acos")
+    untouched = (
+        cells.join(F.broadcast(flagged), "anchor_id", "left_anti")
+        .groupBy("anchor_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.sum(acos_dec).cast("double") / F.count("*"), 6).alias(
+                "avg_acos"
+            ),
+        )
+        .select(
+            F.col("anchor_id").alias("parent"),
+            F.col("anchor_id").alias("new_anchor"),
+            F.lit(0).alias("is_split"),
+            "n_members",
+            "avg_acos",
+        )
+    )
+    unioned = split_cells.unionByName(untouched)
+    return (
+        unioned.join(
+            F.broadcast(per_cell.select(F.col("anchor_id").alias("parent"), "avg_before")),
+            "parent",
+        )
+        .select(
+            F.col("parent").alias("parent_anchor"),
+            "new_anchor",
+            "is_split",
+            "n_members",
+            "avg_acos",
+            F.round(F.col("avg_acos") - F.col("avg_before"), 6).alias("improve"),
+        )
+        .orderBy("parent_anchor", "new_anchor")
+    )

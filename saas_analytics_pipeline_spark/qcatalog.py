@@ -98,6 +98,14 @@ WINDOW_PRIORITY: list[str] = [
     # hash row certifies the filter is semantically transparent; plan
     # guard pins might_contain below the Exchange
     "q_bloom_prejoin",
+    # second wave (docs/ROADMAP_r08.md #2-#3 pulled forward): the
+    # streaming half of incremental-ANN ingest (scan-side assignment to
+    # the frozen anchor literal + windowed per-cell rollup; live path
+    # ann_assign_stream driven by test_streaming) and the
+    # drift-triggered partial refit that completes the maintenance loop
+    # (budgeted re-cluster of the REFIT_K most-drifted cells only)
+    "q_stream_ann_assign",
+    "q_ivf_refit_partial",
 ]
 
 

@@ -669,3 +669,114 @@ def token_rollup_stream(docs: DataFrame, watermark: str = "2 hours") -> DataFram
             "total_tokens",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# streaming ANN ingest (docs/ROADMAP_r08.md #2): new embeddings assign to
+# the FROZEN serving quantizer scan-side — the live half of the
+# incremental IVF maintenance loop (q_similarity_ivf_incremental assigns
+# the daily batch; this assigns the tail as it arrives)
+# --------------------------------------------------------------------------
+
+
+def _ann_rollup(assigned: DataFrame) -> DataFrame:
+    """Shared windowed per-cell arrival rollup: doc counts + mean
+    assignment cosine per (1-hour window, anchor cell). The mean uses the
+    exact-decimal pattern (round each cosine to 6 decimals, sum as
+    DECIMAL(18,6)) so it is order-independent — the q_ivf_cell_drift
+    exactness rule, which is what makes the batch twin hash-checkable and
+    the stream twin equal to it."""
+    acos_r = F.round("acos", 6).cast("decimal(18,6)")
+    return (
+        assigned.groupBy(F.window("ts", "1 hour"), "anchor_id")
+        .agg(
+            F.count("*").alias("n_arrivals"),
+            F.round(
+                F.sum(acos_r).cast("double") / F.count("*"), 6
+            ).alias("avg_acos"),
+        )
+        .select(
+            F.col("window.start").alias("wstart"),
+            "anchor_id",
+            "n_arrivals",
+            "avg_acos",
+        )
+    )
+
+
+def _stream_ann_oracle() -> str:
+    from saas_analytics_pipeline_spark.operators.similarity import (
+        IVF_BATCH_MOD,
+        _ivf_incr_ctes,
+    )
+
+    return f"""
+    WITH {_ivf_incr_ctes()},
+    arr AS (
+        SELECT anchor_id,
+               CAST(round(acos, 6) AS DECIMAL(18,6)) AS acos_r,
+               TIMESTAMP '2024-01-01 00:00:00' + to_minutes(vec_id) AS ts
+        FROM cells WHERE vec_id % {IVF_BATCH_MOD} = 0
+    )
+    SELECT date_trunc('hour', ts) AS wstart,
+           anchor_id,
+           COUNT(*) AS n_arrivals,
+           round(CAST(SUM(acos_r) AS DOUBLE) / COUNT(*), 6) AS avg_acos
+    FROM arr GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query("q_stream_ann_assign", oracle=_stream_ann_oracle())
+def q_stream_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming ANN-ingest rollup: new embeddings
+    (vec_id % IVF_BATCH_MOD == 0, one arrival per minute from the doc
+    epoch) assign to the PERSISTED pinned-anchor quantizer
+    (q_similarity_ivf_pinned's corpus anchors — frozen, predating every
+    arrival) as a pure scan-side projection (row_assign_cells: the
+    anchor set is a plan constant, per-row argmax over N_ANCHORS cells, no
+    join), then roll up per (1-hour window, cell): arrival count + mean
+    assignment cosine. This is the serving-side half of incremental IVF
+    maintenance — the live gauge that feeds q_ivf_cell_drift's refit
+    decision while documents stream in. Live path: ann_assign_stream
+    (same projection + watermarked window agg), driven by
+    tests/test_streaming.py; row-assignment is pinned bit-identical to
+    the index build's assign_cells in tests/test_operators.py.
+
+    Scale: assignment is stateless and shuffle-free (embeddings never
+    move — only (ts, anchor_id, acos) triples reach the window agg,
+    map-side combined into |windows| x N_ANCHORS partials); streaming state is
+    one row per open (window, cell), bounded by wall-clock not corpus.
+
+    Reference scope: the reference declares no vector search; this is
+    the north-star extension surface (BASELINE.json)."""
+    from saas_analytics_pipeline_spark.operators.similarity import (
+        IVF_BATCH_MOD,
+        pinned_anchors,
+        row_assign_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % IVF_BATCH_MOD != 0)
+    batch = emb.where(F.col("vec_id") % IVF_BATCH_MOD == 0)
+    anchors = pinned_anchors(corpus)
+    assigned = row_assign_cells(batch, anchors).select(
+        "anchor_id",
+        "acos",
+        F.timestamp_seconds(F.lit(DOC_EPOCH) + F.col("vec_id") * 60).alias("ts"),
+    )
+    return _ann_rollup(assigned).orderBy("wstart", "anchor_id")
+
+
+def ann_assign_stream(
+    vecs: DataFrame, anchors: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming ANN ingest: per-row scan-side assignment against the
+    frozen anchor literal (row_assign_cells — no join, no keyed state),
+    then the watermarked per-cell window rollup (the live twin of
+    q_stream_ann_assign). `vecs` must carry (vec_id, embedding, ts)."""
+    from saas_analytics_pipeline_spark.operators.similarity import (
+        row_assign_cells,
+    )
+
+    assigned = row_assign_cells(vecs, anchors, keep=["ts"])
+    return _ann_rollup(assigned.withWatermark("ts", watermark))

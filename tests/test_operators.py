@@ -1631,3 +1631,52 @@ def test_bpe_single_pass_matches_true_bpe(spark, sf_dir):
     assert not bad, f"single-pass diverges from true BPE for: {bad[:5]}"
     # and the merges actually compress: fewer symbols than characters
     assert sum(len(true_bpe(w)) for w in words) < sum(len(w) for w in words)
+
+
+def test_row_assign_cells_matches_assign_cells(spark, sf_dir):
+    """The scan-side anchor-literal assignment (row_assign_cells — the
+    streaming serving path) is bit-identical to the index build's
+    groupBy/max_by assignment (assign_cells): same winning cell, same
+    winning cosine double, for every vector."""
+    from pyspark.sql import functions as F
+
+    from saas_analytics_pipeline_spark.operators.similarity import (
+        IVF_BATCH_MOD,
+        assign_cells,
+        pinned_anchors,
+        row_assign_cells,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = pinned_anchors(emb.where(F.col("vec_id") % IVF_BATCH_MOD != 0))
+    a = {(r.vec_id, r.anchor_id, r.acos) for r in assign_cells(emb, anchors).collect()}
+    b = {(r.vec_id, r.anchor_id, r.acos) for r in row_assign_cells(emb, anchors).collect()}
+    assert a == b
+    assert len(a) == emb.count()
+
+
+def test_ivf_refit_partial_invariants(spark, sf_dir):
+    """The partial refit (1) splits exactly REFIT_K cells into at most
+    REFIT_SPLIT sub-cells each, (2) leaves every other cell untouched
+    with improve == 0.0, and (3) conserves total membership."""
+    from saas_analytics_pipeline_spark import qcatalog
+    from saas_analytics_pipeline_spark.operators.similarity import (
+        REFIT_K,
+        REFIT_SPLIT,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    qcatalog.load_all()
+    rows = qcatalog.QUERIES["q_ivf_refit_partial"].fn(spark, sf_dir).collect()
+    split = [r for r in rows if r.is_split == 1]
+    untouched = [r for r in rows if r.is_split == 0]
+    parents = {r.parent_anchor for r in split}
+    assert len(parents) == REFIT_K
+    for p in parents:
+        subs = [r for r in split if r.parent_anchor == p]
+        assert 1 <= len(subs) <= REFIT_SPLIT
+    assert all(r.improve == 0.0 for r in untouched)
+    # every member lands in exactly one post-refit cell
+    n_total = sum(r.n_members for r in rows)
+    assert n_total == load_table(spark, sf_dir, "embeddings").count()

@@ -570,3 +570,51 @@ def test_lsh_bucket_fn_out_of_order_state_guard():
     (out,) = _lsh_bucket_fn((3, "bkt"), iter([fresh]), state)
     assert out["hit"].tolist() == [1]
     assert state.updated == (last_us + ttl_us // 2,)
+
+
+def test_stream_ann_assign_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming ANN-ingest rollup (scan-side assignment against the
+    frozen anchor literal + watermarked window agg) under
+    Trigger.AvailableNow equals the batch twin exactly."""
+    from saas_analytics_pipeline_spark import qcatalog
+    from saas_analytics_pipeline_spark.operators.similarity import (
+        IVF_BATCH_MOD,
+        pinned_anchors,
+    )
+    from saas_analytics_pipeline_spark.streaming.jobs import (
+        DOC_EPOCH,
+        ann_assign_stream,
+    )
+
+    src = tmp_path / "ann_src"
+    src.mkdir()
+    shutil.copy(table_path(sf_dir, "embeddings"), src / "part-000.parquet")
+    schema = spark.read.parquet(str(src)).schema
+
+    emb = spark.read.parquet(str(src))
+    anchors = pinned_anchors(emb.where(F.col("vec_id") % IVF_BATCH_MOD != 0))
+
+    stream = (
+        stream_events(spark, str(src), schema)
+        .where(F.col("vec_id") % IVF_BATCH_MOD == 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.timestamp_seconds(
+                F.lit(DOC_EPOCH) + F.col("vec_id") * 60
+            ).alias("ts"),
+        )
+    )
+    q = run_available_now(
+        ann_assign_stream(stream, anchors),
+        "ann_assign_out",
+        str(tmp_path / "ann_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    qcatalog.load_all()
+    batch = qcatalog.QUERIES["q_stream_ann_assign"].fn(spark, sf_dir)
+    got = {tuple(r) for r in spark.table("ann_assign_out").collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0

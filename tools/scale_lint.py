@@ -46,6 +46,7 @@ ALLOW_NESTED_LOOP: dict[str, str] = {
     "q_similarity_ivf_pinned": "8-row pinned-anchor broadcast (bounded coarse-cell fan-out)",
     "q_similarity_ivf_incremental": "8-row frozen-anchor broadcast (bounded assign fan-out; no refit)",
     "q_ivf_cell_drift": "8-row frozen-anchor broadcast (bounded assign fan-out; drift rollup)",
+    "q_ivf_refit_partial": "8-row anchor + REFIT_KxREFIT_SPLIT sub-anchor broadcasts (bounded assign/reassign fan-out)",
     "q_tpch_dormant_customers": "single-row positive-average frame (Q22 scalar subquery)",
     "q_crossmodal_dedup": "two single-row pair-count frames",
     "q_abandonment": "single-row anchor frame",
@@ -116,6 +117,7 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_abc_analysis": "part-grain cumulative revenue (dim-sized; range-sort at scale)",
     "q_churn": "per-month aggregate (calendar-bounded)",
     "q_ks_test": "quantized CDF histogram (bin width bounds rows to hundreds)",
+    "q_ivf_refit_partial": "drift ranking over the N_ANCHORS-row per-cell gauge (8 rows)",
     "q_partition_volume": "per-day aggregate (calendar-bounded)",
     "q_ltv": "cohort x offset aggregate (months^2-bounded)",
     # round-6 additions
