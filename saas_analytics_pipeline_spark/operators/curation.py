@@ -953,3 +953,147 @@ def q_domain_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# --------------------------------------------------------------------------
+# code-vs-prose detection: the curation signal that routes documents to
+# the right pipeline (code corpora and prose corpora have different
+# quality gates, dedup grains, and mixing weights)
+# --------------------------------------------------------------------------
+
+# deterministic code synthesis (the HTML_SQL pattern): every 5th doc is
+# rewritten as a code-looking snippet; the oracle replays the rewrite,
+# the detector never looks at doc_id
+CODE_SQL = """
+    CASE WHEN doc_id % 5 = 0 THEN
+        'def fn_' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10)
+        || '    data = [' || replace(text, ' ', ', ') || '];' || chr(10)
+        || '    return data'
+    ELSE text END
+"""
+
+# code-symbol char class + keyword alternation, one regex text per
+# engine-escaping convention (Java needs \\ in the SQL literal; DuckDB
+# single-quote literals pass backslashes through)
+_SYM_JAVA = r"[(){}\\[\\];=,:]"
+_SYM_DUCK = r"[(){}\[\];=,:]"
+_KW = "(def|return|class|import|function|const|lambda)"
+
+
+def synth_code(docs: DataFrame) -> DataFrame:
+    """Attach the deterministic content column: every doc_id % 5 == 0
+    doc becomes a code-looking snippet built from its own text; the rest
+    stay prose. Closed-form from (doc_id, text), so the DuckDB oracle
+    replays it (CODE_SQL)."""
+    code = F.concat(
+        F.lit("def fn_"),
+        F.col("doc_id").cast("string"),
+        F.lit("(x):\n    data = ["),
+        F.replace(F.col("text"), F.lit(" "), F.lit(", ")),
+        F.lit("];\n    return data"),
+    )
+    return docs.withColumn(
+        "content",
+        F.when(F.col("doc_id") % 5 == 0, code).otherwise(F.col("text")),
+    )
+
+
+@query(
+    "q_code_detect",
+    oracle=rf"""
+    WITH raw AS (
+        SELECT doc_id, source, {CODE_SQL} AS content FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, source,
+               len(content) AS n_chars,
+               len(regexp_extract_all(content, '{_SYM_DUCK}')) AS n_sym,
+               len(regexp_extract_all(content, '\b{_KW}\b')) AS n_kw
+        FROM raw
+    ),
+    scored AS (
+        SELECT source,
+               CAST(round(n_sym * 1.0 / n_chars, 6)
+                    AS DECIMAL(18,6)) AS sym_density,
+               CASE WHEN n_kw >= 2 AND n_sym >= 4 THEN 1
+                    WHEN round(n_sym * 1.0 / n_chars, 6) > 0.08 THEN 1
+                    ELSE 0 END AS is_code,
+               CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS is_synth
+        FROM sig
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(is_code) AS BIGINT) AS n_code,
+           round(SUM(is_code) * 100.0 / COUNT(*), 2) AS code_pct,
+           round(CAST(SUM(sym_density) AS DOUBLE) / COUNT(*), 6)
+               AS avg_sym_density,
+           CAST(SUM(CASE WHEN is_code = is_synth THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_label_match
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection over synthesized mixed content: every 5th
+    document is rewritten as a code snippet (synth_code — deterministic,
+    oracle-replayable), then a scan-local detector that never sees
+    doc_id scores each doc on code-symbol density and keyword hits
+    (def/return/class/... word-bounded) and flags is_code when keywords
+    AND symbols co-occur or symbol density clears 8%. Per-source
+    rollup: doc/code counts, code share, exact-decimal mean symbol
+    density, and the label-agreement count vs the synthesis ground
+    truth (the detector-evaluation column a curation pipeline tracks —
+    here 100% by construction, the hash pins the detector's behavior,
+    not a lucky threshold).
+
+    Scale: every signal is a codegen regex/length expression in the
+    scan; only (source, 3 ints, 1 decimal) reach the |sources|-group
+    partial-aggregable rollup — text dies in the scan, the
+    q_curation_pipeline discipline. Routing-by-modality is the step
+    between q_html_extract (markup strip) and q_lang_id in a real crawl
+    funnel: code goes to a code pipeline (different dedup grain —
+    q_chunk_dedup at function grain — and different quality gates),
+    prose continues to language ID.
+
+    Reference scope: extension surface (BASELINE.json north star)."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = synth_code(docs)
+    sig = raw.select(
+        "doc_id",
+        "source",
+        F.length("content").alias("n_chars"),
+        F.expr(
+            f"size(regexp_extract_all(content, '{_SYM_JAVA}', 0))"
+        ).alias("n_sym"),
+        F.expr(
+            f"size(regexp_extract_all(content, '\\\\b{_KW}\\\\b', 0))"
+        ).alias("n_kw"),
+    )
+    dens = F.round(F.col("n_sym") * 1.0 / F.col("n_chars"), 6)
+    scored = sig.select(
+        "source",
+        dens.cast("decimal(18,6)").alias("sym_density"),
+        F.when((F.col("n_kw") >= 2) & (F.col("n_sym") >= 4), 1)
+        .when(dens > 0.08, 1)
+        .otherwise(0)
+        .alias("is_code"),
+        F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0).alias("is_synth"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_code").cast("long").alias("n_code"),
+            F.round(F.sum("is_code") * 100.0 / F.count("*"), 2).alias(
+                "code_pct"
+            ),
+            F.round(
+                F.sum("sym_density").cast("double") / F.count("*"), 6
+            ).alias("avg_sym_density"),
+            F.sum(
+                F.when(F.col("is_code") == F.col("is_synth"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_label_match"),
+        )
+        .orderBy("source")
+    )

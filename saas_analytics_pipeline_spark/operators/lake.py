@@ -586,3 +586,114 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# incremental AGGREGATE maintenance: merge late-arriving facts into a
+# persisted partial-aggregate mart without rescanning history
+# --------------------------------------------------------------------------
+LATE_MOD = 10  # o_orderkey % 10 == 0 -> the late-arriving delta batch
+
+_INCR_GRAIN = ["order_month", "o_orderpriority"]
+
+
+def rollup_partials(orders: DataFrame) -> DataFrame:
+    """Mergeable per-(month, priority) partials: COUNT, exact DECIMAL(18,2)
+    SUM, and MAX — the algebraic aggregate state an incremental mart
+    persists. Partials of partials merge with the SAME three functions
+    (sum of counts, sum of sums, max of maxes), which is what makes the
+    delta merge below exact rather than approximate."""
+    return orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)")).alias("max_price"),
+    )
+
+
+def merge_rollup_partials(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two partial frames at the same grain: union -> re-aggregate
+    with the merge functions. count/sum/max are algebraic, so
+    merge(state, agg(delta)) == agg(state_rows + delta_rows) exactly —
+    the identity q_rollup_incremental hash-certifies."""
+    return (
+        state.unionByName(delta)
+        .groupBy(*_INCR_GRAIN)
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("sum_price").alias("sum_price"),
+            F.max("max_price").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "q_rollup_incremental",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_rev,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS max_price,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_price
+    FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-mart maintenance: the monthly revenue rollup
+    is maintained from a PERSISTED partial-aggregate state plus a
+    late-arriving delta batch — history is never rescanned. State =
+    (month, priority) partials (count / exact-decimal sum / max) over the
+    on-time facts (o_orderkey % {LATE_MOD} != 0), WRITTEN to parquet and
+    read back (the mart a daily job keeps on disk); delta = the late
+    facts (% {LATE_MOD} == 0 — late rows land in EVERY month, so the
+    merge exercises partial-merge on every group, not just a tail
+    partition); merge = union + re-aggregate with the merge functions
+    (sum-of-counts, sum-of-sums, max-of-maxes). The hash-green oracle is
+    the FULL recompute over all orders — certifying the defining
+    invariant of incremental aggregation: merge(state, agg(delta)) ==
+    agg(everything). AVG finalizes from merged partials (sum/count) —
+    the canonical non-mergeable-unless-partials aggregate.
+
+    Scale: the state is |months x priorities| rows regardless of fact
+    volume — the delta scan is the only fact-sized read per refresh
+    (measured cousin: incremental SCD2, tools/scd2_probe.py 2.7x at 30
+    versions; here the win is unbounded — full recompute scans ALL
+    history, merge scans |delta| + |state|). Both aggregations are
+    partial-aggregable (map-side combine); DECIMAL sums are exact and
+    order-independent, so the merged mart hash-matches the recompute
+    bit-for-bit. In production the state table partitions by month and
+    the merge rewrites only months present in the delta (dynamic
+    partition overwrite — the q_partition_overwrite mechanics).
+
+    Ref: the reference's incremental daily loads (README.md:82,24) move
+    ROWS incrementally (merge-upsert, q_merge_upsert); this moves
+    AGGREGATES incrementally — the mart-layer sibling."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"saas_lake_incr_rollup_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    state_path = os.path.join(base, "state")
+    orders = load_table(spark, sf_dir, "orders")
+    ontime = orders.where(F.col("o_orderkey") % LATE_MOD != 0)
+    late = orders.where(F.col("o_orderkey") % LATE_MOD == 0)
+    # the persisted mart: partials written once by the on-time load
+    rollup_partials(ontime).write.mode("overwrite").parquet(state_path)
+    state = spark.read.parquet(state_path)
+    # the refresh: aggregate ONLY the delta, merge into the state
+    merged = merge_rollup_partials(state, rollup_partials(late))
+    return merged.select(
+        F.col("order_month").cast("date").alias("order_month"),
+        "o_orderpriority",
+        "n_orders",
+        F.col("sum_price").cast("double").alias("total_rev"),
+        F.col("max_price").cast("double").alias("max_price"),
+        F.round(
+            F.col("sum_price").cast("double") / F.col("n_orders"), 4
+        ).alias("avg_price"),
+    ).orderBy("order_month", "o_orderpriority")

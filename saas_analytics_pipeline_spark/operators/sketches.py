@@ -165,3 +165,122 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_value",
         rank_ok.cast("int").alias("rank_ok"),
     ).orderBy("qpct")
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters: partition-local mergeable frequency sketch +
+# exact candidate recount — the two-pass shape that finds heavy keys at
+# 100 TB without a full GROUP BY over an unbounded key universe
+# --------------------------------------------------------------------------
+MG_K = 64  # counters per partition summary; threshold phi = 1/(MG_K+1)
+HH_COLD_MOD = 5003  # cold-key universe (prime, ~5k distinct)
+
+# Deterministic skewed key stream (the synth_urls pattern — the oracle
+# replays it): even event_ids collapse onto 3 hot keys (~16.7% of the
+# stream each), odd ones spread over ~5k cold keys (~0.01% each) — the
+# classic heavy-hitter shape (a few keys above phi, a long tail below).
+_HH_ITEM = (
+    "CASE WHEN event_id % 2 = 0 THEN 'hot_' || CAST(event_id % 3 AS {s}) "
+    "ELSE 'cold_' || CAST(event_id % {m} AS {s}) END"
+)
+
+
+def _mg_partitions(it):
+    """Partition-local Misra-Gries: one K-counter summary per partition,
+    maintained with the MERGEABLE update (Agarwal et al., 'Mergeable
+    Summaries'): per Arrow batch, value_counts() pre-aggregates
+    vectorized, the batch summary adds counter-wise, and on overflow
+    every counter drops by the (K+1)-th largest value (zeros evicted) —
+    so the summary never exceeds K entries and every item with true
+    partition count > N_p/(K+1) survives with a positive counter."""
+    import heapq
+    from collections import Counter
+
+    import pandas as pd
+
+    counters: Counter = Counter()
+    for pdf in it:
+        batch = pdf["item"].value_counts()
+        for item, c in batch.items():
+            counters[item] += int(c)
+        if len(counters) > MG_K:
+            kth = heapq.nlargest(MG_K + 1, counters.values())[-1]
+            counters = Counter(
+                {w: c - kth for w, c in counters.items() if c > kth}
+            )
+    if counters:
+        yield pd.DataFrame(
+            {"item": list(counters), "mg_count": list(counters.values())}
+        )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH it AS (
+        SELECT {_HH_ITEM.format(s="VARCHAR", m=HH_COLD_MOD)} AS item
+        FROM events
+    ),
+    t AS (SELECT COUNT(*) AS n_total FROM it)
+    SELECT item, COUNT(*) AS n_events,
+           round(100.0 * COUNT(*) / (SELECT n_total FROM t), 4) AS share_pct
+    FROM it GROUP BY item
+    HAVING COUNT(*) > (SELECT n_total FROM t) / {MG_K + 1}.0
+    ORDER BY n_events DESC, item
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a partition-local Misra-Gries sketch + exact
+    candidate recount — the frequent-items member of the mergeable-sketch
+    family (q_hll_union counts distincts; this finds the keys that
+    dominate). Pass 1 (mapInPandas, ZERO shuffle): each partition folds
+    its items into a {MG_K}-counter MG summary (vectorized value_counts
+    per Arrow batch + the mergeable-summaries combine). Pass 2: the
+    union of summary keys — bounded by partitions x {MG_K}, layout-
+    dependent but always a SUPERSET of the true heavy hitters — is
+    broadcast back for an exact recount, and the final filter keeps keys
+    above phi = 1/{MG_K + 1} of the stream. Completeness is a theorem,
+    not a hope: a key with global share > phi has share >= its global
+    share in at least one partition (a maximum is never below a weighted
+    average), and per-partition MG guarantees any key with local count >
+    N_p/({MG_K + 1}) survives that partition's summary — so the exact
+    recount sees every true heavy hitter and the result is IDENTICAL to
+    the oracle's full GROUP BY ... HAVING, independent of partitioning.
+    The key stream is synthesized deterministically from event_id (3 hot
+    keys carrying half the stream, ~{HH_COLD_MOD} cold keys sharing the
+    rest — the oracle replays the synthesis, the synth_urls pattern).
+
+    Scale: the full GROUP BY the oracle runs shuffles the ENTIRE key
+    universe (unbounded at 100 TB — billions of URLs/users/n-grams);
+    the sketch path shuffles only |partitions| x {MG_K} summary rows
+    plus the broadcast-filtered recount of <= that many candidate keys
+    — the recount aggregate is partial-aggregable and its map side
+    discards every cold key at the scan. State is {MG_K} counters per
+    task regardless of data volume; summaries are mergeable, so the
+    same code rolls up per-day sketch files without touching raw data.
+
+    Reference scope: extension surface (BASELINE.json north star)."""
+    events = load_table(spark, sf_dir, "events")
+    items = events.selectExpr(
+        _HH_ITEM.format(s="STRING", m=HH_COLD_MOD) + " AS item"
+    )
+    summaries = items.mapInPandas(
+        _mg_partitions, schema="item string, mg_count long"
+    )
+    candidates = summaries.select("item").distinct()
+    totals = items.agg(F.count("*").alias("n_total"))
+    return (
+        items.join(F.broadcast(candidates), "item")
+        .groupBy("item")
+        .agg(F.count("*").alias("n_events"))
+        .crossJoin(F.broadcast(totals))
+        .where(F.col("n_events") > F.col("n_total") / (MG_K + 1))
+        .select(
+            "item",
+            "n_events",
+            F.round(
+                F.lit(100.0) * F.col("n_events") / F.col("n_total"), 4
+            ).alias("share_pct"),
+        )
+        .orderBy(F.desc("n_events"), "item")
+    )

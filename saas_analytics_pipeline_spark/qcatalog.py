@@ -106,6 +106,18 @@ WINDOW_PRIORITY: list[str] = [
     # (budgeted re-cluster of the REFIT_K most-drifted cells only)
     "q_stream_ann_assign",
     "q_ivf_refit_partial",
+    # third wave: production shapes the catalog lacked — incremental
+    # AGGREGATE maintenance (merge late partials into a persisted mart,
+    # hash == full recompute), Misra-Gries heavy hitters (partition-local
+    # mergeable sketch + exact candidate recount — result provably
+    # layout-independent), iterative graph centrality (3-step weighted
+    # PageRank, exact-decimal contribution sums, unrolled-CTE oracle),
+    # and code-vs-prose routing (scan-local detector over synthesized
+    # mixed content)
+    "q_rollup_incremental",
+    "q_heavy_hitters",
+    "q_pagerank",
+    "q_code_detect",
 ]
 
 
@@ -224,6 +236,7 @@ def load_all() -> None:
         corpus,
         curation,
         dedup,
+        graph,
         joins,
         lake,
         multimodal,

@@ -1680,3 +1680,50 @@ def test_ivf_refit_partial_invariants(spark, sf_dir):
     # every member lands in exactly one post-refit cell
     n_total = sum(r.n_members for r in rows)
     assert n_total == load_table(spark, sf_dir, "embeddings").count()
+
+
+def test_heavy_hitters_partition_independent(spark, sf_dir):
+    """The MG sketch pass is layout-dependent (one summary per
+    partition) but the final heavy-hitter set is NOT: a hostile
+    repartition produces the identical exact result, and the candidate
+    set stays bounded by partitions x MG_K while always covering the
+    true heavy hitters."""
+    from pyspark.sql import functions as F
+
+    from saas_analytics_pipeline_spark import qcatalog
+    from saas_analytics_pipeline_spark.operators.sketches import (
+        HH_COLD_MOD,
+        MG_K,
+        _HH_ITEM,
+        _mg_partitions,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    qcatalog.load_all()
+    want = {
+        tuple(r)
+        for r in qcatalog.QUERIES["q_heavy_hitters"].fn(spark, sf_dir).collect()
+    }
+    assert len(want) == 3  # the three synthesized hot keys
+
+    items = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(_HH_ITEM.format(s="STRING", m=HH_COLD_MOD) + " AS item")
+        .repartition(7)  # hostile layout: different summaries per task
+    )
+    summaries = items.mapInPandas(
+        _mg_partitions, schema="item string, mg_count long"
+    ).collect()
+    cands = {r.item for r in summaries}
+    assert len(cands) <= 7 * MG_K
+    assert {w[0] for w in want} <= cands  # superset: completeness theorem
+    counts = (
+        items.groupBy("item").count().where(F.col("item").isin(list(cands)))
+    )
+    total = items.count()
+    got = {
+        (r.item, r["count"])
+        for r in counts.collect()
+        if r["count"] > total / (MG_K + 1)
+    }
+    assert got == {(w[0], w[1]) for w in want}

@@ -47,6 +47,7 @@ ALLOW_NESTED_LOOP: dict[str, str] = {
     "q_similarity_ivf_incremental": "8-row frozen-anchor broadcast (bounded assign fan-out; no refit)",
     "q_ivf_cell_drift": "8-row frozen-anchor broadcast (bounded assign fan-out; drift rollup)",
     "q_ivf_refit_partial": "8-row anchor + REFIT_KxREFIT_SPLIT sub-anchor broadcasts (bounded assign/reassign fan-out)",
+    "q_heavy_hitters": "single-row stream-total frame crossJoined onto the <= partitions x MG_K candidate counts",
     "q_tpch_dormant_customers": "single-row positive-average frame (Q22 scalar subquery)",
     "q_crossmodal_dedup": "two single-row pair-count frames",
     "q_abandonment": "single-row anchor frame",
@@ -118,6 +119,7 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_churn": "per-month aggregate (calendar-bounded)",
     "q_ks_test": "quantized CDF histogram (bin width bounds rows to hundreds)",
     "q_ivf_refit_partial": "drift ranking over the N_ANCHORS-row per-cell gauge (8 rows)",
+    "q_pagerank": "final pos ranking over the PR_NODES-row (13) rank frame",
     "q_partition_volume": "per-day aggregate (calendar-bounded)",
     "q_ltv": "cohort x offset aggregate (months^2-bounded)",
     # round-6 additions
