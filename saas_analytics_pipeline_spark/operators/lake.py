@@ -697,3 +697,297 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_price").cast("double") / F.col("n_orders"), 4
         ).alias("avg_price"),
     ).orderBy("order_month", "o_orderpriority")
+
+
+CDC_DEL_MOD = 11  # o_orderkey % 11 == 0 -> a delete (tombstone) event
+
+
+@query(
+    "q_cdc_apply",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_custkey, c_acctbal, c_nationkey FROM customer
+        WHERE c_custkey % 7 <> 0
+    ),
+    chg AS (
+        SELECT o_custkey AS k, o_orderkey AS seq,
+               CASE WHEN o_orderkey % {CDC_DEL_MOD} = 0
+                    THEN 'D' ELSE 'U' END AS op,
+               o_totalprice AS bal,
+               o_custkey % 25 AS nat
+        FROM orders
+    ),
+    latest AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                          ORDER BY seq DESC) AS rn
+            FROM chg
+        ) WHERE rn = 1
+    ),
+    final AS (
+        SELECT c_nationkey AS nat, c_acctbal AS bal, 0 AS from_cdc
+        FROM base WHERE c_custkey NOT IN (SELECT k FROM latest)
+        UNION ALL
+        SELECT nat, bal, 1 AS from_cdc FROM latest WHERE op = 'U'
+    )
+    SELECT nat AS c_nationkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(from_cdc) AS BIGINT) AS n_from_cdc,
+           CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM final GROUP BY nat ORDER BY c_nationkey
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log replay with DELETES — merge_upsert's missing half (the
+    Debezium-consumer shape): a synthesized change log (one event per
+    order on its customer: seq = o_orderkey, every {CDC_DEL_MOD}th a
+    tombstone, the rest upsert after-images) applies to the customer
+    snapshot (c_custkey % 7 != 0, so some upserts are true INSERTS and
+    some tombstones hit absent keys — the no-op case) via
+    plans/incremental.apply_cdc: last-writer-wins by sequence number
+    INDEPENDENT of arrival order, winning 'D' removes the key, winning
+    'U' upserts, untouched keys pass through. The hash-green rollup
+    (per-nation row counts, CDC-provenance counts, exact-decimal
+    balance totals) certifies the final state against a full SQL
+    replay — a consumer that applied ops in arrival order, kept stale
+    versions, resurrected tombstones, or dropped insert-upserts breaks
+    the hash.
+
+    Scale: the last-writer-wins window is WITHIN the change batch; the
+    batch's key set broadcasts into the snapshot anti-join so the
+    100 TB base never shuffles (apply_cdc docstring). The provenance
+    column costs nothing (literal per side of the union).
+
+    Ref: reference plans per-day incremental loads (README.md:82,24);
+    CDC-with-deletes is the production generalization."""
+    customers = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    base = customers.where(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey",
+        "c_acctbal",
+        "c_nationkey",
+        F.lit(0).alias("from_cdc"),
+    )
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        (F.col("o_custkey") % 25).alias("c_nationkey"),
+        F.lit(1).alias("from_cdc"),
+        F.col("o_orderkey").alias("_seq"),
+        F.when(F.col("o_orderkey") % CDC_DEL_MOD == 0, "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    from saas_analytics_pipeline_spark.plans.incremental import apply_cdc
+
+    final = apply_cdc(base, changes, "c_custkey", "_seq")
+    return (
+        final.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("from_cdc").cast("long").alias("n_from_cdc"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# bucketed co-located join, keyed (the bucket_probe / test_plans shape
+# promoted to a hash-green result-identity certificate)
+# --------------------------------------------------------------------------
+_BUCKET_CONFS = {
+    # neither side of a 100 TB fact-fact join broadcasts; force the
+    # bucket-SMJ regime the certificate is about (scoped + restored)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bucket_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The certified frame: both fact sides written as 32-bucket managed
+    tables on the join key (plans/writers.write_bucketed — one shuffle
+    each, paid at WRITE time), then the orderkey equi-join + per-priority
+    rollup reads pre-partitioned, pre-sorted buckets: zero Exchanges,
+    zero Sorts on either side (pinned by tests/test_plans.py both for
+    write_bucketed and for this frame)."""
+    from saas_analytics_pipeline_spark.plans.writers import write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t_orders, t_items = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    # a FRESH session's catalog doesn't know a previous session's managed
+    # tables, so overwrite alone hits LOCATION_ALREADY_EXISTS: drop the
+    # catalog entry if present AND clear the leftover warehouse location
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    for t in (t_orders, t_items):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if wh:
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    items = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, t_orders, "o_orderkey")
+    write_bucketed(items, t_items, "o_orderkey")
+    return (
+        spark.table(t_orders)
+        .join(spark.table(t_items), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_bucket_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join as a KEYED result-identity certificate
+    (the q_bloom_prejoin argument applied to bucketing): both fact
+    sides are bucketed+sorted on the join key at write time
+    (write_bucketed), the orderkey join + rollup then runs with ZERO
+    Exchanges and ZERO Sorts on either side (plan pinned in
+    tests/test_plans.py; measured 3 Exchanges -> 1 overall and the
+    wall-clock win in tools/bucket_probe.py at sf3), and the hash-green
+    oracle row certifies the bucketed plan is semantically transparent:
+    bit-identical rollup to the plain SQL join, duplicate-key fan-out
+    (the testdata's dirty lineitem dupes) included.
+
+    Conf scoping: broadcast is disabled while the frame materializes
+    (neither side of a 100 TB fact-fact join broadcasts — the regime
+    the certificate is about), eager localCheckpoint, confs restored —
+    the q_bloom_prejoin / write_zordered discipline.
+
+    Scale: the bucket write is one shuffle per side paid ONCE;
+    every subsequent join on the key reads co-located buckets — the
+    amortization a daily orders x lineitem pipeline banks on. The
+    rollup is partial-aggregable above the co-located join."""
+    prev = {k: spark.conf.get(k, None) for k in _BUCKET_CONFS}
+    for k, v in _BUCKET_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return bucket_join_frame(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+# --------------------------------------------------------------------------
+# multi-format connector roundtrip, keyed: every interchange format the
+# engine writes must read back bit-identically
+# --------------------------------------------------------------------------
+_RT_FORMATS = ("parquet", "orc", "json", "csv")
+_RT_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double"
+)
+
+
+@query(
+    "q_format_roundtrip",
+    oracle="""
+    WITH h AS (
+        SELECT CAST('0x' || substr(md5(
+               concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                         CAST(o_custkey AS VARCHAR), o_orderstatus,
+                         CAST(o_totalprice AS VARCHAR))), 1, 15) AS BIGINT)
+               AS rh
+        FROM orders
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(rh AS HUGEINT)) AS VARCHAR) AS checksum_sum,
+               bit_xor(rh) AS checksum_xor
+        FROM h
+    )
+    SELECT f.fmt, a.n_rows, a.checksum_sum, a.checksum_xor
+    FROM (VALUES ('csv'), ('json'), ('orc'), ('parquet')) f(fmt)
+    CROSS JOIN agg a
+    ORDER BY f.fmt
+    """,
+)
+def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format connector certificate: the orders slice is WRITTEN in
+    every supported interchange format (parquet / ORC / JSON-lines /
+    CSV — ingest.write_table_format), READ BACK under the explicit
+    contract schema (load_table_format — JSON/CSV carry none), and
+    fingerprinted with the q_table_checksum content hash. The oracle
+    expects the SOURCE table's fingerprint once per format, so ANY loss
+    in any connector — a double that stopped round-tripping through
+    CSV text, a NULL that became '', a row dropped by a malformed-line
+    policy, a type the ORC writer narrowed — breaks that format's hash
+    row. This certifies the lossless-interchange claim (§2.1 sources/
+    sinks) instead of asserting it.
+
+    Scale: per format one truncate-write + one scan + an order-
+    insensitive (count, decimal-sum, bit_xor) reduce — both reductions
+    commutative+associative, so partitioning- and format-layout-
+    independent; no shuffles beyond the 1-row aggregates.
+
+    Ref: reference loads CSV into the warehouse and plans JSON seeds
+    (data_gen/generate_and_load_script.py:188, README.md:21-23); this
+    pins all four interchange paths."""
+    from saas_analytics_pipeline_spark.functions import hash60
+    from saas_analytics_pipeline_spark.ingest import (
+        load_table_format,
+        write_table_format,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"saas_lake_fmt_rt_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    row_hash = hash60(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("string"),
+        )
+    )
+    per_fmt = []
+    for fmt in _RT_FORMATS:
+        path = os.path.join(base, fmt)
+        write_table_format(src, path, fmt)
+        back = load_table_format(spark, path, fmt, _RT_SCHEMA)
+        per_fmt.append(
+            back.agg(
+                F.count("*").alias("n_rows"),
+                F.sum(row_hash.cast("decimal(38,0)"))
+                .cast("string")
+                .alias("checksum_sum"),
+                F.bit_xor(row_hash).alias("checksum_xor"),
+            ).select(F.lit(fmt).alias("fmt"), "*")
+        )
+    out = per_fmt[0]
+    for df in per_fmt[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("fmt")

@@ -147,3 +147,35 @@ def scd2_apply_increment(
         .unionByName(closed_open)
         .unionByName(new_versions)
     )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change-data-capture log to a snapshot — merge_upsert
+    extended with DELETES (the Debezium/CDC-consumer shape): per key the
+    HIGHEST-sequence change wins regardless of arrival order, a winning
+    'D' tombstones the key (absent from the result — and a tombstone for
+    a key the snapshot never had is a no-op), a winning 'U' upserts the
+    change's after-image, and untouched keys pass through. ``changes``
+    must carry the snapshot's columns (the after-image) plus ``seq`` and
+    ``op_col``.
+
+    Scale: the last-writer-wins window runs WITHIN the (small) change
+    batch only; the batch's key set broadcasts into the snapshot
+    anti-join, so the 100 TB base never shuffles — identical cost shape
+    to merge_upsert, deletes included."""
+    w = Window.partitionBy(key).orderBy(F.desc(seq))
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    keys = latest.select(key).distinct()
+    survivors = base.join(F.broadcast(keys), key, "left_anti")
+    upserts = latest.where(F.col(op_col) == "U").select(*base.columns)
+    return survivors.unionByName(upserts)

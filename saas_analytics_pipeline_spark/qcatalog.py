@@ -118,6 +118,17 @@ WINDOW_PRIORITY: list[str] = [
     "q_heavy_hitters",
     "q_pagerank",
     "q_code_detect",
+    # fourth wave: CDC apply with deletes (last-writer-wins by sequence,
+    # tombstones, broadcast key set so the snapshot never shuffles),
+    # bucketed co-located join as a keyed result-identity certificate
+    # (zero Exchanges below the join, plan-guarded), multi-format
+    # connector roundtrip (parquet/ORC/JSON/CSV each hash-checked
+    # against the source fingerprint), and the l-diversity privacy
+    # audit beside q_k_anonymity
+    "q_cdc_apply",
+    "q_bucket_join",
+    "q_format_roundtrip",
+    "q_l_diversity",
 ]
 
 

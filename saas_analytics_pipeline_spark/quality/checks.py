@@ -796,3 +796,77 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             exposed.cast("double") / F.sum("sz").cast("double"), 6
         ).alias("exposed_share"),
     )
+
+
+L_DIV = 3  # required distinct sensitive values per quasi-identifier class
+
+
+@query(
+    "q_l_diversity",
+    oracle=f"""
+    WITH cells AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / {ACCTBAL_BUCKET}) AS BIGINT) AS bal_band,
+               c_mktsegment,
+               COUNT(*) AS cnt
+        FROM customer GROUP BY 1, 2, 3
+    ),
+    classes AS (
+        SELECT c_nationkey, bal_band,
+               COUNT(*) AS n_distinct_sensitive,
+               CAST(SUM(cnt) AS BIGINT) AS sz,
+               round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_share
+        FROM cells GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) FILTER (WHERE n_distinct_sensitive < {L_DIV})
+                AS BIGINT) AS n_low_diversity,
+           CAST(COALESCE(SUM(sz) FILTER (WHERE n_distinct_sensitive
+                < {L_DIV}), 0) AS BIGINT) AS n_rows_at_risk,
+           CAST(MIN(n_distinct_sensitive) AS BIGINT) AS min_diversity,
+           round(MAX(top_share), 6) AS worst_homogeneity
+    FROM classes
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — q_k_anonymity's second axis: a class can hold
+    k rows yet still leak if the SENSITIVE attribute is homogeneous
+    inside it (the homogeneity attack: knowing someone is in the class
+    reveals their value). Quasi-identifier = (nation, balance band),
+    sensitive = market segment; per class we require >= l={L_DIV}
+    distinct sensitive values and also report the worst single-value
+    share (the entropy/recursive-(c,l) precursor). Output: class count,
+    low-diversity classes, rows at risk in them, the dataset's published
+    l (min diversity), and the worst homogeneity.
+
+    Scale: two stacked hash-aggregates, both map-side combinable — cell
+    grain (QI x sensitive) then class grain — and a 5-column reduce; no
+    window, no join, nothing row-scaled leaves the scans. Same publish
+    gate as q_k_anonymity / q_pii_scan (ref README.md:59).
+
+    Reference scope: extension surface (privacy gate for corpus/feature
+    publication)."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / ACCTBAL_BUCKET)
+        .cast("bigint")
+        .alias("bal_band"),
+        "c_mktsegment",
+    ).agg(F.count("*").alias("cnt"))
+    classes = cells.groupBy("c_nationkey", "bal_band").agg(
+        F.count("*").alias("n_distinct_sensitive"),
+        F.sum("cnt").cast("bigint").alias("sz"),
+        F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias(
+            "top_share"
+        ),
+    )
+    low = F.col("n_distinct_sensitive") < L_DIV
+    at_risk = F.coalesce(F.sum(F.when(low, F.col("sz"))), F.lit(0))
+    return classes.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.count(F.when(low, 1)).cast("bigint").alias("n_low_diversity"),
+        at_risk.cast("bigint").alias("n_rows_at_risk"),
+        F.min("n_distinct_sensitive").cast("bigint").alias("min_diversity"),
+        F.round(F.max("top_share"), 6).alias("worst_homogeneity"),
+    )

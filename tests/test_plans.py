@@ -821,3 +821,30 @@ def test_bloom_prejoin_filter_injected_below_exchange(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucket_join_key_frame_is_colocated(spark, sf_dir):
+    """q_bucket_join's certified frame: the join itself runs on
+    pre-bucketed sides — no Exchange BELOW the join (the aggregate above
+    may shuffle its |priorities|-row partials; the certificate is about
+    the join inputs). countDistinct plans an Expand+two-phase aggregate,
+    so assert on the SortMergeJoin subtree, not the whole plan."""
+    from saas_analytics_pipeline_spark.operators.lake import (
+        bucket_join_frame,
+    )
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = bucket_join_frame(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2
+        # exactly the two aggregate exchanges (partial->final hash, then
+        # the orderBy range): bucketed join inputs contribute ZERO
+        assert plan.count("Exchange") == 2, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+        spark.sql(f"DROP TABLE IF EXISTS bkt_orders_{tag}")
+        spark.sql(f"DROP TABLE IF EXISTS bkt_lineitem_{tag}")
