@@ -991,3 +991,95 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in per_fmt[1:]:
         out = out.unionByName(df)
     return out.orderBy("fmt")
+
+
+# --------------------------------------------------------------------------
+# dynamic partition pruning, keyed: the star-schema scan killer — a
+# selective dim filter prunes the partitioned fact's scan AT RUNTIME
+# --------------------------------------------------------------------------
+DPP_BUCKETS = 16  # fact partition key: o_custkey % DPP_BUCKETS
+
+
+def write_dpp_fact(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the partitioned fact: orders written partitionBy the
+    derived o_bucket column (one dynamic-overwrite, the test lake's
+    stateless-rematerialization rule). At 100 TB this is the lake's
+    standing layout (partition by date/tenant/bucket), not a per-query
+    cost."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"saas_lake_dpp_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_bucket", F.col("o_custkey") % DPP_BUCKETS)
+        .write.mode("overwrite")
+        .partitionBy("o_bucket")
+        .parquet(base)
+    )
+    return base
+
+
+def dpp_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The certified frame: partitioned fact joined to the FILTERED dim
+    on the partition column — Catalyst injects a
+    dynamicpruningexpression into the fact scan's PartitionFilters
+    (plan-guarded in tests/test_plans.py), so only the dim's surviving
+    buckets are listed and read."""
+    fact = spark.read.parquet(write_dpp_fact(spark, sf_dir))
+    dim = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_regionkey") == 0)
+        .select(
+            "n_name", (F.col("n_nationkey") % DPP_BUCKETS).alias("o_bucket")
+        )
+    )
+    return (
+        fact.join(dim, "o_bucket")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q_dpp_prune",
+    oracle=f"""
+    SELECT n.n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders o
+    JOIN nation n ON o.o_custkey % {DPP_BUCKETS} = n.n_nationkey % {DPP_BUCKETS}
+                  AND n.n_regionkey = 0
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning as a KEYED result-identity certificate
+    (the q_bloom_prejoin / q_bucket_join argument applied to DPP): the
+    fact table lives partitioned by a bucket key, the dim side filters
+    to a selective slice (region-0 nations -> a few surviving buckets),
+    and at planning time Catalyst injects a dynamicpruningexpression
+    into the fact scan's PartitionFilters — the runtime twin of static
+    partition pruning, fed by the dim's broadcast — so the fact scan
+    lists and reads ONLY the surviving buckets instead of all
+    {DPP_BUCKETS}. Injection is plan-guarded in tests/test_plans.py;
+    the hash-green oracle row certifies pruning is semantically
+    transparent (bit-identical rollup to the unpartitioned SQL join).
+
+    Scale: THE star-schema mechanism at 100 TB — a date/tenant-
+    partitioned fact joined through a filtered dimension reads the
+    matching partitions only; without DPP the scan is full regardless
+    of the dim filter. Pairs with q_bloom_prejoin (row-level runtime
+    filtering) — DPP kills whole partitions, the bloom filter kills
+    surviving rows.
+
+    Ref: reference partitions raw by source/date (README.md:24);
+    partition-wise cost hygiene (README.md:90-91)."""
+    return dpp_join_frame(spark, sf_dir).localCheckpoint(eager=True)

@@ -129,6 +129,13 @@ WINDOW_PRIORITY: list[str] = [
     "q_bucket_join",
     "q_format_roundtrip",
     "q_l_diversity",
+    # fifth wave: dynamic partition pruning keyed (the star-schema scan
+    # killer — dynamicpruningexpression plan-guarded, result identity
+    # hash-certified) and referential-integrity-preserving
+    # pseudonymization (salted keyed hash on both FK sides; injectivity,
+    # join survival, and no-fixed-point certified in one row)
+    "q_dpp_prune",
+    "q_pseudonymize",
 ]
 
 

@@ -22,7 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from saas_analytics_pipeline_spark.functions import money
+from saas_analytics_pipeline_spark.functions import hash60_sql, money
 from saas_analytics_pipeline_spark.qcatalog import query
 from saas_analytics_pipeline_spark.sources import TABLES, load_table
 
@@ -870,3 +870,87 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_distinct_sensitive").cast("bigint").alias("min_diversity"),
         F.round(F.max("top_share"), 6).alias("worst_homogeneity"),
     )
+
+
+PSEUDO_SALT = "corpus-release-42"  # release-scoped salt (HMAC key stand-in)
+
+
+@query(
+    "q_pseudonymize",
+    oracle=f"""
+    WITH cmap AS (
+        SELECT c_custkey,
+               {hash60_sql(f"'{PSEUDO_SALT}|' || CAST(c_custkey AS VARCHAR)")}
+                   AS pid
+        FROM customer
+    ),
+    omap AS (
+        SELECT o_custkey,
+               {hash60_sql(f"'{PSEUDO_SALT}|' || CAST(o_custkey AS VARCHAR)")}
+                   AS pid
+        FROM orders
+    )
+    SELECT (SELECT COUNT(*) FROM cmap) AS n_customers,
+           (SELECT COUNT(DISTINCT pid) FROM cmap) AS n_distinct_pids,
+           (SELECT COUNT(*) FROM omap) AS n_orders,
+           (SELECT COUNT(*) FROM orders o JOIN customer c
+                ON o.o_custkey = c.c_custkey) AS n_joined_pre,
+           (SELECT COUNT(*) FROM omap o JOIN cmap c ON o.pid = c.pid)
+               AS n_joined_post,
+           (SELECT COUNT(*) FROM cmap WHERE pid = c_custkey)
+               AS n_fixed_points
+    """,
+)
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity-preserving pseudonymization — the privacy
+    transform a dataset release applies to subject keys before
+    publication (GDPR Art. 4(5) pseudonymization; the salt stands in
+    for the HMAC secret a production release derives per dataset
+    version, which is what makes the mapping non-linkable across
+    releases). Every customer key maps through the same salted keyed
+    hash on BOTH tables, and the one-row certificate proves the three
+    properties a release gate checks: (1) the mapping is injective on
+    this key domain (n_distinct_pids == n_customers — a collision would
+    MERGE two subjects' histories), (2) foreign-key joins survive
+    (n_joined_post == n_joined_pre — every order still finds exactly
+    its customer through the pseudonym), (3) no key maps to itself
+    (n_fixed_points == 0 — the identity leak).
+
+    Scale: the pseudonym is a scan-local md5 projection on each side
+    (no mapping TABLE to build, ship, or protect — the keyed-hash
+    design's point); the verification joins shuffle the same narrow
+    keys any FK audit does. The counts are 1-row reduces.
+
+    Reference scope: extension surface beside the PII gate
+    (README.md:59; q_pii_scan/q_pii_redact find values, q_k_anonymity/
+    q_l_diversity audit shape, this TRANSFORMS identity)."""
+    from saas_analytics_pipeline_spark.functions import hash60
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pid = lambda col: hash60(  # noqa: E731
+        F.concat(F.lit(PSEUDO_SALT + "|"), F.col(col).cast("string"))
+    )
+    cmap = customer.select(
+        F.col("c_custkey"), pid("c_custkey").alias("pid")
+    )
+    omap = orders.select(F.col("o_custkey"), pid("o_custkey").alias("pid"))
+    n_customers = cmap.agg(F.count("*").alias("n_customers"))
+    n_pids = cmap.agg(
+        F.countDistinct("pid").cast("long").alias("n_distinct_pids")
+    )
+    n_orders = omap.agg(F.count("*").alias("n_orders"))
+    pre = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .agg(F.count("*").alias("n_joined_pre"))
+    )
+    post = (
+        omap.join(cmap, "pid").agg(F.count("*").alias("n_joined_post"))
+    )
+    fixed = cmap.where(F.col("pid") == F.col("c_custkey")).agg(
+        F.count("*").alias("n_fixed_points")
+    )
+    out = n_customers
+    for frame in (n_pids, n_orders, pre, post, fixed):
+        out = out.crossJoin(frame)
+    return out

@@ -848,3 +848,18 @@ def test_bucket_join_key_frame_is_colocated(spark, sf_dir):
         tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
         spark.sql(f"DROP TABLE IF EXISTS bkt_orders_{tag}")
         spark.sql(f"DROP TABLE IF EXISTS bkt_lineitem_{tag}")
+
+
+def test_dpp_prune_injects_runtime_partition_filter(spark, sf_dir):
+    """q_dpp_prune's frame: the partitioned fact scan must carry a
+    dynamicpruningexpression in its PartitionFilters — the dim filter
+    prunes fact partitions at runtime, not after the scan."""
+    from saas_analytics_pipeline_spark.operators.lake import dpp_join_frame
+
+    plan = (
+        dpp_join_frame(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan

@@ -48,6 +48,7 @@ ALLOW_NESTED_LOOP: dict[str, str] = {
     "q_ivf_cell_drift": "8-row frozen-anchor broadcast (bounded assign fan-out; drift rollup)",
     "q_ivf_refit_partial": "8-row anchor + REFIT_KxREFIT_SPLIT sub-anchor broadcasts (bounded assign/reassign fan-out)",
     "q_heavy_hitters": "single-row stream-total frame crossJoined onto the <= partitions x MG_K candidate counts",
+    "q_pseudonymize": "six 1-row certificate reduces crossJoined into the single output row",
     "q_tpch_dormant_customers": "single-row positive-average frame (Q22 scalar subquery)",
     "q_crossmodal_dedup": "two single-row pair-count frames",
     "q_abandonment": "single-row anchor frame",
