@@ -928,29 +928,35 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    pid = lambda col: hash60(  # noqa: E731
-        F.concat(F.lit(PSEUDO_SALT + "|"), F.col(col).cast("string"))
-    )
-    cmap = customer.select(
-        F.col("c_custkey"), pid("c_custkey").alias("pid")
-    )
+
+    def pid(col: str) -> F.Column:
+        return hash60(
+            F.concat(F.lit(PSEUDO_SALT + "|"), F.col(col).cast("string"))
+        )
+
+    cmap = customer.select(F.col("c_custkey"), pid("c_custkey").alias("pid"))
     omap = orders.select(F.col("o_custkey"), pid("o_custkey").alias("pid"))
-    n_customers = cmap.agg(F.count("*").alias("n_customers"))
-    n_pids = cmap.agg(
-        F.countDistinct("pid").cast("long").alias("n_distinct_pids")
+    # injectivity + fixed points fold into ONE customer-side scan
+    cstats = cmap.agg(
+        F.count("*").alias("n_customers"),
+        F.countDistinct("pid").cast("long").alias("n_distinct_pids"),
+        F.sum(F.when(F.col("pid") == F.col("c_custkey"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fixed_points"),
     )
     n_orders = omap.agg(F.count("*").alias("n_orders"))
-    pre = (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .agg(F.count("*").alias("n_joined_pre"))
-    )
-    post = (
-        omap.join(cmap, "pid").agg(F.count("*").alias("n_joined_post"))
-    )
-    fixed = cmap.where(F.col("pid") == F.col("c_custkey")).agg(
-        F.count("*").alias("n_fixed_points")
-    )
-    out = n_customers
-    for frame in (n_pids, n_orders, pre, post, fixed):
+    pre = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).agg(F.count("*").alias("n_joined_pre"))
+    post = omap.join(cmap, "pid").agg(F.count("*").alias("n_joined_post"))
+    out = cstats
+    for frame in (n_orders, pre, post):
         out = out.crossJoin(frame)
-    return out
+    return out.select(
+        "n_customers",
+        "n_distinct_pids",
+        "n_orders",
+        "n_joined_pre",
+        "n_joined_post",
+        "n_fixed_points",
+    )
