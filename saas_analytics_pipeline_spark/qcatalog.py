@@ -136,6 +136,11 @@ WINDOW_PRIORITY: list[str] = [
     # join survival, and no-fixed-point certified in one row)
     "q_dpp_prune",
     "q_pseudonymize",
+    # the streaming mart-upsert merge keyed: three sequential
+    # micro-batch merges into the date-partitioned mart must equal the
+    # one-shot rollup (batching-independence), live foreachBatch path
+    # stays test-driven
+    "q_stream_mart_upsert",
 ]
 
 

@@ -780,3 +780,66 @@ def ann_assign_stream(
 
     assigned = row_assign_cells(vecs, anchors, keep=["ts"])
     return _ann_rollup(assigned.withWatermark("ts", watermark))
+
+
+@query(
+    "q_stream_mart_upsert",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS dt,
+           event_type,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_stream_mart_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed certificate for the streaming mart-upsert merge
+    (upsert_daily_event_counts — the foreachBatch body of
+    run_incremental_mart): the event stream is replayed as three
+    sequential micro-batches (event_id % 3 — every batch touches every
+    day, so each merge exercises the re-aggregate-old-plus-batch path,
+    not just append), each merged into the date-partitioned counts mart
+    via dynamic partition overwrite, and the mart read back afterwards
+    must equal the one-shot GROUP BY over all events — the invariant
+    that makes the streaming mart trustworthy: N incremental merges ==
+    one batch recompute, independent of how events were batched. The
+    LIVE path (foreachBatch + batch-id replay markers) stays driven by
+    tests/test_streaming.py; this key certifies the merge itself
+    (the q_rollup_incremental argument applied to the streaming sink).
+
+    Scale: per merge, only the batch's days are read back (broadcast
+    semi-join on the day set -> dynamic partition pruning) and only
+    those partitions rewrite; days untouched by a batch never rewrite.
+    The mart is |days x event_types| rows regardless of event volume.
+
+    Conf scoping: partitionOverwriteMode=dynamic is scoped to the
+    merges and restored (the write_zordered lesson)."""
+    import os
+    import shutil
+    import tempfile
+
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"saas_stream_mart_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        for i in range(3):
+            upsert_daily_event_counts(
+                spark, ev.where(F.col("event_id") % 3 == i), target
+            )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(target)
+        .select(
+            F.col("dt").cast("date").alias("dt"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("dt", "event_type")
+    )
