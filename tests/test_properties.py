@@ -706,3 +706,155 @@ def test_decode_media_roundtrips_any_header(
         pre += struct.pack(">I", 8 + len(blob)) + b"free" + blob
     d = decode_media(pre + moov, "video/mp4")
     assert (d["timescale"], d["duration"]) == (ts, dur)
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions: CDC replay, Misra-Gries completeness, partial-merge
+# algebra
+# ---------------------------------------------------------------------------
+
+# op log: (key, op) pairs; seq = position (unique, shuffled by hypothesis
+# ordering), value derived from seq so last-writer-wins is observable
+cdc_logs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # few keys -> collisions
+        st.sampled_from(["U", "D"]),
+    ),
+    min_size=0,
+    max_size=30,
+)
+cdc_bases = st.lists(
+    st.integers(min_value=0, max_value=6), min_size=0, max_size=7, unique=True
+)
+
+
+@SETTINGS
+@given(base_keys=cdc_bases, log=cdc_logs)
+def test_apply_cdc_matches_dict_replay(spark, base_keys, log):
+    """apply_cdc == the obvious sequential dict replay, for ANY base and
+    ANY op log: last op per key wins regardless of emission order, a
+    winning D tombstones (even for keys absent from the base), a winning
+    U upserts the after-image, untouched keys pass through."""
+    from saas_analytics_pipeline_spark.plans.incremental import apply_cdc
+
+    base_rows = [(k, k * 100) for k in base_keys]
+    # seq reversed vs list order: arrival order must NOT matter
+    chg_rows = [
+        (k, len(log) - i, op, 1000 + (len(log) - i)) for i, (k, op) in enumerate(log)
+    ]
+    model: dict[int, int] = {k: v for k, v in base_rows}
+    for k, seq, op, val in sorted(chg_rows, key=lambda r: r[1]):
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = val
+    base = spark.createDataFrame(
+        base_rows, "k long, v long"
+    ) if base_rows else spark.createDataFrame([], "k long, v long")
+    changes = spark.createDataFrame(
+        chg_rows, "k long, _seq long, op string, v long"
+    ) if chg_rows else spark.createDataFrame(
+        [], "k long, _seq long, op string, v long"
+    )
+    # apply_cdc selects base.columns from changes: give it (k, v)
+    got = {
+        (r.k, r.v)
+        for r in apply_cdc(
+            base, changes.select("k", "v", "_seq", "op"), "k", "_seq"
+        ).collect()
+    }
+    assert got == set(model.items())
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    tail=st.lists(
+        st.integers(min_value=1, max_value=100_000), min_size=0, max_size=400
+    ),
+    n_heavy=st.integers(min_value=120, max_value=400),
+    cuts=st.lists(st.integers(min_value=0, max_value=800), max_size=4),
+)
+def test_misra_gries_summary_keeps_every_heavy_item(tail, n_heavy, cuts):
+    """The MG partition summary (pure function, no Spark) must contain
+    EVERY item with count > N/(MG_K+1), for any stream content and any
+    batch segmentation — the completeness half of q_heavy_hitters'
+    theorem (the other half, cross-partition pigeonhole, is arithmetic).
+    The planted item 0 always clears the threshold: n_heavy >= 120 >
+    (400 + 400) / 65."""
+    import pandas as pd
+
+    from saas_analytics_pipeline_spark.operators.sketches import (
+        MG_K,
+        _mg_partitions,
+    )
+
+    stream = [0] * n_heavy + tail
+    n = len(stream)
+    assert n_heavy > n / (MG_K + 1)
+    bounds = sorted({min(c, n) for c in cuts} | {0, n})
+    batches = [
+        pd.DataFrame({"item": [str(x) for x in stream[a:b]]})
+        for a, b in zip(bounds, bounds[1:])
+        if b > a
+    ]
+    out = list(_mg_partitions(iter(batches)))
+    kept = set(out[0]["item"]) if out else set()
+    from collections import Counter
+
+    counts = Counter(str(x) for x in stream)
+    heavy = {w for w, c in counts.items() if c > n / (MG_K + 1)}
+    assert heavy <= kept
+    assert len(kept) <= MG_K
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # month bucket
+            st.integers(min_value=0, max_value=2),   # priority
+            st.integers(min_value=-10_000, max_value=10_000),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    split=st.integers(min_value=0, max_value=9),
+)
+def test_partial_merge_equals_full_aggregate(spark, rows, split):
+    """merge_rollup_partials(partials(A), partials(B)) == partials(A+B)
+    for ANY disjoint split — the algebraic-aggregate identity
+    q_rollup_incremental certifies on orders, here for arbitrary frames
+    (count/sum/max are the merge functions; DECIMAL sums exact)."""
+    from saas_analytics_pipeline_spark.operators.lake import (
+        merge_rollup_partials,
+        rollup_partials,
+    )
+
+    data = [
+        (f"2024-0{m + 1}-01 00:00:00", str(p), c / 100.0)
+        for m, p, c in rows
+    ]
+    df = spark.createDataFrame(
+        data, "o_orderdate string, o_orderpriority string, o_totalprice double"
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    a = df.where(F.crc32(F.concat_ws("|", "o_orderpriority", "o_totalprice")) % 10 < split)
+    b = df.where(F.crc32(F.concat_ws("|", "o_orderpriority", "o_totalprice")) % 10 >= split)
+    merged = {
+        tuple(r)
+        for r in merge_rollup_partials(
+            rollup_partials(a), rollup_partials(b)
+        ).collect()
+    }
+    full = {
+        tuple(r)
+        for r in rollup_partials(df)
+        .select(
+            "order_month",
+            "o_orderpriority",
+            F.col("n_orders").cast("long"),
+            "sum_price",
+            "max_price",
+        )
+        .collect()
+    }
+    assert merged == full
