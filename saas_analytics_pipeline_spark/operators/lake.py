@@ -816,25 +816,24 @@ def bucket_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     t_orders, t_items = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
-    # a FRESH session's catalog doesn't know a previous session's managed
-    # tables, so overwrite alone hits LOCATION_ALREADY_EXISTS: drop the
-    # catalog entry if present AND clear the leftover warehouse location
+    base = os.path.join(tempfile.gettempdir(), f"saas_lake_bucket_{tag}")
+    # EXTERNAL tables at a fixed /tmp location (not the cwd-dependent
+    # warehouse); a FRESH session's catalog doesn't know a previous
+    # session's tables, so drop the entry if present AND clear the
+    # leftover location before overwriting
     import shutil
-    from urllib.parse import urlparse
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
     for t in (t_orders, t_items):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        if wh:
-            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        shutil.rmtree(os.path.join(base, t), ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
     items = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
     )
-    write_bucketed(orders, t_orders, "o_orderkey")
-    write_bucketed(items, t_items, "o_orderkey")
+    write_bucketed(orders, t_orders, "o_orderkey", path=os.path.join(base, t_orders))
+    write_bucketed(items, t_items, "o_orderkey", path=os.path.join(base, t_items))
     return (
         spark.table(t_orders)
         .join(spark.table(t_items), "o_orderkey")

@@ -28,17 +28,24 @@ def write_date_partitioned(
 
 
 def write_bucketed(
-    df: DataFrame, table: str, key: str, buckets: int = 32
+    df: DataFrame, table: str, key: str, buckets: int = 32,
+    path: str | None = None,
 ) -> None:
-    """Bucketed managed table on a join key: subsequent equi-joins between
-    tables bucketed on the same key skip the shuffle entirely."""
-    (
+    """Bucketed table on a join key: subsequent equi-joins between
+    tables bucketed on the same key skip the shuffle entirely. With
+    ``path`` the table is EXTERNAL at that location (bucketing metadata
+    still lives in the catalog — needed when the session's warehouse
+    dir is cwd-dependent, e.g. a driver run from an arbitrary
+    directory); without it, a managed table in the warehouse."""
+    w = (
         df.write.mode("overwrite")
         .bucketBy(buckets, key)
         .sortBy(key)
         .format("parquet")
-        .saveAsTable(table)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def compact_partitions(
