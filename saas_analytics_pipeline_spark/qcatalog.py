@@ -141,6 +141,10 @@ WINDOW_PRIORITY: list[str] = [
     # one-shot rollup (batching-independence), live foreachBatch path
     # stays test-driven
     "q_stream_mart_upsert",
+    # CSV malformed-row policy certificate (q_json_malformed's parser
+    # counterpart): PERMISSIVE quarantine column + DROPMALFORMED count
+    # hash-checked against the synthesis arithmetic
+    "q_csv_malformed",
 ]
 
 

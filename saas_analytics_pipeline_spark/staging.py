@@ -735,3 +735,93 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("priority").alias("n_with_priority"),
         money_sum("amount", "total"),
     )
+
+
+CSV_BAD_MOD = 7  # every 7th synthesized CSV line is unparsable
+
+
+@query(
+    "q_csv_malformed",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE o_orderkey % {CSV_BAD_MOD} = 0)
+               AS n_corrupt,
+           COUNT(*) FILTER (WHERE o_orderkey % {CSV_BAD_MOD} <> 0)
+               AS n_valid,
+           CAST(SUM(o_orderkey)
+                FILTER (WHERE o_orderkey % {CSV_BAD_MOD} <> 0) AS BIGINT)
+               AS sum_k,
+           CAST(SUM(o_custkey)
+                FILTER (WHERE o_orderkey % {CSV_BAD_MOD} <> 0) AS BIGINT)
+               AS sum_v,
+           COUNT(*) FILTER (WHERE o_orderkey % {CSV_BAD_MOD} <> 0)
+               AS n_dropmalformed
+    FROM orders
+    """,
+)
+def q_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV malformed-row policy certificate — q_json_malformed's
+    counterpart for the other schemaless interchange format: a CSV file
+    is synthesized from orders (every {CSV_BAD_MOD}th line unparsable —
+    text where the LONG schema expects numbers), then read back under
+    BOTH error policies a production loader chooses between:
+    PERMISSIVE + columnNameOfCorruptRecord (corrupt lines surface as a
+    quarantine column, parsed fields null) and DROPMALFORMED (corrupt
+    lines silently vanish — the count documents exactly how many). The
+    oracle replays the synthesis arithmetic from the source table, so a
+    reader that mis-classified a line, half-parsed a corrupt row, or
+    dropped a valid one breaks the hash. (The reject-row QUARANTINE
+    pattern for contract-valid-but-rule-breaking rows is q_reject_rows;
+    this certifies the PARSER layer below it.)
+
+    Scale: the synthesis write is one scan-local projection to text;
+    both read-backs are schema-pinned CSV scans whose per-policy
+    aggregates are 1-row partial-aggregable reduces. Error policy is
+    per-task and needs no coordination — corrupt-line handling costs
+    nothing at 100 TB.
+
+    Ref: reference loads CSV with header skip + truncate
+    (data_gen/generate_and_load_script.py:188); real feeds carry bad
+    lines, and the policy choice is the loader's first contract."""
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"saas_csv_malformed_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    line = F.when(
+        F.col("o_orderkey") % CSV_BAD_MOD == 0,
+        F.concat(F.lit("x"), F.col("o_orderkey").cast("string"), F.lit(",oops")),
+    ).otherwise(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit(","),
+            F.col("o_custkey").cast("string"),
+        )
+    )
+    orders.select(line.alias("value")).write.mode("overwrite").text(base)
+    schema = "k long, v long, _bad string"
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(base)
+    )
+    stats = permissive.agg(
+        F.count("*").alias("n_rows"),
+        F.count("_bad").cast("long").alias("n_corrupt"),
+        F.count("k").cast("long").alias("n_valid"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum("v").cast("long").alias("sum_v"),
+    )
+    # count a PARSED column, not count(*): CSV column pruning skips
+    # parsing entirely for count(*), so DROPMALFORMED would drop nothing
+    dropped = (
+        spark.read.schema("k long, v long")
+        .option("mode", "DROPMALFORMED")
+        .csv(base)
+        .agg(F.count("k").cast("long").alias("n_dropmalformed"))
+    )
+    return stats.crossJoin(dropped)

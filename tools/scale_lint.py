@@ -49,6 +49,7 @@ ALLOW_NESTED_LOOP: dict[str, str] = {
     "q_ivf_refit_partial": "8-row anchor + REFIT_KxREFIT_SPLIT sub-anchor broadcasts (bounded assign/reassign fan-out)",
     "q_heavy_hitters": "single-row stream-total frame crossJoined onto the <= partitions x MG_K candidate counts",
     "q_pseudonymize": "six 1-row certificate reduces crossJoined into the single output row",
+    "q_csv_malformed": "two 1-row policy reduces (PERMISSIVE stats x DROPMALFORMED count) crossJoined",
     "q_tpch_dormant_customers": "single-row positive-average frame (Q22 scalar subquery)",
     "q_crossmodal_dedup": "two single-row pair-count frames",
     "q_abandonment": "single-row anchor frame",
