@@ -863,3 +863,43 @@ def test_dpp_prune_injects_runtime_partition_filter(spark, sf_dir):
         .toString()
     )
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_stream_ann_assign_is_joinless_scan_side(spark, sf_dir):
+    """q_stream_ann_assign's assignment must be a pure scan-side
+    projection: the frozen anchors are a plan LITERAL, so the physical
+    plan contains NO join of any kind — the property that lets the
+    streaming twin assign inside a micro-batch without keyed state."""
+    from saas_analytics_pipeline_spark import qcatalog
+
+    qcatalog.load_all()
+    plan = plan_of(qcatalog.QUERIES["q_stream_ann_assign"].fn(spark, sf_dir))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "NestedLoop",
+                 "ShuffledHashJoin"):
+        assert node not in plan, f"assignment must not join ({node} found)"
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark, sf_dir):
+    """q_heavy_hitters' exact recount must join the item stream against
+    a BROADCAST candidate set (bounded by partitions x MG_K) — a
+    shuffled join here would move the whole key universe and defeat the
+    sketch pass."""
+    from saas_analytics_pipeline_spark import qcatalog
+
+    qcatalog.load_all()
+    plan = plan_of(qcatalog.QUERIES["q_heavy_hitters"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_apply_cdc_snapshot_survivors_via_broadcast_anti(spark, sf_dir):
+    """apply_cdc's survivor scan (q_cdc_apply) must be a
+    BroadcastHashJoin LeftAnti against the change batch's key set — the
+    merge_upsert contract extended to deletes: the 100 TB snapshot never
+    shuffles for the CDC apply."""
+    from saas_analytics_pipeline_spark import qcatalog
+
+    qcatalog.load_all()
+    plan = plan_of(qcatalog.QUERIES["q_cdc_apply"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "SortMergeJoin LeftAnti" not in plan
