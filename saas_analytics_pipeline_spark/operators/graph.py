@@ -104,8 +104,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     node = (F.col("doc_id") % PR_NODES).alias("node")
     src = (F.col("doc_id") % PR_NODES).alias("src")
+    # integral `div`, not floor(double /): keeps the edge synthesis exact
+    # over the full bigint doc_id domain (doubles round past 2^53), matching
+    # the oracle's `//` bit-for-bit (ADVICE r07)
     dst = (
-        (F.floor(F.col("doc_id") / PR_NODES) + F.col("doc_id")) % PR_NODES
+        (F.expr(f"doc_id div {PR_NODES}") + F.col("doc_id")) % PR_NODES
     ).alias("dst")
     nodes = docs.select(node).distinct()
     we = (

@@ -36,12 +36,12 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from saas_analytics_pipeline_spark.qcatalog import query
+from saas_analytics_pipeline_spark.scratch import scratch_path, sf_tag
 from saas_analytics_pipeline_spark.sources import load_table
 
 # o_channel backfill tag for generation-B rows (deterministic from the key
@@ -70,10 +70,7 @@ def write_generations(spark: SparkSession, sf_dir: str) -> str:
     it. Deterministic overwrite under the system temp dir — the test lake
     stores no derived state, so the generations are (re)materialized per
     call, like q_dedup_lsh_incremental's corpus bands."""
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"saas_lake_evo_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    base = scratch_path("saas_lake_evo", sf_dir)
     orders = load_table(spark, sf_dir, "orders")
     gen_a = orders.where(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -157,10 +154,7 @@ def write_clustered(spark: SparkSession, sf_dir: str) -> str:
     move: pay one shuffle at write time, skip row groups on every later
     selective read (pruning pinned by tests/test_lake.py on the footers
     themselves; measured A/B in tools/layout_probe.py)."""
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"saas_lake_cluster_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    base = scratch_path("saas_lake_cluster", sf_dir)
     (
         load_table(spark, sf_dir, "orders")
         .repartitionByRange(CLUSTER_BUCKETS, "o_custkey")
@@ -251,10 +245,7 @@ def write_zordered(spark: SparkSession, sf_dir: str) -> str:
     then ONE repartitionByRange shuffle + in-partition sort on the code.
     The helper columns are dropped before the write; the layout is the
     only thing that changes."""
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"saas_lake_zorder_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    base = scratch_path("saas_lake_zorder", sf_dir)
     orders = load_table(spark, sf_dir, "orders")
     cells = 1 << ZORDER_BITS
     stats = orders.agg(
@@ -397,10 +388,7 @@ def q_compaction_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by a partition, not the table."""
     import math
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"saas_lake_compact_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    base = scratch_path("saas_lake_compact", sf_dir)
     frag_path = os.path.join(base, "frag")
     compact_path = os.path.join(base, "compact")
     orders = load_table(spark, sf_dir, "orders").select(
@@ -477,10 +465,7 @@ def q_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_day_increment,
     )
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"saas_lake_povw_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    base = scratch_path("saas_lake_povw", sf_dir)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -547,10 +532,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: merge_upsert broadcasts the increment's key set so the
     100 TB target side never shuffles; the only wide op is the dedup
     window WITHIN the (small) increment batch."""
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"saas_lake_upsert_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    base = scratch_path("saas_lake_upsert", sf_dir)
     target_path = os.path.join(base, "target")
     orders = load_table(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_custkey", "o_totalprice"]
@@ -674,10 +656,7 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ref: the reference's incremental daily loads (README.md:82,24) move
     ROWS incrementally (merge-upsert, q_merge_upsert); this moves
     AGGREGATES incrementally — the mart-layer sibling."""
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"saas_lake_incr_rollup_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    base = scratch_path("saas_lake_incr_rollup", sf_dir)
     state_path = os.path.join(base, "state")
     orders = load_table(spark, sf_dir, "orders")
     ontime = orders.where(F.col("o_orderkey") % LATE_MOD != 0)
@@ -814,17 +793,20 @@ def bucket_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_bucketed and for this frame)."""
     from saas_analytics_pipeline_spark.plans.writers import write_bucketed
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    # sanitized tag (sf_tag strips every non-identifier char, ADVICE r07)
+    # + backtick quoting below, so a hostile sf_dir basename can neither
+    # break nor inject into the DROP statement
+    tag = sf_tag(sf_dir)
     t_orders, t_items = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
-    base = os.path.join(tempfile.gettempdir(), f"saas_lake_bucket_{tag}")
-    # EXTERNAL tables at a fixed /tmp location (not the cwd-dependent
-    # warehouse); a FRESH session's catalog doesn't know a previous
-    # session's tables, so drop the entry if present AND clear the
-    # leftover location before overwriting
+    base = scratch_path("saas_lake_bucket", sf_dir)
+    # EXTERNAL tables at a per-user scratch location (not the
+    # cwd-dependent warehouse); a FRESH session's catalog doesn't know a
+    # previous session's tables, so drop the entry if present AND clear
+    # the leftover location before overwriting
     import shutil
 
     for t in (t_orders, t_items):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS `{t}`")
         shutil.rmtree(os.path.join(base, t), ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
@@ -956,10 +938,7 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_table_format,
     )
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"saas_lake_fmt_rt_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    base = scratch_path("saas_lake_fmt_rt", sf_dir)
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
@@ -1005,10 +984,7 @@ def write_dpp_fact(spark: SparkSession, sf_dir: str) -> str:
     stateless-rematerialization rule). At 100 TB this is the lake's
     standing layout (partition by date/tenant/bucket), not a per-query
     cost."""
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"saas_lake_dpp_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    base = scratch_path("saas_lake_dpp", sf_dir)
     (
         load_table(spark, sf_dir, "orders")
         .withColumn("o_bucket", F.col("o_custkey") % DPP_BUCKETS)

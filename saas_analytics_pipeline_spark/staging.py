@@ -783,13 +783,9 @@ def q_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ref: reference loads CSV with header skip + truncate
     (data_gen/generate_and_load_script.py:188); real feeds carry bad
     lines, and the policy choice is the loader's first contract."""
-    import os
-    import tempfile
+    from saas_analytics_pipeline_spark.scratch import scratch_path
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"saas_csv_malformed_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    base = scratch_path("saas_csv_malformed", sf_dir)
     orders = load_table(spark, sf_dir, "orders")
     line = F.when(
         F.col("o_orderkey") % CSV_BAD_MOD == 0,

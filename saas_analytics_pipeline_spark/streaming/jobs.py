@@ -813,14 +813,11 @@ def q_stream_mart_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Conf scoping: partitionOverwriteMode=dynamic is scoped to the
     merges and restored (the write_zordered lesson)."""
-    import os
     import shutil
-    import tempfile
 
-    target = os.path.join(
-        tempfile.gettempdir(),
-        f"saas_stream_mart_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    from saas_analytics_pipeline_spark.scratch import scratch_path
+
+    target = scratch_path("saas_stream_mart", sf_dir)
     shutil.rmtree(target, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
