@@ -147,6 +147,20 @@ WINDOW_PRIORITY: list[str] = [
     "q_csv_malformed",
 ]
 
+# Round-8 window: every key below passed the DuckDB oracle + selfcheck
+# (--pandas and --vanilla) at sf0.001 AND sf0.01 before entering. Kept
+# deliberately small (verdict r07 #4) so the oldest-green-first rotation
+# re-certifies the stale r02 tail.
+WINDOW_PRIORITY += [
+    # convergence-checked iteration (verdict r07 #2): driver loop over a
+    # 1-row delta scalar, localCheckpoint cadence, recursive-CTE oracle
+    # that stops at the SAME iteration (n_iters is in the hash)
+    "q_pagerank_converged",
+    # dangling-mass redistribution (verdict r07 #7): sinks derived by
+    # anti-join, +dm/N recycling term as a 1-row broadcast aggregate
+    "q_pagerank_dangling",
+]
+
 
 # Keys whose check was UPGRADED after their last driver row (e.g. a
 # rows-only query that gained a real SQL oracle), mapped to the LAST round

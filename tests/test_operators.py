@@ -1727,3 +1727,29 @@ def test_heavy_hitters_partition_independent(spark, sf_dir):
         if r["count"] > total / (MG_K + 1)
     }
     assert got == {(w[0], w[1]) for w in want}
+
+
+def test_pagerank_converged_invariants(spark, sf_dir):
+    """The convergence loop's contract beyond the oracle hash: it stops
+    before the cap, rank mass is conserved (dangling variant recycles
+    sink mass instead of leaking it), and the sink set is non-empty and
+    data-derived."""
+    from saas_analytics_pipeline_spark.operators.graph import (
+        PR_MAX_ITERS,
+        PR_SINK_FLOOR,
+        q_pagerank_converged,
+        q_pagerank_dangling,
+    )
+
+    conv = q_pagerank_converged(spark, sf_dir).collect()
+    dang = q_pagerank_dangling(spark, sf_dir).collect()
+    assert 0 < conv[0]["n_iters"] < PR_MAX_ITERS
+    assert 0 < dang[0]["n_iters"] < PR_MAX_ITERS
+    # damped PageRank totals 1.0 up to the 12-decimal per-node rounding
+    assert abs(sum(r["pagerank"] for r in conv) - 1.0) < 1e-8
+    assert abs(sum(r["pagerank"] for r in dang) - 1.0) < 1e-8
+    # with redistribution, the sinks (highest domains) end up rank-rich:
+    # they receive in-links but forward only via the dm/N term
+    sink_ranks = [r["pagerank"] for r in dang if r["domain"] >= PR_SINK_FLOOR]
+    nonsink = [r["pagerank"] for r in dang if r["domain"] < PR_SINK_FLOOR]
+    assert sink_ranks and max(sink_ranks) > max(nonsink)

@@ -83,6 +83,7 @@ ALLOW_NESTED_LOOP: dict[str, str] = {
     "q_layout_zorder": "single-row band-bound frame (same contract as q_layout_cluster; the write-side min/max stats frame is also 1 row)",
     "q_compaction_gauge": "two single-row gauge frames crossJoined (file counts + checksum)",
     "q_rrf_fusion": "two 1-row BM25 stat frames (inherited from q_bm25) + 50-row-capped rank lists",
+    "q_pagerank_dangling": "1-row dangling-mass aggregate broadcast into the per-node update",
 }
 
 # Queries allowed a global (partition-less) window: the window input is an
@@ -122,6 +123,8 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_ks_test": "quantized CDF histogram (bin width bounds rows to hundreds)",
     "q_ivf_refit_partial": "drift ranking over the N_ANCHORS-row per-cell gauge (8 rows)",
     "q_pagerank": "final pos ranking over the PR_NODES-row (13) rank frame",
+    "q_pagerank_converged": "final pos ranking over the PR_NODES-row (13) rank frame",
+    "q_pagerank_dangling": "final pos ranking over the PR_NODES-row (13) rank frame",
     "q_partition_volume": "per-day aggregate (calendar-bounded)",
     "q_ltv": "cohort x offset aggregate (months^2-bounded)",
     # round-6 additions
