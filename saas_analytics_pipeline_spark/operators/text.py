@@ -1321,3 +1321,168 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-pass BPE over the FULL merge table, applied at the vocabulary grain
+# --------------------------------------------------------------------------
+
+
+def load_bpe_merges_full() -> list[tuple[str, str]]:
+    """The saturation-depth merge table (seeds/bpe_merges_full.csv, 89
+    ranks learned by tools/bpe_learn.py — classic pair-frequency BPE run
+    until every corpus word is a single symbol), rank order."""
+    import csv
+
+    from saas_analytics_pipeline_spark.seeds import seed_path
+
+    with open(seed_path("bpe_merges_full")) as f:
+        rows = sorted(csv.DictReader(f), key=lambda r: int(r["rank"]))
+    return [(r["left"], r["right"]) for r in rows]
+
+
+def bpe_apply_merges(seq: F.Column, merges: list[tuple[str, str]]) -> F.Column:
+    """ONE ordered pass of the merge chain over an already-space-delimited
+    symbol sequence: each merge in rank order as a global left-to-right
+    ' l r ' -> ' lr ' replace. Shared by the single-pass per-token count
+    (bpe_symbol_count) and the multi-pass vocabulary loop
+    (q_bpe_multipass), which re-applies it until fixpoint."""
+    for left, right in merges:
+        seq = F.replace(
+            seq, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+        )
+    return seq
+
+
+def _bpe_chain_sql(expr: str, merges: list[tuple[str, str]]) -> str:
+    """DuckDB twin of one ordered merge pass over a symbol sequence."""
+    for left, right in merges:
+        expr = f"replace({expr}, ' {left} {right} ', ' {left}{right} ')"
+    return expr
+
+
+_BPE_MERGES_FULL = load_bpe_merges_full()
+_TOK_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+@query(
+    "q_bpe_multipass",
+    oracle=rf"""
+    WITH RECURSIVE toks AS (
+        SELECT lang, unnest(regexp_extract_all(text, '{_TOK_RE}')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT lang, tok, COUNT(*) AS n FROM toks GROUP BY lang, tok
+    ),
+    vocab AS (SELECT DISTINCT tok FROM counts),
+    it(tok, seq, iter) AS (
+        SELECT tok, ' ' || regexp_replace(tok, '(.)', '\1 ', 'g'), 0
+        FROM vocab
+        UNION ALL
+        SELECT it.tok, l.s2, it.iter + 1
+        FROM it, LATERAL (
+            SELECT {_bpe_chain_sql("it.seq", _BPE_MERGES_FULL)} AS s2
+        ) l
+        WHERE l.s2 <> it.seq
+    ),
+    fixed AS (
+        SELECT tok, seq,
+               ROW_NUMBER() OVER (PARTITION BY tok ORDER BY iter DESC) AS rn
+        FROM it
+    ),
+    symtab AS (
+        SELECT tok, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_sym
+        FROM fixed WHERE rn = 1
+    )
+    SELECT c.lang,
+           CAST(SUM(c.n) AS BIGINT) AS n_words,
+           CAST(SUM(c.n * s.n_sym) AS BIGINT) AS bpe_tokens,
+           round(CAST(SUM(c.n * s.n_sym) AS DOUBLE) / SUM(c.n), 6)
+               AS fertility_full,
+           (SELECT CAST(MAX(iter) AS BIGINT) FROM it) AS n_passes
+    FROM counts c JOIN symtab s ON s.tok = c.tok
+    GROUP BY c.lang ORDER BY c.lang
+    """,
+)
+def q_bpe_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass BPE application over the SATURATION-DEPTH merge table
+    (89 ranks, tools/bpe_learn.py) — the production apply contract
+    q_bpe_tokenize's 24-rank single-pass proof deferred: when a merge
+    table is NOT single-pass-closed (a foreign/reordered table, the case
+    the closure test fails loudly on), application must iterate the
+    ordered pass until no symbol changes. The loop runs at the VOCABULARY
+    grain, not the corpus grain: distinct pre-tokens (dim-sized — 31
+    here, millions at 100 TB, never corpus-sized) iterate ordered merge
+    passes as a driver loop whose only per-pass action is a 1-row
+    changed-count scalar (the q_pagerank_converged discipline), with a
+    localCheckpoint per pass so plan depth stays bounded at any
+    iteration count; the corpus side is explode -> map-side-combined
+    (lang, token) counts -> broadcast join against the solved symbol
+    table — exactly the memoized-tokenizer shape production pipelines
+    use. `n_passes` (max productive passes, == the recursive oracle's
+    MAX(iter)) is in the hash, certifying BOTH engines iterated the
+    same number of times; the learned table fixes at 1 (single-pass
+    closure holds for honestly-learned tables — operands of merge k are
+    products of merges < k), and the adversarial-table branch is pinned
+    by tests/test_operators.py::test_bpe_multipass_nonclosed_table.
+
+    Scale: the 100 TB text is touched once (explode + partial agg); the
+    iterative work is proportional to |vocab| x passes, broadcast back.
+
+    Reference scope: tokenizer surface is north-star extension
+    (BASELINE.json); merge-table depth was verdict r07 #3."""
+    from saas_analytics_pipeline_spark.seeds import load_seed
+
+    seed_rows = sorted(
+        load_seed(spark, "bpe_merges_full").collect(),
+        key=lambda r: int(r.rank),
+    )
+    merges = [(r.left, r.right) for r in seed_rows]
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokenize_regex()).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = counts.select("tok").distinct()
+    seqs = vocab.select(
+        "tok",
+        F.concat(
+            F.lit(" "), F.regexp_replace(F.col("tok"), "(.)", "$1 ")
+        ).alias("seq"),
+    ).localCheckpoint()
+    n_passes = 0
+    while True:
+        nxt = seqs.select(
+            "tok", bpe_apply_merges(F.col("seq"), merges).alias("seq")
+        ).localCheckpoint()
+        # the only per-pass driver action: a 1-row changed-count scalar
+        changed = (
+            nxt.withColumnRenamed("seq", "new_seq")
+            .join(seqs, "tok")
+            .where(F.col("new_seq") != F.col("seq"))
+            .count()
+        )
+        if changed == 0:
+            break
+        seqs = nxt
+        n_passes += 1
+    symtab = seqs.select(
+        "tok", F.size(F.split(F.trim("seq"), " ")).cast("long").alias("n_sym")
+    )
+    return (
+        counts.join(F.broadcast(symtab), "tok")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_sym")).cast("long").alias("bpe_tokens"),
+            F.round(
+                F.sum(F.col("n") * F.col("n_sym")).cast("double")
+                / F.sum("n"),
+                6,
+            ).alias("fertility_full"),
+        )
+        .withColumn("n_passes", F.lit(n_passes).cast("long"))
+        .orderBy("lang")
+    )

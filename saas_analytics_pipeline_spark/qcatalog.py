@@ -159,6 +159,9 @@ WINDOW_PRIORITY += [
     # dangling-mass redistribution (verdict r07 #7): sinks derived by
     # anti-join, +dm/N recycling term as a 1-row broadcast aggregate
     "q_pagerank_dangling",
+    # multi-pass BPE over the saturation-depth merge table (verdict r07
+    # #3): vocabulary-grain fixpoint loop, n_passes in the hash
+    "q_bpe_multipass",
 ]
 
 

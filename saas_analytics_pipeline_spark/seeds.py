@@ -45,6 +45,15 @@ SEED_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("right", T.StringType()),
         ]
     ),
+    # saturation-depth table (89 ranks, tools/bpe_learn.py) for the
+    # multi-pass apply contract — operators/text.py::q_bpe_multipass
+    "bpe_merges_full": T.StructType(
+        [
+            T.StructField("rank", T.StringType()),
+            T.StructField("left", T.StringType()),
+            T.StructField("right", T.StringType()),
+        ]
+    ),
 }
 
 

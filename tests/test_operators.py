@@ -1753,3 +1753,107 @@ def test_pagerank_converged_invariants(spark, sf_dir):
     sink_ranks = [r["pagerank"] for r in dang if r["domain"] >= PR_SINK_FLOOR]
     nonsink = [r["pagerank"] for r in dang if r["domain"] < PR_SINK_FLOOR]
     assert sink_ranks and max(sink_ranks) > max(nonsink)
+
+
+def test_bpe_full_table_closure_and_depth(spark, sf_dir):
+    """The saturation-depth table (89 ranks) must still satisfy the
+    single-pass-closure theorem for honestly-learned tables (operands of
+    merge k are products of merges < k), and must fully saturate: every
+    corpus word collapses to ONE symbol."""
+    from saas_analytics_pipeline_spark.operators.text import (
+        load_bpe_merges_full,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    merges = load_bpe_merges_full()
+    assert len(merges) >= 80  # saturation depth, not the 24-rank starter
+    rank = {m: i for i, m in enumerate(merges)}
+
+    def true_bpe(w: str) -> list[str]:
+        syms = list(w)
+        while True:
+            best = min(
+                (
+                    rank[(syms[i], syms[i + 1])]
+                    for i in range(len(syms) - 1)
+                    if (syms[i], syms[i + 1]) in rank
+                ),
+                default=None,
+            )
+            if best is None:
+                return syms
+            left, right = merges[best]
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+
+    def single_pass(w: str) -> list[str]:
+        s = " " + " ".join(w) + " "
+        for left, right in merges:
+            s = s.replace(f" {left} {right} ", f" {left}{right} ")
+        return s.split()
+
+    import pyspark.sql.functions as F
+
+    words = [
+        r.w
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+        .collect()
+    ]
+    bad = [w for w in words if true_bpe(w) != single_pass(w)]
+    assert not bad, f"single-pass diverges for: {bad[:5]}"
+    # full saturation: one symbol per corpus word
+    assert all(len(true_bpe(w)) == 1 for w in words)
+
+
+def test_bpe_multipass_nonclosed_table(spark):
+    """The multi-pass branch on a table that is NOT single-pass-closed
+    (a REORDERED table — the foreign/corrupted case the closure test
+    fails loudly on): (ab,c) ranked before (a,b) needs pass 2 to finish
+    'abc', and the same loop q_bpe_multipass runs must take exactly 2
+    productive passes and still reach the true fixpoint."""
+    import pyspark.sql.functions as F
+
+    from saas_analytics_pipeline_spark.operators.text import (
+        bpe_apply_merges,
+    )
+
+    merges = [("ab", "c"), ("a", "b")]
+    seqs = spark.createDataFrame([("abc",), ("ba",)], "tok string").select(
+        "tok",
+        F.concat(
+            F.lit(" "), F.regexp_replace(F.col("tok"), "(.)", "$1 ")
+        ).alias("seq"),
+    )
+    passes = 0
+    while True:
+        nxt = seqs.select(
+            "tok", bpe_apply_merges(F.col("seq"), merges).alias("seq")
+        ).localCheckpoint()
+        changed = (
+            nxt.withColumnRenamed("seq", "n2")
+            .join(seqs, "tok")
+            .where(F.col("n2") != F.col("seq"))
+            .count()
+        )
+        if changed == 0:
+            break
+        seqs = nxt
+        passes += 1
+    out = {r["tok"]: r["seq"].split() for r in seqs.collect()}
+    assert passes == 2
+    assert out["abc"] == ["abc"]  # needed the second pass
+    assert out["ba"] == ["b", "a"]  # no merge applies, untouched
