@@ -162,6 +162,9 @@ WINDOW_PRIORITY += [
     # multi-pass BPE over the saturation-depth merge table (verdict r07
     # #3): vocabulary-grain fixpoint loop, n_passes in the hash
     "q_bpe_multipass",
+    # atomic manifest/rename publish (verdict r07 #5): crashed poisoned
+    # publish on disk, hash must equal the last committed snapshot
+    "q_atomic_publish",
 ]
 
 
