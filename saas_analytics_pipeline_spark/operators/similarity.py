@@ -1109,6 +1109,17 @@ def q_ivf_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = assign_cells(corpus, anchors).unionByName(
         assign_cells(batch, anchors)
     )
+    return cell_drift_gauge(cells)
+
+
+def cell_drift_gauge(cells: DataFrame) -> DataFrame:
+    """The per-cell drift gauge over an assignment table (vec_id,
+    anchor_id, acos) — q_ivf_cell_drift's body, shared with the
+    streaming maintenance trigger (streaming/jobs.run_ann_maintenance),
+    which recomputes it per micro-batch over persisted-index +
+    accumulated-arrival rows and fires the partial refit when any cell
+    sets ``recluster``. Batch rows are vec_id % IVF_BATCH_MOD == 0 (the
+    ingest-side convention everywhere in this module)."""
     tagged = cells.select(
         "anchor_id",
         (F.col("vec_id") % IVF_BATCH_MOD == 0).alias("is_batch"),
@@ -1263,6 +1274,16 @@ def q_ivf_refit_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = assign_cells(corpus, anchors).unionByName(
         assign_cells(batch, anchors)
     )
+    return refit_partial(cells, emb)
+
+
+def refit_partial(cells: DataFrame, emb: DataFrame) -> DataFrame:
+    """The budgeted partial refit over an assignment table (vec_id,
+    anchor_id, acos) + the embedding source — q_ivf_refit_partial's
+    body, shared with the streaming maintenance job
+    (streaming/jobs.run_ann_maintenance), which calls it on
+    persisted-index + accumulated-arrival rows whenever the live gauge
+    flags a cell. Batch rows are vec_id % IVF_BATCH_MOD == 0."""
     acos_dec = F.round("acos", 6).cast("decimal(18,6)")
     is_corpus = F.col("vec_id") % IVF_BATCH_MOD != 0
     corpus_sum = F.sum(F.when(is_corpus, acos_dec))

@@ -205,6 +205,13 @@ REVERIFY: dict[str, str] = {
     # tie-break chain, selfcheck-verified in all three modes) but the r06
     # row certifies the pre-refactor inline body
     "q_similarity_ivf_pinned": "r06",
+    # r08 extracted the gauge/refit bodies into cell_drift_gauge /
+    # refit_partial so the streaming maintenance job
+    # (run_ann_maintenance) shares them; values identical (same
+    # expressions, selfcheck-verified) but the r07 rows certify the
+    # pre-refactor inline bodies
+    "q_ivf_cell_drift": "r07",
+    "q_ivf_refit_partial": "r07",
 }
 
 

@@ -840,3 +840,82 @@ def q_stream_mart_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dt", "event_type")
     )
+
+
+def run_ann_maintenance(
+    vecs: DataFrame,
+    anchors: DataFrame,
+    corpus_cells_path: str,
+    emb: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """The WIRED incremental-ANN maintenance loop (verdict r07 #6): the
+    three batch pieces — assign-only ingest
+    (q_similarity_ivf_incremental), drift gauge (q_ivf_cell_drift), and
+    budgeted partial refit (q_ivf_refit_partial) — driven live from a
+    vector stream by one foreachBatch job. Per micro-batch:
+
+    1. scan-side assignment of the batch's vectors against the frozen
+       anchor literal (row_assign_cells — no join, no keyed state),
+       appended to the persisted arrivals log under ``state_dir``;
+    2. the drift gauge recomputed over persisted index + ALL arrivals
+       (cell_drift_gauge — the identical |anchors|-row rollup the keyed
+       gauge hashes); the trigger is ONE scalar: count of cells with
+       ``recluster`` set;
+    3. when any cell flags, the budgeted partial refit (refit_partial —
+       the identical body the keyed refit hashes) runs over the same
+       cells frame and is PUBLISHED atomically via the manifest/rename
+       protocol (plans/publish.py, txid = the micro-batch id) — a
+       maintenance job dying mid-refit leaves readers on the previous
+       index generation, never a torn one.
+
+    Batch replays are idempotent via the applied-batch marker
+    (run_incremental_mart's pattern). Equality with the batch refit is
+    pinned by tests/test_streaming.py.
+
+    Scale: per batch, the stream-side cost is |batch| x N_ANCHORS
+    scan-local argmax + one gauge rollup over the (vec_id, anchor_id)
+    index — nothing embedding-sized shuffles; the refit touches only
+    flagged cells' members (the q_ivf_refit_partial contract)."""
+    import os
+
+    from saas_analytics_pipeline_spark.operators.similarity import (
+        cell_drift_gauge,
+        refit_partial,
+        row_assign_cells,
+    )
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    arrivals_path = os.path.join(state_dir, "arrivals")
+    refit_root = os.path.join(state_dir, "refit")
+    marker_dir = os.path.join(checkpoint, "applied_batches")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, str(batch_id))
+        if os.path.exists(marker) or batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        assigned = row_assign_cells(batch_df, anchors).select(
+            "vec_id", "anchor_id", "acos"
+        )
+        assigned.write.mode("append").parquet(arrivals_path)
+        cells = spark.read.parquet(corpus_cells_path).unionByName(
+            spark.read.parquet(arrivals_path)
+        )
+        flagged = (
+            cell_drift_gauge(cells).where(F.col("recluster") == 1).count()
+        )
+        if flagged > 0:
+            P.publish_snapshot(
+                spark, refit_partial(cells, emb), refit_root, f"b{batch_id}"
+            )
+        open(marker, "w").close()
+
+    return (
+        vecs.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -618,3 +618,93 @@ def test_stream_ann_assign_matches_batch(spark, sf_dir, tmp_path):
     want = {tuple(r) for r in batch.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_ann_maintenance_loop_matches_batch_refit(spark, sf_dir, tmp_path):
+    """The wired maintenance loop (run_ann_maintenance): the vector
+    stream arrives in MULTIPLE micro-batches; each batch appends
+    assignments, recomputes the live drift gauge, and — when a cell
+    flags — publishes the budgeted partial refit atomically. After the
+    drain, the published refit must equal the batch key
+    (q_ivf_refit_partial) exactly, because the accumulated arrivals are
+    the same batch vectors the key assigns."""
+    from saas_analytics_pipeline_spark import qcatalog
+    from saas_analytics_pipeline_spark.operators.similarity import (
+        IVF_BATCH_MOD,
+        assign_cells,
+        pinned_anchors,
+    )
+    from saas_analytics_pipeline_spark.plans import publish as P
+    from saas_analytics_pipeline_spark.streaming.jobs import (
+        run_ann_maintenance,
+        stream_events,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % IVF_BATCH_MOD != 0)
+    anchors = pinned_anchors(corpus)
+
+    # persisted index: the corpus side's assignment table
+    corpus_cells_path = str(tmp_path / "corpus_cells")
+    assign_cells(corpus, anchors).select(
+        "vec_id", "anchor_id", "acos"
+    ).write.parquet(corpus_cells_path)
+
+    # the ingest stream: batch vectors split into TWO files -> two
+    # micro-batches under maxFilesPerTrigger=1
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    batch = emb.where(F.col("vec_id") % IVF_BATCH_MOD == 0)
+    import glob as _glob
+
+    for i, pred in enumerate(
+        (
+            F.col("vec_id") % (2 * IVF_BATCH_MOD) == 0,
+            F.col("vec_id") % (2 * IVF_BATCH_MOD) != 0,
+        )
+    ):
+        stage = tmp_path / f"stage{i}"
+        batch.where(pred).coalesce(1).write.parquet(str(stage))
+        (part,) = _glob.glob(str(stage / "part-*.parquet"))
+        shutil.copy(part, src / f"f{i}.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select("vec_id", "embedding")
+    )
+
+    state_dir = str(tmp_path / "ann_state")
+    q = run_ann_maintenance(
+        stream,
+        anchors,
+        corpus_cells_path,
+        emb,
+        state_dir,
+        str(tmp_path / "ann_maint_ckpt"),
+    )
+    q.awaitTermination(180)
+
+    # the arrivals log accumulated BOTH micro-batches
+    import os
+
+    arrivals = spark.read.parquet(os.path.join(state_dir, "arrivals"))
+    assert arrivals.count() == batch.count()
+
+    # the published refit == the batch key, bit-for-bit
+    qcatalog.load_all()
+    want = {
+        tuple(r)
+        for r in qcatalog.QUERIES["q_ivf_refit_partial"].fn(spark, sf_dir).collect()
+    }
+    refit_root = os.path.join(state_dir, "refit")
+    got = {
+        tuple(r)
+        for r in P.read_current(spark, refit_root)
+        .orderBy("parent_anchor", "new_anchor")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # the final publish came from the last micro-batch (txid b<last>)
+    assert P.current_manifest(refit_root)["txid"].startswith("b")
