@@ -75,7 +75,26 @@ HEADLINE_CURATION = [
     "q_dedup_lsh_incremental",
 ]
 
-HEADLINE = HEADLINE_CORE + HEADLINE_TPCH + HEADLINE_CORPUS + HEADLINE_CURATION
+# r08: the r07/r08 families the scaling record must cover (VERDICT r07 #1
+# — the catalog's newest scale claims need a measured sf slope): assign-only
+# ANN ingest, zero-shuffle Misra-Gries, iterated joins (fixed and
+# converged), scan-side markup strip, and the zero-Exchange bucketed join.
+HEADLINE_R08 = [
+    "q_similarity_ivf_incremental",
+    "q_heavy_hitters",
+    "q_pagerank",
+    "q_pagerank_converged",
+    "q_html_extract",
+    "q_bucket_join",
+]
+
+HEADLINE = (
+    HEADLINE_CORE
+    + HEADLINE_TPCH
+    + HEADLINE_CORPUS
+    + HEADLINE_CURATION
+    + HEADLINE_R08
+)
 
 
 def main() -> None:
