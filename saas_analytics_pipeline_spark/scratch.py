@@ -33,13 +33,38 @@ def _user_tag() -> str:
 
 def scratch_base() -> str:
     """The per-user scratch root. ``SPARK_GRAFT_SCRATCH`` overrides;
-    otherwise ``<tmpdir>/spark_graft_<user>`` (created 0700 so a squatted
-    world-writable pre-creation by another uid fails the mkdir rather
-    than silently sharing state)."""
+    otherwise ``<tmpdir>/spark_graft_<user>``. The default path is
+    predictable, so scratch_path() VERIFIES ownership and permissions
+    after the makedirs (``mode=`` is ignored for a pre-existing dir —
+    ADVICE r08): a base squatted by another uid, or left group/other
+    writable, raises instead of silently sharing state."""
     env = os.environ.get("SPARK_GRAFT_SCRATCH")
     if env:
         return env
     return os.path.join(tempfile.gettempdir(), f"spark_graft_{_user_tag()}")
+
+
+def _check_base(base: str, explicit: bool) -> None:
+    """Anti-squat check for the scratch base: the dir must be owned by
+    the current uid; the predictable default path must additionally be
+    closed to group/other writes (an explicitly configured
+    SPARK_GRAFT_SCRATCH is the operator's deliberate choice of
+    location, so only ownership is enforced there)."""
+    if not hasattr(os, "getuid"):
+        return
+    st = os.stat(base)
+    if st.st_uid != os.getuid():
+        raise PermissionError(
+            f"scratch base {base!r} is owned by uid {st.st_uid}, not the "
+            f"current uid {os.getuid()} — refusing to share state with a "
+            "squatted directory (set SPARK_GRAFT_SCRATCH to override)"
+        )
+    if not explicit and st.st_mode & 0o022:
+        raise PermissionError(
+            f"scratch base {base!r} is group/other-writable "
+            f"(mode {oct(st.st_mode & 0o777)}) — refusing the squattable "
+            "default; chmod 0700 it or set SPARK_GRAFT_SCRATCH"
+        )
 
 
 def safe_tag(raw: str) -> str:
@@ -62,5 +87,6 @@ def scratch_path(name: str, sf_dir: str | None = None) -> str:
     is what removes the cross-user hazard."""
     base = scratch_base()
     os.makedirs(base, mode=0o700, exist_ok=True)
+    _check_base(base, explicit="SPARK_GRAFT_SCRATCH" in os.environ)
     tag = f"{safe_tag(name)}_{sf_tag(sf_dir)}" if sf_dir else safe_tag(name)
     return os.path.join(base, tag)

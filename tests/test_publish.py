@@ -104,12 +104,89 @@ def test_vacuum_reclaims_only_unreferenced(spark, root):
             crash_hook=_crash_at(P.AFTER_DATA),
         )
     P.publish_snapshot(spark, _frame(spark, 2), root, "tx2")
+    # default retention keeps the previous committed snapshot (tx1) for
+    # in-flight readers; the crashed orphan reclaims immediately
     removed = P.vacuum(root)
-    assert removed == ["tx1", "txcrash"]
+    assert removed == ["txcrash"]
+    # retain=0 is the aggressive mode: superseded snapshots go too
+    removed = P.vacuum(root, retain=0)
+    assert removed == ["tx1"]
     assert _snap(P.read_current(spark, root)) == _snap(_frame(spark, 2))
     # the current snapshot's files all still exist
     m = P.current_manifest(root)
     assert all(os.path.exists(os.path.join(root, f)) for f in m["files"])
+
+
+def test_reader_on_retained_snapshot_survives_vacuum(spark, root):
+    """The snapshot-isolation grace: a reader that resolved the manifest
+    before a publish+vacuum keeps a readable, bit-identical view as long
+    as its snapshot is within the retention window."""
+    P.publish_snapshot(spark, _frame(spark, 1), root, "tx1")
+    old_manifest = P.current_manifest(root)  # the in-flight reader's view
+    P.publish_snapshot(spark, _frame(spark, 2), root, "tx2")
+    P.vacuum(root)  # default retain=1 keeps tx1
+    old_view = spark.read.parquet(
+        *[os.path.join(root, f) for f in old_manifest["files"]]
+    )
+    assert _snap(old_view) == _snap(_frame(spark, 1))
+    assert _snap(P.read_current(spark, root)) == _snap(_frame(spark, 2))
+
+
+def test_concurrent_publishers_fail_loudly(spark, root):
+    """The writer fence: while one publisher holds the fence, a second
+    publish (and a vacuum) raises ConcurrentPublishError instead of
+    silently last-wins-ing the pointer."""
+    P.publish_snapshot(spark, _frame(spark, 1), root, "tx1")
+    with P.writer_lock(root):
+        with pytest.raises(P.ConcurrentPublishError):
+            P.publish_snapshot(spark, _frame(spark, 2), root, "tx2")
+        with pytest.raises(P.ConcurrentPublishError):
+            P.vacuum(root)
+    # fence released on exit: the same publish now commits
+    P.publish_snapshot(spark, _frame(spark, 2), root, "tx2")
+    assert P.current_manifest(root)["txid"] == "tx2"
+
+
+def test_ensure_published_replays_after_data_crash(spark, root):
+    """Replay after a crash between the data write and the manifest:
+    the leftover uncommitted dir is reclaimed and the retry commits —
+    exactly one snapshot for the txid, bit-identical to a clean run."""
+    P.publish_snapshot(spark, _frame(spark, 1), root, "tx1")
+    with pytest.raises(Boom):
+        P.ensure_published(
+            spark, _frame(spark, 2), root, "tx2",
+            crash_hook=_crash_at(P.AFTER_DATA),
+        )
+    assert P.current_manifest(root)["txid"] == "tx1"  # still old
+    P.ensure_published(spark, _frame(spark, 2), root, "tx2")  # the replay
+    assert P.current_manifest(root)["txid"] == "tx2"
+    assert _snap(P.read_current(spark, root)) == _snap(_frame(spark, 2))
+
+
+def test_ensure_published_completes_pointer_after_manifest_crash(spark, root):
+    """Replay after a crash between the manifest and the pointer swap:
+    the durable manifest is adopted (no second data write) and the
+    pointer swap completes."""
+    P.publish_snapshot(spark, _frame(spark, 1), root, "tx1")
+    with pytest.raises(Boom):
+        P.ensure_published(
+            spark, _frame(spark, 2), root, "tx2",
+            crash_hook=_crash_at(P.AFTER_MANIFEST),
+        )
+    assert P.current_manifest(root)["txid"] == "tx1"
+    P.ensure_published(spark, _frame(spark, 2), root, "tx2")
+    assert P.current_manifest(root)["txid"] == "tx2"
+    assert _snap(P.read_current(spark, root)) == _snap(_frame(spark, 2))
+
+
+def test_ensure_published_never_regresses_pointer(spark, root):
+    """A late replay of an already-superseded txid is a no-op: the
+    pointer stays on the newer snapshot (seq guard)."""
+    P.ensure_published(spark, _frame(spark, 1), root, "b1")
+    P.ensure_published(spark, _frame(spark, 2), root, "b2")
+    P.ensure_published(spark, _frame(spark, 9), root, "b1")  # stale replay
+    assert P.current_manifest(root)["txid"] == "b2"
+    assert _snap(P.read_current(spark, root)) == _snap(_frame(spark, 2))
 
 
 def test_duplicate_txid_refused(spark, root):
