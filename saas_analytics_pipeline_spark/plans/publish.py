@@ -246,6 +246,32 @@ def ensure_published(
         return _publish_locked(spark, df, root, txid, crash_hook)
 
 
+def publish_next(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    crash_hook: Callable[[str], None] | None = None,
+) -> str:
+    """Publish ``df`` under an auto-derived monotone txid (``t<seq>``) —
+    the rebuild-the-same-table shape (registry TABLE materializations,
+    incremental marts): each build is a NEW snapshot superseding the
+    last; a crashed previous attempt at the same seq (orphan data dir
+    and/or manifest never reached by the pointer) is reclaimed first,
+    which is safe under the fence because an orphan was never readable.
+    Returns the committed manifest name."""
+    with writer_lock(root):
+        prev = current_manifest(root)
+        seq = (int(prev.get("seq", 1)) + 1) if prev else 1
+        txid = f"t{seq}"
+        man_path = os.path.join(root, "manifests", _manifest_name(txid))
+        if os.path.exists(man_path):
+            os.remove(man_path)
+        data_dir = os.path.join(root, "data", txid)
+        if os.path.isdir(data_dir):
+            shutil.rmtree(data_dir)
+        return _publish_locked(spark, df, root, txid, crash_hook)
+
+
 def current_manifest(root: str) -> dict | None:
     """The committed manifest, or None if nothing was ever published."""
     try:

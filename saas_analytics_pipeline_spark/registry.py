@@ -91,14 +91,21 @@ class ModelRegistry:
         spark: SparkSession,
         select: list[str] | None = None,
         warehouse_dir: str | None = None,
+        crash_hook=None,
     ) -> dict[str, DataFrame]:
         """Build models in dependency order (dbt build, minus the tests —
         quality checks run via quality.checks on the built frames).
 
         VIEW models register temp views (pure logical plans); TABLE models
-        write parquet under ``warehouse_dir`` (partitioned writes are the
-        model fn's job) and re-read, so marts are scan-backed like dbt's
-        table materialization.
+        publish parquet snapshots under ``warehouse_dir`` via the ATOMIC
+        manifest/rename protocol (plans/publish.py, verdict r08 #1) and
+        re-read the committed file list, so marts are scan-backed like
+        dbt's table materialization AND torn-write-proof like BigQuery's
+        atomic loads (`/root/reference/dbt_project.yml:26-43` rides on
+        that atomicity): a build crashing mid-mart leaves readers on the
+        previous committed snapshot, never a half-written directory.
+        ``crash_hook`` is the test seam threaded into each publish
+        (tests/test_registry.py kills the build at every barrier).
         """
         built: dict[str, DataFrame] = {}
 
@@ -129,9 +136,11 @@ class ModelRegistry:
             if m.materialization is Materialization.VIEW:
                 df.createOrReplaceTempView(name)
             elif m.materialization is Materialization.TABLE and warehouse_dir:
-                path = f"{warehouse_dir}/{m.layer}/{name}"
-                df.write.mode("overwrite").parquet(path)
-                df = spark.read.parquet(path)
+                from saas_analytics_pipeline_spark.plans import publish as P
+
+                root = f"{warehouse_dir}/{m.layer}/{name}"
+                P.publish_next(spark, df, root, crash_hook=crash_hook)
+                df = P.read_current(spark, root)
                 df.createOrReplaceTempView(name)
             built[name] = df
         return built
@@ -154,7 +163,10 @@ def build_parallel(
     instead of |models| serial jobs.
 
     Only TABLE materializations do real work in parallel (writes); VIEW
-    models are pure plan registration and run inline."""
+    models are pure plan registration and run inline. TABLE writes go
+    through the same atomic manifest/rename publish as the serial build
+    (each model root has its own writer fence, so wave members never
+    contend)."""
     from concurrent.futures import ThreadPoolExecutor
 
     order = registry.topo_order()
@@ -169,9 +181,13 @@ def build_parallel(
         m = registry.models[name]
         df = m.fn(spark, ref)
         if m.materialization is Materialization.TABLE:
-            path = f"{warehouse_dir}/{m.layer}/{name}"
-            df.write.mode("overwrite").parquet(path)
-            df = spark.read.parquet(path)
+            from saas_analytics_pipeline_spark.plans import publish as P
+
+            # same atomic publish as the serial build; the fence is
+            # per-model-root, so concurrent WAVE members never contend
+            root = f"{warehouse_dir}/{m.layer}/{name}"
+            P.publish_next(spark, df, root)
+            df = P.read_current(spark, root)
         return name, df
 
     remaining = [n for n in order]

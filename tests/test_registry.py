@@ -155,3 +155,55 @@ def test_plan_cache_memoizes_per_session_and_sfdir(spark, sf_dir):
     other = qs["q_dedup_latest"](spark, other_dir)
     assert other is not a
     assert a.count() == a.count() > 0
+
+
+def test_table_build_crash_leaves_previous_mart_committed(spark, tmp_path):
+    """Crash-kill matrix on the REGISTRY write path (verdict r08 #1): a
+    build dying at any publish barrier leaves readers on the previous
+    committed mart snapshot bit-for-bit; the retry commits the new one."""
+    import pytest as _pytest
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    state = {"v": 1}
+    reg = ModelRegistry()
+
+    @reg.model("m_src", layer="staging")
+    def m_src(spark, ref):
+        return spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * state["v"]).alias("val")
+        )
+
+    @reg.model(
+        "m_tbl",
+        layer="marts",
+        materialization=Materialization.TABLE,
+        depends_on=("m_src",),
+    )
+    def m_tbl(spark, ref):
+        return ref("m_src").groupBy((F.col("k") % 2).alias("b")).agg(
+            F.sum("val").alias("s")
+        )
+
+    wh = str(tmp_path / "wh")
+    reg.build(spark, warehouse_dir=wh)
+    root = f"{wh}/marts/m_tbl"
+    v1 = sorted(tuple(r) for r in P.read_current(spark, root).collect())
+
+    state["v"] = 100  # upstream change: the rebuild would alter every row
+
+    for barrier in (P.AFTER_DATA, P.AFTER_MANIFEST):
+        def die(b, _barrier=barrier):
+            if b == _barrier:
+                raise RuntimeError(f"build killed at {_barrier}")
+
+        with _pytest.raises(RuntimeError, match="build killed"):
+            reg.build(spark, warehouse_dir=wh, crash_hook=die)
+        # the torn rebuild is invisible: readers still see v1 exactly
+        assert sorted(tuple(r) for r in P.read_current(spark, root).collect()) == v1
+
+    # the retry (same derived seq) commits the new snapshot
+    built = reg.build(spark, warehouse_dir=wh)
+    v2 = sorted(tuple(r) for r in P.read_current(spark, root).collect())
+    assert v2 != v1
+    assert sorted(tuple(r) for r in built["m_tbl"].collect()) == v2
