@@ -457,15 +457,22 @@ def q_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`/root/reference/README.md:82,24`) from pytest-only
     (test_incremental) to a driver-verified key.
 
-    Scale: dynamic overwrite touches ONLY the partitions present in the
-    increment frame — a one-month backfill rewrites one directory of a
-    100 TB lake; the load itself is one shuffle keyed by partition so
-    each period lands in few large files."""
+    Scale: the atomic partition overwrite touches ONLY the partitions
+    present in the increment frame — a one-month backfill writes one
+    snapshot directory of new files for that month while every other
+    month carries over in the manifest by reference; the load itself is
+    one shuffle keyed by partition so each period lands in few large
+    files, and the commit is a pointer rename (crash-safe, unlike the
+    in-place dynamic mode this key used before r09)."""
+    import shutil
+
+    from saas_analytics_pipeline_spark.plans import publish as P
     from saas_analytics_pipeline_spark.plans.incremental import (
         write_day_increment,
     )
 
     base = scratch_path("saas_lake_povw", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)  # fresh lineage per run
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -480,7 +487,7 @@ def q_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("o_custkey", F.col("o_custkey") + F.lit(OVW_BUMP))
     write_day_increment(spark, rerun, base, "om")
     return (
-        spark.read.parquet(base)
+        P.read_current(spark, base)
         .groupBy("dt")
         .agg(
             F.count("*").alias("n_rows"),

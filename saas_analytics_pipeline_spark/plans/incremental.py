@@ -32,18 +32,26 @@ from pyspark.sql import functions as F
 def write_day_increment(
     spark: SparkSession, df: DataFrame, path: str, date_col: str
 ) -> None:
-    """Idempotent per-day load: INSERT OVERWRITE of only the partitions
-    present in ``df`` (dynamic mode). Re-running a day is a no-op-equal
-    replace; other days' partitions are untouched — the scalable analogue
-    of the reference's WRITE_TRUNCATE full reload."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        df.withColumn("dt", F.to_date(date_col))
+    """Idempotent per-day load: an ATOMIC overwrite of only the
+    partitions present in ``df`` (plans/publish.py
+    publish_partition_overwrite — the manifest/rename commit at
+    partition grain, verdict r08 #1). Re-running a day is a no-op-equal
+    replace; other days' entries carry over in the manifest untouched;
+    a loader crashing mid-write leaves readers on the complete previous
+    state (the torn-backfill hazard the in-place dynamic
+    partitionOverwriteMode variant carried). Read the table back with
+    ``publish.read_current`` — the scalable, crash-safe analogue of the
+    reference's WRITE_TRUNCATE full reload."""
+    from saas_analytics_pipeline_spark.plans.publish import (
+        publish_partition_overwrite,
+    )
+
+    publish_partition_overwrite(
+        spark,
         # one shuffle keyed by dt so each day lands in few large files
-        .repartition("dt")
-        .write.mode("overwrite")
-        .partitionBy("dt")
-        .parquet(path)
+        df.withColumn("dt", F.to_date(date_col)).repartition("dt"),
+        path,
+        "dt",
     )
 
 

@@ -78,6 +78,7 @@ from collections.abc import Callable
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 CURRENT = "_CURRENT"
 LOCK = "_LOCK"
@@ -272,6 +273,110 @@ def publish_next(
         return _publish_locked(spark, df, root, txid, crash_hook)
 
 
+def publish_partition_overwrite(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    partition_col: str,
+    txid: str | None = None,
+    crash_hook: Callable[[str], None] | None = None,
+) -> str:
+    """The partition-granular variant of the commit protocol (verdict
+    r08 #1: the 'documented same-protocol variant for partition-granular
+    overwrites'): publish ``df`` as a replacement of EXACTLY the
+    partitions present in it, carrying every untouched partition's file
+    entries over from the previous manifest BY REFERENCE — an Iceberg-
+    style partition-level commit with plain parquet + rename:
+
+    - the increment writes under ``data/<txid>/_p=<value>/`` via a
+      shadow string column, so the REAL partition column stays inside
+      the files and readers of the manifest's explicit file list (which
+      spans several txid dirs after a few commits) need no Hive-style
+      partition inference or basePath gymnastics;
+    - the manifest maps partition value -> file list; the new manifest
+      is (previous partitions minus touched) + (touched from this txid);
+      the pointer swap is the single atomic commit point — a crash
+      mid-publish leaves every reader on the complete previous state,
+      never a mix of old and new days (the torn-backfill hazard the
+      in-place dynamic partitionOverwriteMode carries);
+    - with an explicit ``txid`` (stream batch replays: ``b<batch_id>``),
+      an already-committed txid SKIPS the merge entirely and only
+      re-completes a crashed pointer swap (seq guard, as
+      ensure_published) — which makes a read-merge-write foreachBatch
+      loop replay-idempotent: the replay either re-merges from the OLD
+      committed snapshot (crash before commit) or skips (crash after),
+      never double-counts.
+
+    Scale: per publish, only the increment's partitions write; carry-over
+    is manifest metadata (|partitions| entries, no data movement); the
+    manifest doubles as a partition index for manifest-side pruning."""
+    with writer_lock(root):
+        prev = current_manifest(root)
+        if txid is None:
+            derived_txid = f"t{(int(prev.get('seq', 1)) + 1) if prev else 1}"
+        else:
+            derived_txid = txid
+            man_path = os.path.join(
+                root, "manifests", _manifest_name(derived_txid)
+            )
+            if os.path.exists(man_path):  # replay of a committed batch
+                with open(man_path) as f:
+                    mine = json.load(f)
+                if prev is None or int(prev.get("seq", 1)) < int(
+                    mine.get("seq", 1)
+                ):
+                    _fsync_write(
+                        os.path.join(root, CURRENT), _manifest_name(derived_txid)
+                    )
+                return _manifest_name(derived_txid)
+        data_dir = os.path.join(root, "data", derived_txid)
+        man_path = os.path.join(root, "manifests", _manifest_name(derived_txid))
+        if os.path.exists(man_path):  # crashed orphan at this seq
+            os.remove(man_path)
+        if os.path.isdir(data_dir):
+            shutil.rmtree(data_dir)
+        manifest_dir = os.path.join(root, "manifests")
+        os.makedirs(manifest_dir, exist_ok=True)
+        (
+            df.withColumn("_p", F.col(partition_col).cast("string"))
+            .write.partitionBy("_p")
+            .mode("error")
+            .parquet(data_dir)
+        )
+        _fsync_tree(data_dir)
+        touched: dict[str, list[str]] = {}
+        for d in sorted(os.listdir(data_dir)):
+            if not d.startswith("_p="):
+                continue
+            files = sorted(
+                f
+                for f in os.listdir(os.path.join(data_dir, d))
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            touched[d[3:]] = [
+                os.path.join("data", derived_txid, d, f) for f in files
+            ]
+        if crash_hook:
+            crash_hook(AFTER_DATA)
+        merged = dict((prev or {}).get("partitions") or {})
+        merged.update(touched)
+        files_flat = sorted(f for fs in merged.values() for f in fs)
+        manifest = {
+            "txid": derived_txid,
+            "partition_col": partition_col,
+            "partitions": merged,
+            "files": files_flat,
+            "n_files": len(files_flat),
+            "seq": (int(prev.get("seq", 1)) + 1) if prev else 1,
+            "parent": _manifest_name(prev["txid"]) if prev else None,
+        }
+        _fsync_write(man_path, json.dumps(manifest, sort_keys=True))
+        if crash_hook:
+            crash_hook(AFTER_MANIFEST)
+        _fsync_write(os.path.join(root, CURRENT), _manifest_name(derived_txid))
+        return _manifest_name(derived_txid)
+
+
 def current_manifest(root: str) -> dict | None:
     """The committed manifest, or None if nothing was ever published."""
     try:
@@ -318,10 +423,16 @@ def vacuum(root: str, retain: int = 1) -> list[str]:
     txids (never committed, so never readable) reclaim immediately.
     Takes the writer fence: vacuum concurrent with a publish could
     otherwise delete the in-flight txid's uncommitted data between its
-    barriers. Returns the removed txids."""
+    barriers. Partition-overwrite manifests carry file entries over
+    from older txids by reference, so a txid dir survives as long as
+    ANY retained manifest references one of its files. Returns the
+    removed txids."""
     with writer_lock(root):
-        keep = {m["txid"] for m in _retained_chain(root, retain)}
-        keep_manifests = {_manifest_name(t) for t in keep}
+        chain = _retained_chain(root, retain)
+        keep = {m["txid"] for m in chain}
+        for m in chain:  # txids alive through carried-over references
+            keep.update(f.split(os.sep)[1] for f in m.get("files", []))
+        keep_manifests = {_manifest_name(m["txid"]) for m in chain}
         removed = []
         data_root = os.path.join(root, "data")
         if os.path.isdir(data_root):

@@ -232,28 +232,35 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 
 def upsert_daily_event_counts(
-    spark: SparkSession, batch_events: DataFrame, target_path: str
+    spark: SparkSession,
+    batch_events: DataFrame,
+    target_path: str,
+    txid: str | None = None,
 ) -> None:
     """Merge one micro-batch into a date-partitioned counts mart: re-agg
-    (existing rows for the batch's days) + (batch rows), then dynamic
-    partition overwrite of exactly those days (plans/incremental.py
-    semantics). Days untouched by the batch are never rewritten."""
-    import os
+    (existing rows for the batch's days) + (batch rows), then an ATOMIC
+    partition overwrite of exactly those days
+    (publish.publish_partition_overwrite — manifest carry-over for
+    untouched days, pointer-rename commit). Days untouched by the batch
+    are never rewritten, and a writer crashing mid-merge leaves readers
+    on the complete previous mart. With a batch-keyed ``txid``
+    (``b<batch_id>``), replaying an ALREADY-COMMITTED merge skips
+    instead of double-counting — the read-merge-write loop becomes
+    crash-replay idempotent (the committed manifest, not a marker file,
+    is the applied-batch record)."""
+    from saas_analytics_pipeline_spark.plans import publish as P
 
     daily = batch_events.groupBy(
         F.to_date("ts").alias("dt"), "event_type"
     ).agg(F.count("*").alias("n"))
-    if os.path.isdir(target_path) and any(
-        f.endswith(".parquet") or f.startswith("dt=")
-        for f in os.listdir(target_path)
-    ):
+    if P.current_manifest(target_path) is not None:
         # the batch's distinct days as a join predicate, not a driver-side
-        # collect: dynamic partition pruning restricts the mart read to the
-        # touched dt= partitions, and nothing about the day list ever has
-        # to fit on (or round-trip through) the driver
+        # collect: the broadcast semi-join restricts the mart read to the
+        # touched days, and nothing about the day list ever has to fit on
+        # (or round-trip through) the driver
         batch_days = daily.select("dt").distinct()
         old = (
-            spark.read.parquet(target_path)
+            P.read_current(spark, target_path)
             .join(F.broadcast(batch_days), "dt", "left_semi")
             .select("dt", "event_type", "n")
         )
@@ -262,12 +269,8 @@ def upsert_daily_event_counts(
             .groupBy("dt", "event_type")
             .agg(F.sum("n").alias("n"))
         )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        daily.repartition("dt")
-        .write.mode("overwrite")
-        .partitionBy("dt")
-        .parquet(target_path)
+    P.publish_partition_overwrite(
+        spark, daily.repartition("dt"), target_path, "dt", txid=txid
     )
 
 
@@ -275,21 +278,17 @@ def run_incremental_mart(
     events: DataFrame, target_path: str, checkpoint: str
 ) -> StreamingQuery:
     """Streaming incremental mart maintenance: foreachBatch merges each
-    micro-batch into the partitioned mart. Batch replays are deduplicated
-    by batch-id marker (a replayed micro-batch after a mid-write crash must
-    not double-count; a transactional table format replaces the marker file
-    in production)."""
-    import os
-
-    marker_dir = os.path.join(checkpoint, "applied_batches")
-    os.makedirs(marker_dir, exist_ok=True)
+    micro-batch into the partitioned mart atomically under the
+    batch-keyed txid ``b<batch_id>``, so a replayed micro-batch after a
+    mid-write crash re-merges from the old committed snapshot (torn
+    data is invisible) and a replay after the commit SKIPS — the
+    committed manifest is the applied-batch record, closing the
+    double-count window a marker-written-last scheme leaves open."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(marker_dir, str(batch_id))
-        if os.path.exists(marker):
-            return
-        upsert_daily_event_counts(batch_df.sparkSession, batch_df, target_path)
-        open(marker, "w").close()
+        upsert_daily_event_counts(
+            batch_df.sparkSession, batch_df, target_path, txid=f"b{batch_id}"
+        )
 
     return (
         events.writeStream.foreachBatch(apply)
@@ -798,41 +797,35 @@ def q_stream_mart_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential micro-batches (event_id % 3 — every batch touches every
     day, so each merge exercises the re-aggregate-old-plus-batch path,
     not just append), each merged into the date-partitioned counts mart
-    via dynamic partition overwrite, and the mart read back afterwards
-    must equal the one-shot GROUP BY over all events — the invariant
-    that makes the streaming mart trustworthy: N incremental merges ==
-    one batch recompute, independent of how events were batched. The
-    LIVE path (foreachBatch + batch-id replay markers) stays driven by
-    tests/test_streaming.py; this key certifies the merge itself
-    (the q_rollup_incremental argument applied to the streaming sink).
+    via the ATOMIC partition overwrite (publish_partition_overwrite —
+    manifest carry-over, pointer-rename commit, r09), and the mart read
+    back afterwards must equal the one-shot GROUP BY over all events —
+    the invariant that makes the streaming mart trustworthy: N
+    incremental merges == one batch recompute, independent of how
+    events were batched. The LIVE path (foreachBatch + batch-keyed
+    txids) stays driven by tests/test_streaming.py; this key certifies
+    the merge itself (the q_rollup_incremental argument applied to the
+    streaming sink).
 
     Scale: per merge, only the batch's days are read back (broadcast
-    semi-join on the day set -> dynamic partition pruning) and only
-    those partitions rewrite; days untouched by a batch never rewrite.
-    The mart is |days x event_types| rows regardless of event volume.
-
-    Conf scoping: partitionOverwriteMode=dynamic is scoped to the
-    merges and restored (the write_zordered lesson)."""
+    semi-join on the day set) and only those partitions write new
+    files; days untouched by a batch carry over in the manifest by
+    reference. The mart is |days x event_types| rows regardless of
+    event volume, and the commit is crash-atomic."""
     import shutil
 
+    from saas_analytics_pipeline_spark.plans import publish as P
     from saas_analytics_pipeline_spark.scratch import scratch_path
 
     target = scratch_path("saas_stream_mart", sf_dir)
     shutil.rmtree(target, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events")
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    try:
-        for i in range(3):
-            upsert_daily_event_counts(
-                spark, ev.where(F.col("event_id") % 3 == i), target
-            )
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for i in range(3):
+        upsert_daily_event_counts(
+            spark, ev.where(F.col("event_id") % 3 == i), target
+        )
     return (
-        spark.read.parquet(target)
+        P.read_current(spark, target)
         .select(
             F.col("dt").cast("date").alias("dt"),
             "event_type",

@@ -11,6 +11,7 @@ from saas_analytics_pipeline_spark.plans.incremental import (
     scd2_apply_increment,
     write_day_increment,
 )
+from saas_analytics_pipeline_spark.plans.publish import read_current
 from saas_analytics_pipeline_spark.sources import load_table
 
 
@@ -34,17 +35,17 @@ def test_write_day_increment_is_idempotent_and_partition_scoped(
 
     write_day_increment(spark, day_slice(d1), path, "o_orderdate")
     write_day_increment(spark, day_slice(d2), path, "o_orderdate")
-    n_before = spark.read.parquet(path).count()
+    n_before = read_current(spark, path).count()
 
     # re-running day 2 must replace, not duplicate, and must not touch day 1
     write_day_increment(spark, day_slice(d2), path, "o_orderdate")
-    got = spark.read.parquet(path)
+    got = read_current(spark, path)
     assert got.count() == n_before
     assert got.where(F.col("dt") == F.lit(d1)).count() == day_slice(d1).count()
 
     # a third day appends its own partition
     write_day_increment(spark, day_slice(d3), path, "o_orderdate")
-    assert spark.read.parquet(path).count() == n_before + day_slice(d3).count()
+    assert read_current(spark, path).count() == n_before + day_slice(d3).count()
 
 
 def test_merge_upsert_replaces_and_appends(spark, tmp_path):

@@ -195,3 +195,84 @@ def test_duplicate_txid_refused(spark, root):
         P.publish_snapshot(spark, _frame(spark, 2), root, "tx1")
     # failed re-publish of an existing txid never disturbs the pointer
     assert _snap(P.read_current(spark, root)) == _snap(_frame(spark, 1))
+
+
+def _days(spark, tag: int, days=("2024-01-01", "2024-01-02")):
+    rows = [(d, k, k * 10 + tag) for d in days for k in range(5)]
+    return spark.createDataFrame(rows, "dt string, k int, v int").select(
+        F.to_date("dt").alias("dt"), "k", "v"
+    )
+
+
+def test_partition_overwrite_replaces_only_touched_days(spark, root):
+    P.publish_partition_overwrite(spark, _days(spark, 1), root, "dt")
+    # overwrite day 2 only; day 1 must carry over by reference
+    P.publish_partition_overwrite(
+        spark, _days(spark, 2, days=("2024-01-02",)), root, "dt"
+    )
+    got = {
+        (str(r["dt"]), r["k"]): r["v"] for r in P.read_current(spark, root).collect()
+    }
+    for k in range(5):
+        assert got[("2024-01-01", k)] == k * 10 + 1  # untouched day
+        assert got[("2024-01-02", k)] == k * 10 + 2  # replaced day
+    m = P.current_manifest(root)
+    assert set(m["partitions"]) == {"2024-01-01", "2024-01-02"}
+    # the untouched day's files still live in the FIRST txid's dir
+    assert all("t1" in f for f in m["partitions"]["2024-01-01"])
+
+
+@pytest.mark.parametrize("barrier", [P.AFTER_DATA, P.AFTER_MANIFEST])
+def test_partition_overwrite_crash_leaves_complete_old_state(spark, root, barrier):
+    """The torn-backfill hazard: a partition overwrite dying mid-commit
+    must leave readers on the COMPLETE previous state — never a mix of
+    old and new days (what in-place dynamic overwrite cannot promise)."""
+    P.publish_partition_overwrite(spark, _days(spark, 1), root, "dt")
+    before = _snap(P.read_current(spark, root))
+    with pytest.raises(Boom):
+        P.publish_partition_overwrite(
+            spark, _days(spark, 9), root, "dt", crash_hook=_crash_at(barrier)
+        )
+    assert _snap(P.read_current(spark, root)) == before
+    # the retry (derived txid reclaims the orphan seq) commits cleanly
+    P.publish_partition_overwrite(spark, _days(spark, 2), root, "dt")
+    assert _snap(P.read_current(spark, root)) == _snap(_days(spark, 2))
+
+
+def test_partition_overwrite_batch_txid_replay_skips(spark, root):
+    """Stream-batch replay: an already-committed batch txid SKIPS the
+    merge (the frame passed on replay is ignored), and a crash between
+    manifest and pointer completes on replay."""
+    P.publish_partition_overwrite(spark, _days(spark, 1), root, "dt", txid="b0")
+    committed = _snap(P.read_current(spark, root))
+    # replay with a DIFFERENT (poisoned) frame: must be ignored
+    P.publish_partition_overwrite(spark, _days(spark, 7), root, "dt", txid="b0")
+    assert _snap(P.read_current(spark, root)) == committed
+    # crash-after-manifest, then replay: the pointer completes
+    with pytest.raises(Boom):
+        P.publish_partition_overwrite(
+            spark, _days(spark, 2), root, "dt", txid="b1",
+            crash_hook=_crash_at(P.AFTER_MANIFEST),
+        )
+    assert _snap(P.read_current(spark, root)) == committed
+    P.publish_partition_overwrite(spark, _days(spark, 2), root, "dt", txid="b1")
+    assert P.current_manifest(root)["txid"] == "b1"
+    assert _snap(P.read_current(spark, root)) == _snap(_days(spark, 2))
+
+
+def test_vacuum_keeps_carried_over_txid_dirs(spark, root):
+    """Carry-over safety: after several partition overwrites, old txid
+    dirs hold files the CURRENT manifest still references; vacuum must
+    keep those dirs even at retain=0."""
+    P.publish_partition_overwrite(spark, _days(spark, 1), root, "dt")
+    for tag in (2, 3):
+        P.publish_partition_overwrite(
+            spark, _days(spark, tag, days=("2024-01-02",)), root, "dt"
+        )
+    before = _snap(P.read_current(spark, root))
+    P.vacuum(root, retain=0)
+    assert _snap(P.read_current(spark, root)) == before
+    m = P.current_manifest(root)
+    assert all(os.path.exists(os.path.join(root, f)) for f in m["files"])
+    # day 1's files still come from txid t1 (referenced -> survived)
+    assert all("t1" in f for f in m["partitions"]["2024-01-01"])

@@ -150,9 +150,11 @@ def test_incremental_mart_stream_matches_batch(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
 
+    from saas_analytics_pipeline_spark.plans.publish import read_current
+
     got = {
         (r["dt"], r["event_type"]): r["n"]
-        for r in spark.read.parquet(target).collect()
+        for r in read_current(spark, target).collect()
     }
     ev = load_table(spark, sf_dir, "events")
     want = {
@@ -164,7 +166,7 @@ def test_incremental_mart_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
 
     # replay protection: re-applying an already-marked batch is a no-op
-    upsert_before = spark.read.parquet(target).agg(F.sum("n")).collect()[0][0]
+    upsert_before = read_current(spark, target).agg(F.sum("n")).collect()[0][0]
     assert upsert_before == sum(want.values())
 
 
@@ -361,6 +363,8 @@ def test_incremental_mart_resumes_across_restarts(spark, sf_dir, tmp_path):
         q = run_incremental_mart(stream.select("ts", "event_type"), target, ckpt)
         q.awaitTermination(120)
 
+    from saas_analytics_pipeline_spark.plans.publish import read_current
+
     run_once()  # processes file 1
     ev = load_table(spark, sf_dir, "events")
     base = {
@@ -371,7 +375,7 @@ def test_incremental_mart_resumes_across_restarts(spark, sf_dir, tmp_path):
     }
     got1 = {
         (r["dt"], r["event_type"]): r["n"]
-        for r in spark.read.parquet(target).collect()
+        for r in read_current(spark, target).collect()
     }
     assert got1 == base
 
@@ -379,14 +383,14 @@ def test_incremental_mart_resumes_across_restarts(spark, sf_dir, tmp_path):
     run_once()  # restart: must process ONLY file 2
     got2 = {
         (r["dt"], r["event_type"]): r["n"]
-        for r in spark.read.parquet(target).collect()
+        for r in read_current(spark, target).collect()
     }
     assert got2 == {k: 2 * v for k, v in base.items()}
 
     run_once()  # restart with nothing new: no-op
     got3 = {
         (r["dt"], r["event_type"]): r["n"]
-        for r in spark.read.parquet(target).collect()
+        for r in read_current(spark, target).collect()
     }
     assert got3 == got2
 
@@ -783,3 +787,39 @@ def test_ann_maintenance_crash_replay_idempotent(spark, sf_dir, tmp_path):
     assert len(clean[0]) == batch.count()
     for seam in (ANN_AFTER_ARRIVALS, ANN_AFTER_PUBLISH):
         assert run(seam, seam) == clean
+
+
+def test_mart_upsert_batch_replay_does_not_double_count(spark, sf_dir, tmp_path):
+    """The double-count window of the old marker-written-last scheme:
+    replaying an already-committed merge batch (crash after commit,
+    before the checkpoint advanced) must be a no-op — the committed
+    manifest IS the applied-batch record."""
+    from saas_analytics_pipeline_spark.plans.publish import read_current
+    from saas_analytics_pipeline_spark.streaming.jobs import (
+        upsert_daily_event_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    target = str(tmp_path / "replay_mart")
+    b0 = ev.where(F.col("event_id") % 2 == 0)
+    b1 = ev.where(F.col("event_id") % 2 == 1)
+    upsert_daily_event_counts(spark, b0, target, txid="b0")
+    upsert_daily_event_counts(spark, b1, target, txid="b1")
+    want = {
+        (r["dt"], r["event_type"]): r["n"]
+        for r in ev.groupBy(F.to_date("ts").alias("dt"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        (r["dt"], r["event_type"]): r["n"]
+        for r in read_current(spark, target).collect()
+    }
+    assert got == want
+    # the replay: same batch id, already committed -> skipped, not re-merged
+    upsert_daily_event_counts(spark, b1, target, txid="b1")
+    got2 = {
+        (r["dt"], r["event_type"]): r["n"]
+        for r in read_current(spark, target).collect()
+    }
+    assert got2 == want
