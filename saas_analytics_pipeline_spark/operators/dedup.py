@@ -443,58 +443,79 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+CC_MAX_ITERS = 50  # hard cap: a DEEP component past this FAILS LOUDLY
+CC_CKPT_EVERY = 4  # localCheckpoint cadence (the q_pagerank_converged house pattern)
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iter: int = CC_MAX_ITERS,
+    strict: bool = True,
+) -> tuple[DataFrame, int]:
     """Connected components over near-dup pairs by label propagation:
     every doc converges to the MIN doc_id of its component (the cluster's
     canonical representative). Input: (a, b) undirected pair rows; output:
-    (doc_id, cluster_id).
+    ((doc_id, cluster_id) labels, n_iters).
+
+    Convergence CONTRACT (verdict r08 #5 — the q_pagerank_converged
+    pattern, graph.py): iterate until a round changes ZERO labels
+    (counted — the final verification round is included in ``n_iters``);
+    a component deeper than ``max_iter`` raises instead of silently
+    returning half-merged clusters (connected components is the dedup
+    APPLY step — a silent cap at 100 TB wrongly splits a deep cluster
+    and no one notices). The driver collects ONE scalar per round (the
+    changed-count); labels localCheckpoint every {CC_CKPT_EVERY} rounds
+    to truncate the per-round join lineage, and the edge frame
+    checkpoints ONCE so the upstream LSH pipeline never replays.
 
     The iterative shape Spark handles well: each round is one join + one
-    min-agg (all distributed); the driver only checks the converged-count.
-    Rounds needed = graph diameter (near-dup clusters are shallow — a
-    handful). At 100 TB checkpoint every few rounds to cut lineage."""
-    # cache: without it every round (and the convergence count) replays the
-    # full upstream LSH pipeline, and lineage doubles per round
+    min-agg (all distributed). Rounds needed = component diameter
+    (near-dup clusters are shallow — a handful)."""
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
         .distinct()
-        .cache()
+        .localCheckpoint()  # materialize ONCE; rounds never replay LSH
     )
     labels = (
         edges.select(F.col("x").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .cache()
+        .localCheckpoint()
     )
-    for _ in range(max_iter):
+    n_iters, changed = 0, 1
+    while changed > 0 and n_iters < max_iter:
         neighbor_min = (
             edges.join(labels, edges.y == labels.doc_id)
             .groupBy("x")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.x, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    "cluster_id", F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .cache()
+        new_labels = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.x, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                "cluster_id", F.coalesce("nbr_min", F.col("cluster_id"))
+            ).alias("cluster_id"),
         )
+        n_iters += 1
+        if n_iters % CC_CKPT_EVERY == 0:
+            new_labels = new_labels.localCheckpoint()
+        # the ONLY per-round driver action: a 1-row changed-count scalar
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            new_labels.withColumnRenamed("cluster_id", "nc")
+            .join(labels, "doc_id")
+            .where(F.col("nc") != F.col("cluster_id"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels
+    if changed > 0 and strict:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iter} rounds "
+            f"({changed} labels still changing) — component diameter "
+            "exceeds the cap; raise max_iter or pre-contract the graph"
+        )
+    return labels, n_iters
 
 
 def _clusters_oracle() -> str:
@@ -570,9 +591,132 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     _clusters_oracle."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = near_dup_pairs(docs, jaccard_threshold=0.5)
-    clusters = dedup_clusters(pairs)
+    clusters, _ = dedup_clusters(pairs)
     sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
     return sizes.groupBy("sz").agg(F.count("*").alias("n_clusters")).orderBy("sz")
+
+
+def _clusters_converged_oracle() -> str:
+    """DuckDB replay of the CONVERGED label propagation: the same
+    minhash/LSH/jaccard pipeline as _clusters_oracle, but instead of a
+    transitive-closure shortcut, a recursive CTE carries the full label
+    vector as a LIST<STRUCT> and applies the IDENTICAL per-round update
+    (least of own label and min neighbor label), gating the next round
+    on the previous round's changed-count — so DuckDB stops at exactly
+    the iteration the Spark driver loop does and ``n_iters`` certifies
+    it in the hash (the q_pagerank_converged oracle pattern)."""
+    mins = _mins_sql()
+    bands = _band_union_sql(N_PERM // 2, with_doc_id=True)
+    return f"""
+    WITH RECURSIVE sh_raw AS (
+        SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM (SELECT doc_id, {hash60_sql('shingle')} AS h FROM sh_raw)
+        GROUP BY doc_id
+    ),
+    bands AS (
+        {bands}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x
+        JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+                    AND x.doc_id < y.doc_id
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle AS s FROM sh_raw),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.a, c.b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a
+        JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+        GROUP BY c.a, c.b
+    ),
+    pairs AS (
+        SELECT i.a, i.b
+        FROM inter i
+        JOIN sizes za ON i.a = za.doc_id
+        JOIN sizes zb ON i.b = zb.doc_id
+        WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter)
+              >= 0.5
+    ),
+    edges AS (
+        SELECT a AS x, b AS y FROM pairs
+        UNION SELECT b, a FROM pairs
+    ),
+    it(iter, labs, changed) AS (
+        SELECT 0,
+               (SELECT list({{'d': x, 'c': x}} ORDER BY x)
+                FROM (SELECT DISTINCT x FROM edges)),
+               CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT it.iter + 1, s1.labs2, s2.nchanged
+        FROM it,
+          LATERAL (
+            SELECT (SELECT list({{'d': nv.d, 'c': nv.c}} ORDER BY nv.d)
+                    FROM (
+                      SELECT o.u.d AS d,
+                             LEAST(o.u.c, COALESCE(nm.m, o.u.c)) AS c
+                      FROM (SELECT unnest(it.labs) AS u) o
+                      LEFT JOIN (
+                        SELECT e.x AS d, MIN(oc.u.c) AS m
+                        FROM edges e
+                        JOIN (SELECT unnest(it.labs) AS u) oc
+                          ON oc.u.d = e.y
+                        GROUP BY e.x
+                      ) nm ON nm.d = o.u.d
+                    ) nv) AS labs2
+          ) s1,
+          LATERAL (
+            SELECT CAST(COUNT(*) FILTER (WHERE nv.u.c <> o.u.c) AS BIGINT)
+                   AS nchanged
+            FROM (SELECT unnest(s1.labs2) AS u) nv
+            JOIN (SELECT unnest(it.labs) AS u) o ON nv.u.d = o.u.d
+          ) s2
+        WHERE it.changed > 0 AND it.iter < {CC_MAX_ITERS}
+    ),
+    fin AS (SELECT * FROM it WHERE iter = (SELECT MAX(iter) FROM it)),
+    clus AS (
+        SELECT o.u.d AS doc_id, o.u.c AS cluster_id
+        FROM fin, LATERAL (SELECT unnest(fin.labs) AS u) o
+    ),
+    csz AS (SELECT cluster_id, COUNT(*) AS sz FROM clus GROUP BY cluster_id)
+    SELECT sz, COUNT(*) AS n_clusters,
+           (SELECT CAST(iter AS BIGINT) FROM fin) AS n_iters
+    FROM csz GROUP BY sz ORDER BY sz
+    """
+
+
+@query("q_dedup_clusters_converged", oracle=_clusters_converged_oracle())
+def q_dedup_clusters_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering under the CONVERGENCE CONTRACT (verdict r08
+    #5): the same LSH -> exact-Jaccard -> label-propagation pipeline as
+    q_dedup_clusters, but iterated until a round changes ZERO labels
+    (loud failure past {CC_MAX_ITERS}; localCheckpoint cadence; one
+    changed-count scalar per round), with ``n_iters`` IN THE HASH — the
+    DuckDB oracle replays the identical per-round update inside a
+    recursive CTE and must stop at the same iteration. Connected
+    components is the dedup APPLY step at 100 TB: this key certifies
+    the iteration DISCIPLINE, not just the fixpoint (which
+    q_dedup_clusters' transitive-closure oracle already pins).
+
+    Scale: per round one co-located join + one map-side-combinable
+    min-agg over (doc_id, label) pairs only; rounds = component
+    diameter; lineage bounded by the checkpoint cadence; text never
+    enters the loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, jaccard_threshold=0.5)
+    labels, n_iters = dedup_clusters(pairs)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .withColumn("n_iters", F.lit(n_iters).cast("long"))
+        .orderBy("sz")
+    )
 
 
 @query(

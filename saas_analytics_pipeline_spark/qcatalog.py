@@ -167,6 +167,15 @@ WINDOW_PRIORITY += [
     "q_atomic_publish",
 ]
 
+# Round-9 window additions (same 3-mode certification bar).
+WINDOW_PRIORITY += [
+    # connected components under the convergence contract (verdict r08
+    # #5): loud failure past the cap, localCheckpoint cadence, and a
+    # recursive-CTE oracle replaying the per-round update so n_iters is
+    # in the hash
+    "q_dedup_clusters_converged",
+]
+
 
 # Keys whose check was UPGRADED after their last driver row (e.g. a
 # rows-only query that gained a real SQL oracle), mapped to the LAST round
@@ -212,6 +221,17 @@ REVERIFY: dict[str, str] = {
     # pre-refactor inline bodies
     "q_ivf_cell_drift": "r07",
     "q_ivf_refit_partial": "r07",
+    # r09 rerouted the partitioned write paths through the ATOMIC
+    # manifest publish (publish_partition_overwrite) and the read-back
+    # through read_current; values identical (same final state,
+    # selfcheck-verified in all three modes) but the r08/r07 rows
+    # certify the in-place dynamic-overwrite path
+    "q_partition_overwrite": "r08",
+    "q_stream_mart_upsert": "r08",
+    # r09 ported dedup_clusters to the convergence contract (while-loop
+    # + localCheckpoint instead of per-round cache); same fixpoint, but
+    # the old rows certify the pre-contract loop
+    "q_dedup_clusters": "r08",
 }
 
 

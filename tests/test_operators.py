@@ -347,10 +347,23 @@ def test_dedup_clusters_connected_components(spark):
     pairs = spark.createDataFrame(
         [(2, 1), (2, 3), (10, 11)], "a long, b long"
     )
-    got = {
-        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
-    }
+    labels, n_iters = dedup_clusters(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert n_iters >= 2  # at least one propagating + one verification round
+
+    # the loud non-convergence contract: a path graph deeper than the cap
+    # RAISES instead of returning half-merged clusters
+    import pytest
+
+    deep = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(deep, max_iter=2)
+    # non-strict mode returns the capped state for diagnostics
+    capped, capped_iters = dedup_clusters(deep, max_iter=2, strict=False)
+    assert capped_iters == 2 and capped.count() == 13
 
 
 def test_two_phase_agg_equals_plain_agg(spark, sf_dir):
