@@ -33,6 +33,7 @@ PROBES: list[tuple[str, list[str]]] = [
     ("lsh_probe", []),
     ("layout_probe", []),
     ("bloom_probe", []),
+    ("html_probe", []),
 ]
 
 
