@@ -1159,3 +1159,221 @@ def q_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(cur["txid"]).alias("txid"), "*")
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Publish lifecycle certificate (r09): replay idempotency + retention vacuum
+# ---------------------------------------------------------------------------
+
+# the two committed corrections, applied cumulatively
+LC_BUMP1 = 1_000_000
+LC_BUMP2 = 5_000_000
+
+
+@query(
+    "q_publish_lifecycle",
+    oracle=f"""
+    WITH committed AS (
+        SELECT o_orderkey,
+               o_custkey
+               + CASE WHEN o_orderkey % 3 = 0 THEN {LC_BUMP1} ELSE 0 END
+               + CASE WHEN o_orderkey % 4 = 0 THEN {LC_BUMP2} ELSE 0 END
+                   AS o_custkey,
+               o_totalprice
+        FROM orders
+    )
+    SELECT 'b3' AS txid,
+           CAST(2 AS BIGINT) AS n_manifests,
+           CAST(2 AS BIGINT) AS n_snapshots,
+           o_orderkey % 10 AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM committed GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_publish_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The publish protocol's full production lifecycle in one hash
+    (r09, verdict r08 #2/#4): batch-keyed REPLAY idempotency plus the
+    retention-grace vacuum, end to end:
+
+    1. publish b1 (raw orders), b2 (b1 + the %3 custkey bump) via
+       ensure_published — the stream-replay entry point;
+    2. a b3 publish (b2 + the %4 bump) CRASHES after its data lands but
+       before the manifest; the replay of b3 reclaims the uncommitted
+       leftover and commits — exactly one b3 snapshot, bit-identical to
+       a never-crashed run;
+    3. a STALE replay of b2 afterwards (late duplicate delivery,
+       poisoned frame) must be skipped by the seq guard — the pointer
+       stays on b3 and nothing is written;
+    4. vacuum(retain=1) keeps b3 + b2 (the snapshot-isolation grace for
+       in-flight readers) and reclaims only b1.
+
+    The returned rollup reads the final committed state and pins the
+    surviving manifest/snapshot COUNTS into the hash — a replay that
+    double-published, a stale replay that regressed the pointer, or a
+    vacuum that over- or under-reclaimed each breaks a literal column.
+
+    Scale: three tiny fsync'd files + renames per publish regardless of
+    snapshot size; vacuum is a manifest-lineage walk (metadata-only).
+
+    Ref: the reference's loads ride BigQuery's atomic WRITE_TRUNCATE
+    (data_gen/generate_and_load_script.py:188); this is the replayable,
+    retained equivalent a 100 TB lake needs."""
+    import shutil
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    root = scratch_path("saas_lake_lifecycle", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v1 = orders
+    v2 = v1.withColumn(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_custkey") + LC_BUMP1
+        ).otherwise(F.col("o_custkey")),
+    )
+    v3 = v2.withColumn(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 4 == 0, F.col("o_custkey") + LC_BUMP2
+        ).otherwise(F.col("o_custkey")),
+    )
+    P.ensure_published(spark, v1, root, "b1")
+    P.ensure_published(spark, v2, root, "b2")
+
+    def die(barrier: str) -> None:
+        if barrier == P.AFTER_DATA:
+            raise RuntimeError("writer killed before the manifest")
+
+    try:
+        P.ensure_published(spark, v3, root, "b3", crash_hook=die)
+    except RuntimeError:
+        pass
+    P.ensure_published(spark, v3, root, "b3")  # the replay commits
+    poisoned = v1.withColumn("o_custkey", -F.col("o_custkey"))
+    P.ensure_published(spark, poisoned, root, "b2")  # stale: must skip
+    P.vacuum(root, retain=1)  # keeps b3 + b2, reclaims b1
+    cur = P.current_manifest(root)
+    n_manifests = len(os.listdir(os.path.join(root, "manifests")))
+    n_snapshots = len(os.listdir(os.path.join(root, "data")))
+    return (
+        P.read_current(spark, root)
+        .groupBy((F.col("o_orderkey") % 10).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_custkey").cast("long").alias("sum_custkey"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.lit(cur["txid"]).alias("txid"),
+            F.lit(n_manifests).cast("long").alias("n_manifests"),
+            F.lit(n_snapshots).cast("long").alias("n_snapshots"),
+            "*",
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry build certificate (r09): the dbt-style DAG build, crash-atomic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_registry_build",
+    oracle="""
+    WITH stg AS (
+        SELECT o_custkey, o_totalprice, o_orderdate
+        FROM orders WHERE o_totalprice > 0
+    )
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM stg GROUP BY month ORDER BY month
+    """,
+)
+def q_registry_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layered ELT build end to end, keyed (r09): a staging VIEW ->
+    mart TABLE DAG built through the model registry, whose TABLE
+    materializations publish via the atomic manifest/rename protocol
+    (registry.py, verdict r08 #1). The key builds the mart, then
+    CRASHES a poisoned rebuild (prices negated) at the most dangerous
+    barrier — manifest durable, pointer never swapped — and finally
+    re-reads the mart through the committed pointer: the hash must
+    equal the clean build exactly, proving a crashed `dbt build` cannot
+    tear a mart (the guarantee the reference inherits from BigQuery's
+    atomic writes, `dbt_project.yml:26-43`, re-established here on
+    plain parquet).
+
+    Scale: the build is one Catalyst-planned job per mart (views inline
+    into the mart plan); the publish adds two tiny files + two renames.
+
+    Ref: models/ layering `README.md:34-41`; materialization contract
+    `dbt_project.yml:26-43`."""
+    import shutil
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+    from saas_analytics_pipeline_spark.registry import (
+        Materialization,
+        ModelRegistry,
+    )
+
+    poison = {"on": False}
+    reg = ModelRegistry()
+
+    @reg.model("rb_stg_orders", layer="staging")
+    def rb_stg_orders(spark_, ref):
+        df = load_table(spark_, sf_dir, "orders").where(
+            F.col("o_totalprice") > 0
+        )
+        if poison["on"]:
+            df = df.withColumn("o_totalprice", -F.col("o_totalprice"))
+        return df
+
+    @reg.model(
+        "rb_mart_monthly",
+        layer="marts",
+        materialization=Materialization.TABLE,
+        depends_on=("rb_stg_orders",),
+    )
+    def rb_mart_monthly(spark_, ref):
+        return (
+            ref("rb_stg_orders")
+            .groupBy(
+                F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+            )
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+
+    wh = scratch_path("saas_registry_build", sf_dir)
+    shutil.rmtree(wh, ignore_errors=True)
+    reg.build(spark, warehouse_dir=wh)  # the clean, committed build
+
+    poison["on"] = True
+
+    def die(barrier: str) -> None:
+        if barrier == P.AFTER_MANIFEST:
+            raise RuntimeError("build killed mid-commit")
+
+    try:
+        reg.build(spark, warehouse_dir=wh, crash_hook=die)
+    except RuntimeError:
+        pass
+    return P.read_current(spark, f"{wh}/marts/rb_mart_monthly").orderBy(
+        "month"
+    )

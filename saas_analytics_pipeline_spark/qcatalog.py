@@ -174,6 +174,14 @@ WINDOW_PRIORITY += [
     # recursive-CTE oracle replaying the per-round update so n_iters is
     # in the hash
     "q_dedup_clusters_converged",
+    # publish lifecycle (verdict r08 #2/#4): ensure_published replay
+    # after a mid-publish crash, stale-replay seq guard, retention
+    # vacuum — manifest/snapshot counts in the hash
+    "q_publish_lifecycle",
+    # the dbt-style DAG build through the registry's atomic TABLE
+    # publishes (verdict r08 #1): a poisoned rebuild crashed
+    # post-manifest must leave the committed mart bit-identical
+    "q_registry_build",
 ]
 
 
