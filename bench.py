@@ -88,12 +88,25 @@ HEADLINE_R08 = [
     "q_bucket_join",
 ]
 
+# r09: the commit-path families — connected components under the
+# convergence contract (the dedup APPLY step, iterated to fixpoint with
+# n_iters certified), the publish protocol's replay/retention lifecycle,
+# and the registry DAG build through atomic TABLE publishes. Tracked so a
+# regression in the iteration discipline or commit overhead shows up as a
+# timing step.
+HEADLINE_R09 = [
+    "q_dedup_clusters_converged",
+    "q_publish_lifecycle",
+    "q_registry_build",
+]
+
 HEADLINE = (
     HEADLINE_CORE
     + HEADLINE_TPCH
     + HEADLINE_CORPUS
     + HEADLINE_CURATION
     + HEADLINE_R08
+    + HEADLINE_R09
 )
 
 

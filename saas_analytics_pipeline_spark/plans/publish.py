@@ -134,7 +134,14 @@ def _fsync_tree(dir_path: str) -> None:
     """fsync every regular file under ``dir_path`` plus the dir entries,
     so snapshot bytes are durable BEFORE the manifest that references
     them — without this a power crash can leave a durable _CURRENT
-    pointing at page-cache-only data (ADVICE r08)."""
+    pointing at page-cache-only data (ADVICE r08). The parent directory
+    is fsync'd too, making the new txid dir entry itself durable."""
+    parent = os.path.dirname(os.path.abspath(dir_path))
+    pfd = os.open(parent, os.O_RDONLY)
+    try:
+        os.fsync(pfd)
+    finally:
+        os.close(pfd)
     for base, _dirs, names in os.walk(dir_path):
         for n in names:
             fd = os.open(os.path.join(base, n), os.O_RDONLY)
@@ -312,6 +319,13 @@ def publish_partition_overwrite(
     manifest doubles as a partition index for manifest-side pruning."""
     with writer_lock(root):
         prev = current_manifest(root)
+        if prev is not None and "partitions" not in prev:
+            raise ValueError(
+                f"{root} was last published with the whole-snapshot "
+                "protocol; a partition overwrite would silently drop its "
+                "data — republish the full table once via "
+                "publish_partition_overwrite, or keep using publish_next"
+            )
         if txid is None:
             derived_txid = f"t{(int(prev.get('seq', 1)) + 1) if prev else 1}"
         else:

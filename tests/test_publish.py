@@ -276,3 +276,13 @@ def test_vacuum_keeps_carried_over_txid_dirs(spark, root):
     assert all(os.path.exists(os.path.join(root, f)) for f in m["files"])
     # day 1's files still come from txid t1 (referenced -> survived)
     assert all("t1" in f for f in m["partitions"]["2024-01-01"])
+
+
+def test_partition_overwrite_refuses_snapshot_protocol_root(spark, root):
+    """Protocol-mismatch guard: a partition overwrite onto a root last
+    published as a whole snapshot would silently drop that snapshot's
+    files from the merged manifest — it must refuse loudly instead."""
+    P.publish_snapshot(spark, _frame(spark, 1), root, "tx1")
+    with pytest.raises(ValueError, match="whole-snapshot"):
+        P.publish_partition_overwrite(spark, _days(spark, 1), root, "dt")
+    assert _snap(P.read_current(spark, root)) == _snap(_frame(spark, 1))
