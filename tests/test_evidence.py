@@ -50,6 +50,7 @@ def test_probe_record_is_complete_and_green():
     expected = {
         "skew_probe", "bucket_probe", "scd2_probe", "stream_probe",
         "ann_probe", "lsh_probe", "layout_probe", "bloom_probe",
+        "html_probe",  # r09: the q_html_extract slope attribution
     }
     missing = expected - set(probes)
     assert not missing, f"probes missing from docs/PROBES.json: {missing}"
