@@ -1377,3 +1377,156 @@ def q_registry_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.read_current(spark, f"{wh}/marts/rb_mart_monthly").orderBy(
         "month"
     )
+
+
+# ---------------------------------------------------------------------------
+# Time travel + manifest-side partition pruning certificates (r09)
+# ---------------------------------------------------------------------------
+
+TT_BUMP = 7_000_000  # v2's correction: custkey bumped on every 5th key
+
+
+@query(
+    "q_time_travel",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT 1 AS version, o_orderkey, o_custkey, o_totalprice FROM orders
+    ),
+    v2 AS (
+        SELECT 2 AS version, o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0
+                    THEN o_custkey + {TT_BUMP} ELSE o_custkey END,
+               o_totalprice
+        FROM orders
+    ),
+    both_v AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT version,
+           o_orderkey % 10 AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM both_v GROUP BY version, bucket ORDER BY version, bucket
+    """,
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel over the publish lineage (r09): two
+    publish_next builds of the same table (v2 bumps every 5th custkey),
+    then BOTH versions read back — the current one through the pointer,
+    the superseded one via read_snapshot(seq=1) over the immutable
+    retained snapshot. The per-version rollups must equal the source
+    replay of each state exactly: a v1 read that leaked v2 files (or
+    vice versa) breaks half the hash rows. This is the Iceberg/Delta
+    VERSION AS OF semantics on plain parquet — what an audit, a
+    reproducible-training run, or a diff job needs from the lake.
+
+    Scale: time travel is a manifest open (one tiny JSON) + the same
+    explicit-file-list scan as any read; history depth is bounded by
+    vacuum's retention knob, so storage cost is chosen, not accidental.
+
+    Ref: the reference's WRITE_TRUNCATE loads keep no history
+    (data_gen/generate_and_load_script.py:188); BigQuery offers this
+    same property as time travel — re-established here."""
+    import shutil
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    root = scratch_path("saas_lake_timetravel", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    P.publish_next(spark, orders, root)  # seq 1
+    v2 = orders.withColumn(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_custkey") + TT_BUMP
+        ).otherwise(F.col("o_custkey")),
+    )
+    P.publish_next(spark, v2, root)  # seq 2 = current
+
+    def rollup(df: DataFrame, version: int) -> DataFrame:
+        return (
+            df.groupBy((F.col("o_orderkey") % 10).alias("bucket"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("o_custkey").cast("long").alias("sum_custkey"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(F.lit(version).alias("version"), "*")
+        )
+
+    past = P.read_snapshot(spark, root, seq=1)
+    current = P.read_current(spark, root)
+    return rollup(past, 1).unionByName(rollup(current, 2)).orderBy(
+        "version", "bucket"
+    )
+
+
+@query(
+    "q_partition_pruned_read",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS dt,
+           CAST(1 AS BIGINT) AS n_files_read,
+           (SELECT COUNT(DISTINCT date_trunc('month', o_orderdate))
+            FROM orders) AS n_partitions_total,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+    FROM orders
+    WHERE CAST(date_trunc('month', o_orderdate) AS DATE) = DATE '{OVW_MONTH}'
+    GROUP BY dt
+    """,
+)
+def q_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-side partition pruning (r09): the month-partitioned lake
+    is loaded atomically (write_day_increment ->
+    publish_partition_overwrite), then ONE month is read back through
+    read_partitions — the manifest's partition->files index resolves the
+    read to exactly that month's file list, no directory listing, no
+    footer reads for other months. The file count is IN THE HASH
+    (n_files_read = 1: the per-day hash shuffle puts each month in one
+    file) next to the total partition count, so a read that listed more
+    files than the target month's, or a load that fragmented the month,
+    breaks the row.
+
+    Scale: at 100 TB a day-scoped consumer opens one manifest (tiny
+    JSON) + its day's files; the alternative — S3-listing a
+    million-object lake and letting Spark prune dirs — costs minutes of
+    metadata ops before the first byte. The manifest IS the partition
+    index (the Iceberg manifest-list read path on plain parquet).
+
+    Ref: raw partitions by source/date `/root/reference/README.md:24`;
+    this key adds the scalable read side of that layout."""
+    import shutil
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+    from saas_analytics_pipeline_spark.plans.incremental import (
+        write_day_increment,
+    )
+
+    base = scratch_path("saas_lake_pruned_read", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("om"),
+    )
+    write_day_increment(spark, orders, base, "om")
+    month, n_files = P.read_partitions(spark, base, [OVW_MONTH])
+    n_total = len(P.current_manifest(base)["partitions"])
+    return (
+        month.groupBy("dt")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_custkey").cast("long").alias("sum_custkey"),
+        )
+        .select(
+            "dt",
+            F.lit(n_files).cast("long").alias("n_files_read"),
+            F.lit(n_total).cast("long").alias("n_partitions_total"),
+            "n_rows",
+            "sum_custkey",
+        )
+    )

@@ -411,6 +411,83 @@ def read_current(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
 
 
+def snapshot_manifest(
+    root: str, txid: str | None = None, seq: int | None = None
+) -> dict:
+    """Resolve a HISTORICAL manifest — time travel over the lineage the
+    retention vacuum keeps. By ``txid`` directly, or by ``seq`` via the
+    parent-chain walk from the current pointer. Raises FileNotFoundError
+    for a version that never existed or was vacuumed past (the retention
+    window bounds how far back travel reaches — by design)."""
+    if (txid is None) == (seq is None):
+        raise ValueError("pass exactly one of txid / seq")
+    if txid is not None:
+        try:
+            with open(os.path.join(root, "manifests", _manifest_name(txid))) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"snapshot {txid!r} not found under {root} (never published, "
+                "or vacuumed past the retention window)"
+            ) from None
+    m = current_manifest(root)
+    while m is not None:
+        if int(m.get("seq", 1)) == seq:
+            return m
+        parent = m.get("parent")
+        if not parent:
+            break
+        try:
+            with open(os.path.join(root, "manifests", parent)) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            break
+    raise FileNotFoundError(
+        f"snapshot seq={seq} not reachable under {root} (never published, "
+        "or vacuumed past the retention window)"
+    )
+
+
+def read_snapshot(
+    spark: SparkSession,
+    root: str,
+    txid: str | None = None,
+    seq: int | None = None,
+) -> DataFrame:
+    """Read a historical snapshot by txid or commit seq (time travel):
+    published snapshot dirs are immutable and vacuum retains the last
+    ``retain`` superseded manifests, so any retained version reads back
+    bit-identical to the moment it was committed."""
+    m = snapshot_manifest(root, txid=txid, seq=seq)
+    return spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+
+
+def read_partitions(
+    spark: SparkSession, root: str, values: list[str]
+) -> tuple[DataFrame, int]:
+    """Manifest-side partition pruning: read ONLY the named partition
+    values' files from the current partition-overwrite manifest, without
+    ever listing the data directories — at 100 TB the manifest IS the
+    partition index, and a day-scoped reader opens one day's files
+    instead of globbing the lake. Returns (frame, n_files_read) so
+    callers can certify how little was touched."""
+    m = current_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    if "partitions" not in m:
+        raise ValueError(
+            f"{root} is a whole-snapshot table; partition reads need a "
+            "publish_partition_overwrite lineage"
+        )
+    files = [f for v in values for f in m["partitions"].get(str(v), [])]
+    if not files:
+        raise FileNotFoundError(
+            f"none of partitions {values!r} exist in the current manifest"
+        )
+    df = spark.read.parquet(*[os.path.join(root, f) for f in files])
+    return df, len(files)
+
+
 def _retained_chain(root: str, retain: int) -> list[dict]:
     """The current manifest plus up to ``retain`` ancestors, following
     parent links (broken/missing links end the walk)."""

@@ -182,6 +182,12 @@ WINDOW_PRIORITY += [
     # publishes (verdict r08 #1): a poisoned rebuild crashed
     # post-manifest must leave the committed mart bit-identical
     "q_registry_build",
+    # snapshot time travel over the retained manifest lineage
+    # (ROADMAP_r10 #2 pulled forward): VERSION AS OF on plain parquet
+    "q_time_travel",
+    # manifest-side partition pruning (ROADMAP_r10 #4 pulled forward):
+    # a day-scoped read resolves to exactly its files, count in hash
+    "q_partition_pruned_read",
 ]
 
 

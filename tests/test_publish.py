@@ -286,3 +286,39 @@ def test_partition_overwrite_refuses_snapshot_protocol_root(spark, root):
     with pytest.raises(ValueError, match="whole-snapshot"):
         P.publish_partition_overwrite(spark, _days(spark, 1), root, "dt")
     assert _snap(P.read_current(spark, root)) == _snap(_frame(spark, 1))
+
+
+def test_read_snapshot_time_travel_and_vacuum_bound(spark, root):
+    """Time travel reads any RETAINED version bit-identically; a version
+    vacuumed past the retention window raises instead of misreading."""
+    for tag in (1, 2, 3):
+        P.publish_next(spark, _frame(spark, tag), root)
+    assert _snap(P.read_snapshot(spark, root, seq=1)) == _snap(_frame(spark, 1))
+    assert _snap(P.read_snapshot(spark, root, txid="t2")) == _snap(
+        _frame(spark, 2)
+    )
+    assert _snap(P.read_snapshot(spark, root, seq=3)) == _snap(
+        P.read_current(spark, root)
+    )
+    P.vacuum(root)  # retain=1: t1 leaves the window
+    assert _snap(P.read_snapshot(spark, root, seq=2)) == _snap(_frame(spark, 2))
+    with pytest.raises(FileNotFoundError, match="retention"):
+        P.read_snapshot(spark, root, seq=1)
+    with pytest.raises(ValueError, match="exactly one"):
+        P.snapshot_manifest(root)
+
+
+def test_read_partitions_prunes_by_manifest(spark, root):
+    P.publish_partition_overwrite(spark, _days(spark, 1), root, "dt")
+    df, n_files = P.read_partitions(spark, root, ["2024-01-02"])
+    assert n_files >= 1
+    got = {str(r["dt"]) for r in df.select("dt").distinct().collect()}
+    assert got == {"2024-01-02"}  # the other day's files were never opened
+    with pytest.raises(FileNotFoundError, match="none of partitions"):
+        P.read_partitions(spark, root, ["1999-01-01"])
+
+
+def test_read_partitions_refuses_whole_snapshot_root(spark, root):
+    P.publish_snapshot(spark, _frame(spark, 1), root, "tx1")
+    with pytest.raises(ValueError, match="whole-snapshot"):
+        P.read_partitions(spark, root, ["x"])
