@@ -835,21 +835,70 @@ def q_stream_mart_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def read_ann_arrivals(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The accumulated ANN arrivals log: one subdirectory per applied
-    micro-batch (``arrivals/b<id>``), so a batch REPLAY overwrites its
-    own subdir instead of double-appending rows into a shared dir —
-    the idempotency unit of the maintenance loop."""
+def _ann_arrival_dirs(state_dir: str) -> list[str]:
     import os
 
-    return spark.read.option("recursiveFileLookup", "true").parquet(
-        os.path.join(state_dir, "arrivals")
+    arr = os.path.join(state_dir, "arrivals")
+    if not os.path.isdir(arr):
+        return []
+    return sorted(
+        os.path.join(arr, d) for d in os.listdir(arr) if d.startswith("b")
     )
+
+
+def read_ann_arrivals(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """The NOT-YET-FOLDED ANN arrivals: one subdirectory per applied
+    micro-batch (``arrivals/b<id>``), so a batch REPLAY overwrites its
+    own subdir instead of double-appending rows into a shared dir — the
+    idempotency unit of the maintenance loop. Subdirs fold into the
+    published cells table at each refit (compaction), so this log is
+    bounded by the drift cadence, not the stream lifetime. None when
+    everything is folded."""
+    dirs = _ann_arrival_dirs(state_dir)
+    if not dirs:
+        return None
+    return spark.read.option("recursiveFileLookup", "true").parquet(*dirs)
+
+
+def ann_live_cells(
+    spark: SparkSession, corpus_cells_path: str, state_dir: str
+) -> DataFrame:
+    """The maintenance loop's full cell-assignment state: the published
+    folded cells table (or the static corpus index before the first
+    fold) plus the not-yet-folded arrivals. ALWAYS equals corpus cells
+    UNION every arrival ever ingested — folding moves rows between the
+    two sides without changing the union (the invariant the equality
+    tests pin)."""
+    import os
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    cells_root = os.path.join(state_dir, "cells")
+    if P.current_manifest(cells_root) is not None:
+        base = P.read_current(spark, cells_root)
+    else:
+        base = spark.read.parquet(corpus_cells_path)
+    arrivals = read_ann_arrivals(spark, state_dir)
+    return base if arrivals is None else base.unionByName(arrivals)
+
+
+def _truncate_folded_arrivals(state_dir: str, batch_id: int) -> None:
+    """Reclaim arrival subdirs folded into the cells table by batch
+    ``batch_id`` (everything with id <= batch_id — batches apply in
+    order, and a fold folds all arrivals present). Idempotent: safe to
+    re-run on crash replay."""
+    import os
+    import shutil
+
+    for d in _ann_arrival_dirs(state_dir):
+        if int(os.path.basename(d)[1:]) <= batch_id:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 # crash seams of the per-batch maintenance body, in order
 ANN_AFTER_ARRIVALS = "after_arrivals"
 ANN_AFTER_PUBLISH = "after_publish"
+ANN_AFTER_FOLD = "after_fold"
 
 
 def ann_apply_batch(
@@ -875,6 +924,13 @@ def ann_apply_batch(
       replay after a post-publish crash adopts the committed snapshot
       instead of raising on the duplicate txid, and a replay of a
       superseded batch never regresses the pointer;
+    - on refit, the arrivals FOLD into the published cells table
+      (compaction — ROADMAP_r10 #1): one atomic cells snapshot (txid
+      ``b<id>``) absorbs corpus + every arrival so far, then the folded
+      subdirs truncate, so the gauge's input is bounded by the drift
+      cadence, not the stream lifetime. A replay that finds the fold
+      already committed skips straight to the (idempotent) truncation —
+      the fold manifest, not a marker, is the applied record;
     - the applied-batch marker is written LAST, purely as a fast-skip.
 
     ``crash_hook`` is the test seam (publish_snapshot's pattern)."""
@@ -891,6 +947,16 @@ def ann_apply_batch(
     if os.path.exists(marker) or batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
+    cells_root = os.path.join(state_dir, "cells")
+    fold_manifest = os.path.join(
+        cells_root, "manifests", f"manifest-b{batch_id}.json"
+    )
+    if os.path.exists(fold_manifest):
+        # a previous attempt died between the fold commit and the marker:
+        # the refit and fold are durable; finish the truncation and mark
+        _truncate_folded_arrivals(state_dir, batch_id)
+        open(marker, "w").close()
+        return
     assigned = row_assign_cells(batch_df, anchors).select(
         "vec_id", "anchor_id", "acos"
     )
@@ -899,9 +965,7 @@ def ann_apply_batch(
     )
     if crash_hook:
         crash_hook(ANN_AFTER_ARRIVALS)
-    cells = spark.read.parquet(corpus_cells_path).unionByName(
-        read_ann_arrivals(spark, state_dir)
-    )
+    cells = ann_live_cells(spark, corpus_cells_path, state_dir)
     flagged = cell_drift_gauge(cells).where(F.col("recluster") == 1).count()
     if flagged > 0:
         P.ensure_published(
@@ -910,7 +974,18 @@ def ann_apply_batch(
             os.path.join(state_dir, "refit"),
             f"b{batch_id}",
         )
-    if crash_hook:
+        if crash_hook:
+            crash_hook(ANN_AFTER_PUBLISH)
+        # compaction: fold exactly the state the gauge/refit just read
+        # into one published cells snapshot, then drop the folded subdirs
+        P.ensure_published(spark, cells, cells_root, f"b{batch_id}")
+        if crash_hook:
+            crash_hook(ANN_AFTER_FOLD)
+        _truncate_folded_arrivals(state_dir, batch_id)
+        # retention-grace vacuum: keep the previous fold for in-flight
+        # gauge readers, reclaim older generations (metadata-only walk)
+        P.vacuum(cells_root, retain=1)
+    elif crash_hook:
         crash_hook(ANN_AFTER_PUBLISH)
     open(marker, "w").close()
 
@@ -932,10 +1007,13 @@ def run_ann_maintenance(
     1. scan-side assignment of the batch's vectors against the frozen
        anchor literal (row_assign_cells — no join, no keyed state),
        appended to the persisted arrivals log under ``state_dir``;
-    2. the drift gauge recomputed over persisted index + ALL arrivals
-       (cell_drift_gauge — the identical |anchors|-row rollup the keyed
-       gauge hashes); the trigger is ONE scalar: count of cells with
-       ``recluster`` set;
+    2. the drift gauge recomputed over the published cells table + the
+       not-yet-folded arrivals (cell_drift_gauge — the identical
+       |anchors|-row rollup the keyed gauge hashes); the trigger is ONE
+       scalar: count of cells with ``recluster`` set. Each refit FOLDS
+       the arrivals into an atomically published cells snapshot and
+       truncates the log, so the gauge input is bounded by the drift
+       cadence, never the stream lifetime;
     3. when any cell flags, the budgeted partial refit (refit_partial —
        the identical body the keyed refit hashes) runs over the same
        cells frame and is PUBLISHED atomically via the manifest/rename

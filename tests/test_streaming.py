@@ -690,13 +690,24 @@ def test_ann_maintenance_loop_matches_batch_refit(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(180)
 
-    # the arrivals log accumulated BOTH micro-batches
+    # every ingested vector is accounted for: folded into the published
+    # cells table (compaction at each refit) or still in the arrivals log
     import os
 
-    from saas_analytics_pipeline_spark.streaming.jobs import read_ann_arrivals
+    from saas_analytics_pipeline_spark.plans import publish as P2
+    from saas_analytics_pipeline_spark.streaming.jobs import (
+        ann_live_cells,
+        read_ann_arrivals,
+    )
 
-    arrivals = read_ann_arrivals(spark, state_dir)
-    assert arrivals.count() == batch.count()
+    live = ann_live_cells(spark, corpus_cells_path, state_dir)
+    n_corpus = spark.read.parquet(corpus_cells_path).count()
+    assert live.count() - n_corpus == batch.count()
+    # the last refit folded: the cells table is published and the folded
+    # arrival subdirs are gone
+    assert P2.current_manifest(os.path.join(state_dir, "cells")) is not None
+    remaining = read_ann_arrivals(spark, state_dir)
+    assert remaining is None or remaining.count() < batch.count()
 
     # the published refit == the batch key, bit-for-bit
     qcatalog.load_all()
@@ -736,9 +747,10 @@ def test_ann_maintenance_crash_replay_idempotent(spark, sf_dir, tmp_path):
     from saas_analytics_pipeline_spark.plans import publish as P
     from saas_analytics_pipeline_spark.streaming.jobs import (
         ANN_AFTER_ARRIVALS,
+        ANN_AFTER_FOLD,
         ANN_AFTER_PUBLISH,
         ann_apply_batch,
-        read_ann_arrivals,
+        ann_live_cells,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -771,21 +783,20 @@ def test_ann_maintenance_crash_replay_idempotent(spark, sf_dir, tmp_path):
             assert not os.path.exists(os.path.join(markers, "1"))
         ann_apply_batch(b1, 1, *args)  # the replay (or the clean apply)
         ann_apply_batch(b1, 1, *args)  # marker fast-skip: a second replay
-        arr = read_ann_arrivals(spark, state)
-        gauge = cell_drift_gauge(
-            spark.read.parquet(corpus_cells_path).unionByName(arr)
-        )
+        live = ann_live_cells(spark, corpus_cells_path, state)
+        gauge = cell_drift_gauge(live)
         refit = P.read_current(spark, os.path.join(state, "refit"))
         return (
-            sorted(tuple(r) for r in arr.collect()),
+            sorted(tuple(r) for r in live.collect()),
             sorted(tuple(r) for r in gauge.collect()),
             sorted(tuple(r) for r in refit.collect()),
             P.current_manifest(os.path.join(state, "refit"))["txid"],
         )
 
     clean = run("clean", None)
-    assert len(clean[0]) == batch.count()
-    for seam in (ANN_AFTER_ARRIVALS, ANN_AFTER_PUBLISH):
+    corpus_n = spark.read.parquet(corpus_cells_path).count()
+    assert len(clean[0]) == corpus_n + batch.count()
+    for seam in (ANN_AFTER_ARRIVALS, ANN_AFTER_PUBLISH, ANN_AFTER_FOLD):
         assert run(seam, seam) == clean
 
 
