@@ -154,6 +154,7 @@ def build_parallel(
     spark: SparkSession,
     warehouse_dir: str,
     max_workers: int = 4,
+    crash_hook=None,
 ) -> dict[str, DataFrame]:
     """Level-parallel build: models whose dependencies are all built run
     CONCURRENTLY (thread pool submitting independent Spark jobs — the
@@ -186,7 +187,7 @@ def build_parallel(
             # same atomic publish as the serial build; the fence is
             # per-model-root, so concurrent WAVE members never contend
             root = f"{warehouse_dir}/{m.layer}/{name}"
-            P.publish_next(spark, df, root)
+            P.publish_next(spark, df, root, crash_hook=crash_hook)
             df = P.read_current(spark, root)
         return name, df
 

@@ -1870,3 +1870,23 @@ def test_bpe_multipass_nonclosed_table(spark):
     assert passes == 2
     assert out["abc"] == ["abc"]  # needed the second pass
     assert out["ba"] == ["b", "a"]  # no merge applies, untouched
+
+
+def test_dedup_clusters_deep_component_checkpoint_cadence(spark):
+    """A path graph deeper than the checkpoint cadence: convergence takes
+    >= diameter rounds, so the localCheckpoint cadence fires INSIDE the
+    run (the shallow testdata graphs converge before it would), and the
+    labels still collapse to one component."""
+    from saas_analytics_pipeline_spark.operators.dedup import (
+        CC_CKPT_EVERY,
+        dedup_clusters,
+    )
+
+    depth = 3 * CC_CKPT_EVERY  # 12 edges -> 13-node path
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(depth)], "a long, b long"
+    )
+    labels, n_iters = dedup_clusters(pairs)
+    assert n_iters > CC_CKPT_EVERY  # the cadence actually fired
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(depth + 1)}

@@ -207,3 +207,85 @@ def test_table_build_crash_leaves_previous_mart_committed(spark, tmp_path):
     v2 = sorted(tuple(r) for r in P.read_current(spark, root).collect())
     assert v2 != v1
     assert sorted(tuple(r) for r in built["m_tbl"].collect()) == v2
+
+
+def test_parallel_build_crash_leaves_committed_marts_readable(spark, tmp_path):
+    """Wave-parallel crash seam: a worker dying mid-publish of one wave
+    member must leave (a) every previously committed mart readable at its
+    old state and (b) the crashed mart's torn rebuild invisible."""
+    import threading
+
+    import pytest as _pytest
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+    from saas_analytics_pipeline_spark.registry import build_parallel
+
+    state = {"v": 1}
+    reg = ModelRegistry()
+
+    @reg.model("pw_src", layer="staging")
+    def pw_src(spark_, ref):
+        return spark_.range(20).select(
+            F.col("id").alias("k"), (F.col("id") * state["v"]).alias("val")
+        )
+
+    for i in (1, 2):  # two independent TABLE marts: one wave
+        def _mk(i=i):
+            def fn(spark_, ref):
+                return ref("pw_src").groupBy((F.col("k") % (i + 1)).alias("b")).agg(
+                    F.sum("val").alias("s")
+                )
+            return fn
+
+        reg.model(
+            f"pw_mart_{i}",
+            layer="marts",
+            materialization=Materialization.TABLE,
+            depends_on=("pw_src",),
+        )(_mk())
+
+    wh = str(tmp_path / "wh")
+    build_parallel(reg, spark, warehouse_dir=wh, max_workers=2)
+    v1 = {
+        i: sorted(
+            tuple(r)
+            for r in P.read_current(spark, f"{wh}/marts/pw_mart_{i}").collect()
+        )
+        for i in (1, 2)
+    }
+
+    state["v"] = 50  # the rebuild would change every row
+    died = threading.Event()
+
+    def die_once(barrier: str) -> None:
+        # kill exactly ONE worker's publish at the most dangerous barrier
+        if barrier == P.AFTER_MANIFEST and not died.is_set():
+            died.set()
+            raise RuntimeError("wave worker killed mid-commit")
+
+    with _pytest.raises(RuntimeError, match="wave worker killed"):
+        build_parallel(
+            reg, spark, warehouse_dir=wh, max_workers=2, crash_hook=die_once
+        )
+    # every mart still reads its committed state: either the old build
+    # (the crashed/abandoned worker) or a fully committed new one
+    for i in (1, 2):
+        got = sorted(
+            tuple(r)
+            for r in P.read_current(spark, f"{wh}/marts/pw_mart_{i}").collect()
+        )
+        new = sorted(
+            tuple(r)
+            for r in reg.models[f"pw_mart_{i}"]
+            .fn(spark, lambda n: reg.models[n].fn(spark, None))
+            .collect()
+        )
+        assert got in (v1[i], new)
+    # the retry commits everything
+    build_parallel(reg, spark, warehouse_dir=wh, max_workers=2)
+    for i in (1, 2):
+        got = sorted(
+            tuple(r)
+            for r in P.read_current(spark, f"{wh}/marts/pw_mart_{i}").collect()
+        )
+        assert got != v1[i]
