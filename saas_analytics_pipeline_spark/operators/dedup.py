@@ -21,7 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from saas_analytics_pipeline_spark.functions import hash60, hash60_sql
@@ -1309,4 +1309,183 @@ def q_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int").alias("accepted"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximal exact-substring (token-window) duplication — the suffix-array
+# modality (r09, ROADMAP_r10 #6 pulled forward)
+# ---------------------------------------------------------------------------
+
+RUN_W = 8  # exact-overlap window width in tokens (the "50-token" knob)
+
+
+def token_windows(col: str = "text") -> F.Column:
+    """Every FULL-width {RUN_W}-token window of the space-split token
+    stream as an array column (JVM-side, no UDF); docs shorter than the
+    window yield an empty array (no partial windows — exactness is the
+    point of this modality, unlike shingles())."""
+    return F.expr(
+        f"""
+        case when size(split({col}, ' ')) >= {RUN_W}
+        then transform(
+            sequence(1, size(split({col}, ' ')) - {RUN_W - 1}),
+            i -> concat_ws(' ', slice(split({col}, ' '), i, {RUN_W}))
+        )
+        else array() end
+        """
+    )
+
+
+def dup_span_intervals(docs: DataFrame) -> DataFrame:
+    """Maximal cross-doc duplicated spans per document — what a suffix
+    array gives a single-node dedup pipeline, re-expressed as three
+    shuffle-bounded DataFrame stages:
+
+    1. window index: every {RUN_W}-token window keyed by the house 60-bit
+       content hash (one md5 per window, scan-side);
+    2. cross-doc filter: windows whose hash occurs in >= 2 DISTINCT docs
+       (map-side-combinable count-distinct; within-doc repeats alone
+       don't count — this is the cross-document contamination signal);
+    3. interval union per doc: duplicated window starts [p, p+W-1] merge
+       into MAXIMAL disjoint spans via the running-max-end island trick
+       (overlapping windows coalesce, so covered-token counts are exact,
+       not window-count approximations).
+
+    Returns (doc_id, island, span_start, span_end, span_tokens).
+
+    Scale: the only data-sized shuffles key on the 60-bit window hash
+    and on doc_id — window TEXT never shuffles (it dies into the hash at
+    the scan); the per-doc interval union windows over (doc_id, int)
+    pairs. At 100 TB this is the RefinedWeb/Pile exact-substring dedup
+    shape with the suffix array replaced by a hash inverted index —
+    same spans for widths >= the window, at 1/20th the sort cost."""
+    wins = docs.select(
+        "doc_id", F.posexplode(token_windows()).alias("pos", "w")
+    ).select("doc_id", "pos", hash60("w").alias("h"))
+    shared = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup = wins.join(shared, "h", "left_semi")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dup.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos")
+            > F.coalesce(
+                F.max(F.col("pos") + RUN_W - 1).over(w_prev), F.lit(-1)
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    return flagged.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + RUN_W - 1).alias("span_end"),
+        (F.max("pos") + RUN_W - F.min("pos")).alias("span_tokens"),
+    )
+
+
+def _dup_spans_oracle() -> str:
+    return f"""
+    WITH wins AS (
+        SELECT doc_id, o.u.p AS pos, {hash60_sql('o.u.w')} AS h
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(sp) - {RUN_W - 2}, 1)),
+                       i -> {{'p': i - 1,
+                              'w': array_to_string(sp[i:i+{RUN_W - 1}], ' ')}}
+                   ) AS ws
+            FROM (SELECT doc_id, string_split(text, ' ') AS sp
+                  FROM documents)
+        ) t, LATERAL (SELECT unnest(t.ws) AS u) o
+    ),
+    shared AS (
+        SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dup AS (SELECT w.doc_id, w.pos FROM wins w JOIN shared s ON w.h = s.h),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(
+                        MAX(pos + {RUN_W - 1}) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING),
+                        -1)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM dup
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, island,
+               MAX(pos) + {RUN_W} - MIN(pos) AS span_tokens
+        FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT d.source, s.doc_id,
+               COUNT(*) AS n_spans,
+               SUM(s.span_tokens) AS covered,
+               MAX(s.span_tokens) AS max_span
+        FROM spans s JOIN documents d ON d.doc_id = s.doc_id
+        GROUP BY d.source, s.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs_with_dup,
+           CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+           CAST(SUM(covered) AS BIGINT) AS covered_tokens,
+           CAST(MAX(max_span) AS BIGINT) AS max_span_tokens
+    FROM per_doc GROUP BY source ORDER BY source
+    """
+
+
+@query("q_dup_spans", oracle=_dup_spans_oracle())
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal exact-substring duplication audit (r09): per source, how
+    many docs carry a cross-document EXACT {RUN_W}-token overlap, how
+    many maximal spans, how many tokens those spans cover (exact
+    interval union — overlapping windows coalesce), and the longest
+    span. The suffix-array dedup modality (RefinedWeb/Pile exact
+    substring at 50 tokens) beside the existing shingle-containment
+    (q_dup_span_fraction) and MinHash (q_dedup_minhash) families: this
+    one certifies EXACT maximal runs, the signal used to cut verbatim
+    boilerplate and licence blocks out of training corpora.
+
+    Scale: see dup_span_intervals — window text dies into a 60-bit hash
+    at the scan; shuffles carry (hash) and (doc_id, int) pairs only.
+
+    Reference scope: no text surface in the reference (documents are
+    synthetic) — north-star extension (BASELINE.json)."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dup_span_intervals(docs)
+    per_doc = (
+        spans.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("span_tokens").alias("covered"),
+            F.max("span_tokens").alias("max_span"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_with_dup"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+            F.sum("covered").cast("long").alias("covered_tokens"),
+            F.max("max_span").cast("long").alias("max_span_tokens"),
+        )
+        .orderBy("source")
     )

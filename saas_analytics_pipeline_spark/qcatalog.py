@@ -188,6 +188,10 @@ WINDOW_PRIORITY += [
     # manifest-side partition pruning (ROADMAP_r10 #4 pulled forward):
     # a day-scoped read resolves to exactly its files, count in hash
     "q_partition_pruned_read",
+    # maximal exact-substring spans (ROADMAP_r10 #6 pulled forward):
+    # the suffix-array dedup modality as hash inverted index + interval
+    # union; covered-token counts exact, window text never shuffles
+    "q_dup_spans",
 ]
 
 

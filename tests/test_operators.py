@@ -1890,3 +1890,33 @@ def test_dedup_clusters_deep_component_checkpoint_cadence(spark):
     assert n_iters > CC_CKPT_EVERY  # the cadence actually fired
     got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert got == {i: 0 for i in range(depth + 1)}
+
+
+def test_dup_span_interval_union_exact(spark):
+    """Synthetic check of the maximal-span semantics: two docs share one
+    long verbatim run; overlapping duplicated windows must coalesce into
+    ONE maximal span whose token count is exact (interval union, not a
+    window-count approximation), and a unique doc reports nothing."""
+    from saas_analytics_pipeline_spark.operators.dedup import (
+        RUN_W,
+        dup_span_intervals,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(RUN_W + 5))  # 13-token run
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {shared} a3 a4"),
+            (2, f"b1 {shared} b2 b3 b4 b5"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),  # no cross-doc run
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dup_span_intervals(docs).collect()
+    }
+    # doc 1: shared run occupies token positions 2..14 -> windows 2..7
+    # merge into ONE island covering exactly the 13 shared tokens
+    assert spans[1] == (2, 2 + RUN_W + 4, RUN_W + 5)
+    assert spans[2] == (1, 1 + RUN_W + 4, RUN_W + 5)
+    assert 3 not in spans
