@@ -1054,9 +1054,12 @@ def q_similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe_rerank(q, cells, anchors, emb)
 
 
-@query(
-    "q_ivf_cell_drift",
-    oracle=f"""
+def _drift_oracle() -> str:
+    """The drift-gauge oracle, shared byte-identically by
+    q_ivf_cell_drift (one-shot batch assignment) and q_ann_maintenance
+    (the wired micro-batch loop incl. arrivals folding) — the two keys
+    MUST hash the same because folding preserves the cells union."""
+    return f"""
     WITH {_ivf_incr_ctes()},
     tagged AS (
         SELECT anchor_id, vec_id % {IVF_BATCH_MOD} = 0 AS is_batch,
@@ -1083,8 +1086,10 @@ def q_similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR avg_cos_batch < avg_cos_corpus - 0.05
                 THEN 1 ELSE 0 END AS recluster
     FROM per_cell ORDER BY anchor_id
-    """,
-)
+    """
+
+
+@query("q_ivf_cell_drift", oracle=_drift_oracle())
 def q_ivf_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell drift gauge — the re-cluster trigger for the incremental
     IVF index (q_similarity_ivf_incremental): for every pinned-anchor
@@ -1110,6 +1115,64 @@ def q_ivf_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_cells(batch, anchors)
     )
     return cell_drift_gauge(cells)
+
+
+@query("q_ann_maintenance", oracle=_drift_oracle())
+def q_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIRED ANN maintenance loop, driver-certified end to end
+    (r09): the exact foreachBatch body streaming/jobs.run_ann_maintenance
+    executes — ann_apply_batch — applied over TWO micro-batches of the
+    ingest vectors against a persisted corpus index, including the
+    per-batch arrivals subdirs, the atomic refit publish, and the
+    arrivals-into-cells FOLD (compaction). The returned frame is the
+    drift gauge over the loop's live cells state, and the oracle is
+    q_ivf_cell_drift's byte-identical SQL — the hash certifies the
+    folding invariant: published cells + unfolded arrivals ==
+    corpus + every arrival, no matter how the stream was batched or
+    when compaction fired.
+
+    Scale: per batch |batch| x N_ANCHORS scan-local argmax + one
+    |anchors|-row gauge; the fold rewrites the assignment table only at
+    refit cadence, so maintenance state is bounded by drift, not stream
+    lifetime (the production IVF lifecycle, crash matrix in
+    tests/test_streaming.py)."""
+    import os
+    import shutil
+
+    from saas_analytics_pipeline_spark.scratch import scratch_path
+    from saas_analytics_pipeline_spark.streaming.jobs import (
+        ann_apply_batch,
+        ann_live_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % IVF_BATCH_MOD != 0)
+    batch = emb.where(F.col("vec_id") % IVF_BATCH_MOD == 0)
+    anchors = pinned_anchors(corpus)
+    state = scratch_path("saas_ann_maint", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)
+    corpus_cells = os.path.join(state, "corpus_cells")
+    assign_cells(corpus, anchors).select(
+        "vec_id", "anchor_id", "acos"
+    ).write.parquet(corpus_cells)
+    markers = os.path.join(state, "markers")
+    os.makedirs(markers)
+    for i, pred in enumerate(
+        (
+            F.col("vec_id") % (2 * IVF_BATCH_MOD) == 0,
+            F.col("vec_id") % (2 * IVF_BATCH_MOD) != 0,
+        )
+    ):
+        ann_apply_batch(
+            batch.where(pred).select("vec_id", "embedding"),
+            i,
+            anchors,
+            corpus_cells,
+            emb,
+            state,
+            markers,
+        )
+    return cell_drift_gauge(ann_live_cells(spark, corpus_cells, state))
 
 
 def cell_drift_gauge(cells: DataFrame) -> DataFrame:

@@ -192,6 +192,11 @@ WINDOW_PRIORITY += [
     # the suffix-array dedup modality as hash inverted index + interval
     # union; covered-token counts exact, window text never shuffles
     "q_dup_spans",
+    # the wired ANN maintenance loop driver-certified (incl. the r09
+    # arrivals-into-cells compaction): ann_apply_batch over two
+    # micro-batches must gauge-hash identically to the one-shot batch
+    # assignment (q_ivf_cell_drift's byte-identical oracle)
+    "q_ann_maintenance",
 ]
 
 
