@@ -1489,3 +1489,198 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def foreign_dup_spans(docs: DataFrame) -> DataFrame:
+    """Maximal spans to CUT under keep-first semantics: a window is
+    foreign-duplicated in a doc when its content hash occurs in >= 2
+    distinct docs AND this doc is not the hash's canonical owner (the
+    MIN doc_id containing it — deterministic, join-free to agree on).
+    Foreign window starts interval-union into maximal disjoint cut
+    spans per doc; the owner doc keeps its copy untouched.
+
+    Scale: same shuffle shape as dup_span_intervals (hash-keyed index,
+    (doc_id, int) islands); the owner resolution rides the same
+    per-hash aggregate that finds sharing."""
+    wins = docs.select(
+        "doc_id", F.posexplode(token_windows()).alias("pos", "w")
+    ).select("doc_id", "pos", hash60("w").alias("h"))
+    owners = (
+        wins.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("owner"),
+            F.countDistinct("doc_id").alias("nd"),
+        )
+        .where(F.col("nd") >= 2)
+        .select("h", "owner")
+    )
+    foreign = (
+        wins.join(owners, "h")
+        .where(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "pos")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = foreign.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos")
+            > F.coalesce(
+                F.max(F.col("pos") + RUN_W - 1).over(w_prev), F.lit(-1)
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    return flagged.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + RUN_W - 1).alias("span_end"),
+    )
+
+
+def _dup_spans_rewrite_oracle() -> str:
+    return f"""
+    WITH wins AS (
+        SELECT doc_id, o.u.p AS pos, {hash60_sql('o.u.w')} AS h
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(sp) - {RUN_W - 2}, 1)),
+                       i -> {{'p': i - 1,
+                              'w': array_to_string(sp[i:i+{RUN_W - 1}], ' ')}}
+                   ) AS ws
+            FROM (SELECT doc_id, string_split(text, ' ') AS sp
+                  FROM documents)
+        ) t, LATERAL (SELECT unnest(t.ws) AS u) o
+    ),
+    owners AS (
+        SELECT h, MIN(doc_id) AS owner
+        FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    foreign_w AS (
+        SELECT w.doc_id, w.pos
+        FROM wins w JOIN owners o ON w.h = o.h
+        WHERE w.doc_id <> o.owner
+    ),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(
+                        MAX(pos + {RUN_W - 1}) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING),
+                        -1)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM foreign_w
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {RUN_W - 1} AS e
+        FROM isl GROUP BY doc_id, island
+    ),
+    toks AS (
+        SELECT doc_id, o.u.p AS pos, {hash60_sql('o.u.tok')} AS th
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, len(sp) + 1),
+                       i -> {{'p': i - 1, 'tok': sp[i]}}
+                   ) AS tl
+            FROM (SELECT doc_id, string_split(text, ' ') AS sp
+                  FROM documents)
+        ) t, LATERAL (SELECT unnest(t.tl) AS u) o
+    ),
+    removed AS (
+        SELECT t.doc_id,
+               COUNT(*) AS n_removed,
+               SUM(CAST(t.th AS DECIMAL(38,0))) AS h_removed
+        FROM toks t JOIN spans s
+          ON t.doc_id = s.doc_id AND t.pos BETWEEN s.s AND s.e
+        GROUP BY t.doc_id
+    ),
+    sizes AS (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks
+        FROM documents
+    )
+    SELECT z.source,
+           CAST(COUNT(r.doc_id) AS BIGINT) AS n_docs_cut,
+           CAST(SUM(z.n_toks) AS BIGINT) AS tokens_before,
+           CAST(SUM(z.n_toks) - COALESCE(SUM(r.n_removed), 0) AS BIGINT)
+               AS tokens_after,
+           CAST(COALESCE(SUM(r.n_removed), 0) AS BIGINT) AS tokens_removed,
+           CAST(COALESCE(SUM(r.h_removed), 0) % 1000000007 AS BIGINT)
+               AS removed_hash
+    FROM sizes z LEFT JOIN removed r ON z.doc_id = r.doc_id
+    GROUP BY z.source ORDER BY z.source
+    """
+
+
+@query("q_dup_spans_rewrite", oracle=_dup_spans_rewrite_oracle())
+def q_dup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of exact-substring dedup (r09): cut every maximal
+    foreign-duplicated span (keep-first by doc_id — the hash's MIN doc
+    keeps its copy) and account for the rewrite per source:
+    tokens before/after, tokens removed, and a position-exact checksum
+    of the REMOVED tokens (decimal sum of their 60-bit hashes, taken
+    mod 1e9+7 so the check stays exact-integer cross-engine) — a
+    rewrite that cut the wrong positions, cut the owner's copy, or
+    double-cut overlapping spans breaks the checksum even when the
+    counts happen to agree.
+
+    Scale: owner resolution rides the same hash-keyed aggregate as
+    detection; the rewrite join is token-rows x tiny-per-doc spans,
+    equi on doc_id with a range residual — the linear one-touch cost
+    any rewrite must pay, with window/token TEXT dying into hashes at
+    the scan.
+
+    Reference scope: north-star extension (BASELINE.json)."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = foreign_dup_spans(docs)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).select("doc_id", "pos", hash60("tok").alias("th"))
+    removed = (
+        toks.join(
+            spans,
+            (toks.doc_id == spans.doc_id)
+            & (toks.pos >= spans.span_start)
+            & (toks.pos <= spans.span_end),
+        )
+        .groupBy(toks.doc_id.alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_removed"),
+            F.sum(F.col("th").cast("decimal(38,0)")).alias("h_removed"),
+        )
+    )
+    sizes = docs.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    return (
+        sizes.join(removed, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("n_removed").cast("long").alias("n_docs_cut"),
+            F.sum("n_toks").cast("long").alias("tokens_before"),
+            (F.sum("n_toks") - F.coalesce(F.sum("n_removed"), F.lit(0)))
+            .cast("long")
+            .alias("tokens_after"),
+            F.coalesce(F.sum("n_removed"), F.lit(0))
+            .cast("long")
+            .alias("tokens_removed"),
+            (
+                F.coalesce(F.sum("h_removed"), F.lit(0).cast("decimal(38,0)"))
+                % F.lit(1000000007)
+            )
+            .cast("long")
+            .alias("removed_hash"),
+        )
+        .orderBy("source")
+    )

@@ -197,6 +197,9 @@ WINDOW_PRIORITY += [
     # micro-batches must gauge-hash identically to the one-shot batch
     # assignment (q_ivf_cell_drift's byte-identical oracle)
     "q_ann_maintenance",
+    # the APPLY step of exact-substring dedup: keep-first cut with a
+    # position-exact modular checksum of the removed tokens
+    "q_dup_spans_rewrite",
 ]
 
 
