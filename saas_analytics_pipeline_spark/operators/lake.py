@@ -1530,3 +1530,124 @@ def q_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_custkey",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lake history certificate (r09): the manifest lineage as a queryable table
+# ---------------------------------------------------------------------------
+
+LH_BUMP1 = 2_000_000
+LH_BUMP2 = 9_000_000
+
+
+@query(
+    "q_lake_history",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT 1 AS seq, 't1' AS txid, o_orderkey, o_custkey FROM orders
+    ),
+    v2 AS (
+        SELECT 2, 't2', o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN o_custkey + {LH_BUMP1} ELSE o_custkey END
+        FROM orders
+    ),
+    v3 AS (
+        SELECT 3, 't3', o_orderkey,
+               o_custkey
+               + CASE WHEN o_orderkey % 3 = 0 THEN {LH_BUMP1} ELSE 0 END
+               + CASE WHEN o_orderkey % 4 = 0 THEN {LH_BUMP2} ELSE 0 END
+        FROM orders
+    ),
+    hist AS (
+        SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL
+        SELECT * FROM v3
+    )
+    SELECT seq, txid,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+    FROM hist GROUP BY seq, txid ORDER BY seq
+    """,
+)
+def q_lake_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW HISTORY over the publish lineage (r09): three builds of the
+    same table (publish_next — t1 raw, t2 bumps %3 custkeys, t3 adds a
+    %4 bump), with a POISONED build crashed after its manifest lands
+    between t2 and t3 (the orphan's seq is reclaimed by the next
+    publish, so it must never appear in history). The key walks the
+    parent chain and re-reads EVERY version through its manifest; each
+    version's rollup must equal the source replay of that build —
+    history that skipped a version, surfaced the crashed orphan, or
+    read any version's files torn breaks its row.
+
+    Scale: the walk opens one tiny JSON per retained version; each
+    version's read is the same explicit-file-list scan as read_current;
+    history depth is vacuum's retention choice.
+
+    Ref: BigQuery time travel / dbt snapshot history — the audit
+    surface the reference's WRITE_TRUNCATE loads lack."""
+    import shutil
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    root = scratch_path("saas_lake_history", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    v2 = orders.withColumn(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_custkey") + LH_BUMP1
+        ).otherwise(F.col("o_custkey")),
+    )
+    v3 = v2.withColumn(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 4 == 0, F.col("o_custkey") + LH_BUMP2
+        ).otherwise(F.col("o_custkey")),
+    )
+    P.publish_next(spark, orders, root)
+    P.publish_next(spark, v2, root)
+
+    def die(barrier: str) -> None:
+        if barrier == P.AFTER_MANIFEST:
+            raise RuntimeError("poisoned build killed mid-commit")
+
+    poisoned = orders.withColumn("o_custkey", -F.col("o_custkey"))
+    try:
+        P.publish_next(spark, poisoned, root, crash_hook=die)
+    except RuntimeError:
+        pass
+    P.publish_next(spark, v3, root)  # reclaims the orphan's seq
+
+    # the queryable history: walk the chain, re-read every version
+    chain = []
+    m = P.current_manifest(root)
+    while m is not None:
+        chain.append(m)
+        parent = m.get("parent")
+        m = None
+        if parent:
+            import json as _json
+            import os as _os
+
+            with open(_os.path.join(root, "manifests", parent)) as f:
+                m = _json.load(f)
+    out = None
+    for man in reversed(chain):
+        ver = (
+            P.read_snapshot(spark, root, txid=man["txid"])
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("o_custkey").cast("long").alias("sum_custkey"),
+            )
+            .select(
+                F.lit(int(man["seq"])).alias("seq"),
+                F.lit(man["txid"]).alias("txid"),
+                "n_rows",
+                "sum_custkey",
+            )
+        )
+        out = ver if out is None else out.unionByName(ver)
+    return out.orderBy("seq")

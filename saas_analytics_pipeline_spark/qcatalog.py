@@ -200,6 +200,9 @@ WINDOW_PRIORITY += [
     # the APPLY step of exact-substring dedup: keep-first cut with a
     # position-exact modular checksum of the removed tokens
     "q_dup_spans_rewrite",
+    # SHOW HISTORY over the publish lineage: every retained version
+    # re-read through its manifest, crashed orphan invisible
+    "q_lake_history",
 ]
 
 
