@@ -1320,24 +1320,24 @@ def q_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 RUN_W = 8  # exact-overlap window width in tokens (the "50-token" knob)
 
 
-def token_windows(col: str = "text") -> F.Column:
-    """Every FULL-width {RUN_W}-token window of the space-split token
+def token_windows(col: str = "text", w: int = RUN_W) -> F.Column:
+    """Every FULL-width ``w``-token window of the space-split token
     stream as an array column (JVM-side, no UDF); docs shorter than the
     window yield an empty array (no partial windows — exactness is the
     point of this modality, unlike shingles())."""
     return F.expr(
         f"""
-        case when size(split({col}, ' ')) >= {RUN_W}
+        case when size(split({col}, ' ')) >= {w}
         then transform(
-            sequence(1, size(split({col}, ' ')) - {RUN_W - 1}),
-            i -> concat_ws(' ', slice(split({col}, ' '), i, {RUN_W}))
+            sequence(1, size(split({col}, ' ')) - {w - 1}),
+            i -> concat_ws(' ', slice(split({col}, ' '), i, {w}))
         )
         else array() end
         """
     )
 
 
-def dup_span_intervals(docs: DataFrame) -> DataFrame:
+def dup_span_intervals(docs: DataFrame, w: int = RUN_W) -> DataFrame:
     """Maximal cross-doc duplicated spans per document — what a suffix
     array gives a single-node dedup pipeline, re-expressed as three
     shuffle-bounded DataFrame stages:
@@ -1361,7 +1361,7 @@ def dup_span_intervals(docs: DataFrame) -> DataFrame:
     shape with the suffix array replaced by a hash inverted index —
     same spans for widths >= the window, at 1/20th the sort cost."""
     wins = docs.select(
-        "doc_id", F.posexplode(token_windows()).alias("pos", "w")
+        "doc_id", F.posexplode(token_windows(w=w)).alias("pos", "w")
     ).select("doc_id", "pos", hash60("w").alias("h"))
     shared = (
         wins.groupBy("h")
@@ -1381,15 +1381,15 @@ def dup_span_intervals(docs: DataFrame) -> DataFrame:
         F.when(
             F.col("pos")
             > F.coalesce(
-                F.max(F.col("pos") + RUN_W - 1).over(w_prev), F.lit(-1)
+                F.max(F.col("pos") + w - 1).over(w_prev), F.lit(-1)
             ),
             1,
         ).otherwise(0),
     ).withColumn("island", F.sum("new_island").over(w_run))
     return flagged.groupBy("doc_id", "island").agg(
         F.min("pos").alias("span_start"),
-        (F.max("pos") + RUN_W - 1).alias("span_end"),
-        (F.max("pos") + RUN_W - F.min("pos")).alias("span_tokens"),
+        (F.max("pos") + w - 1).alias("span_end"),
+        (F.max("pos") + w - F.min("pos")).alias("span_tokens"),
     )
 
 

@@ -34,6 +34,8 @@ PROBES: list[tuple[str, list[str]]] = [
     ("layout_probe", []),
     ("bloom_probe", []),
     ("html_probe", []),
+    ("dupspan_probe", []),
+    ("ann_fold_probe", []),
 ]
 
 
