@@ -1337,6 +1337,35 @@ def token_windows(col: str = "text", w: int = RUN_W) -> F.Column:
     )
 
 
+def span_islands(dup_positions: DataFrame, w: int = RUN_W) -> DataFrame:
+    """Interval-union duplicated window starts into MAXIMAL disjoint
+    spans per doc (running-max-end islands): input (doc_id, pos), output
+    (doc_id, island, span_start, span_end, span_tokens). Shared by the
+    batch audit, the keep-first rewrite, and the incremental/stream
+    variants — one place owns the exactness argument (windows [p, p+w-1]
+    merge when they overlap or touch, so covered-token counts are
+    interval-exact)."""
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dup_positions.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + w - 1).over(w_prev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    return flagged.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + w - 1).alias("span_end"),
+        (F.max("pos") + w - F.min("pos")).alias("span_tokens"),
+    )
+
+
 def dup_span_intervals(docs: DataFrame, w: int = RUN_W) -> DataFrame:
     """Maximal cross-doc duplicated spans per document — what a suffix
     array gives a single-node dedup pipeline, re-expressed as three
@@ -1369,28 +1398,8 @@ def dup_span_intervals(docs: DataFrame, w: int = RUN_W) -> DataFrame:
         .where(F.col("nd") >= 2)
         .select("h")
     )
-    dup = wins.join(shared, "h", "left_semi")
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = Window.partitionBy("doc_id").orderBy("pos")
-    flagged = dup.withColumn(
-        "new_island",
-        F.when(
-            F.col("pos")
-            > F.coalesce(
-                F.max(F.col("pos") + w - 1).over(w_prev), F.lit(-1)
-            ),
-            1,
-        ).otherwise(0),
-    ).withColumn("island", F.sum("new_island").over(w_run))
-    return flagged.groupBy("doc_id", "island").agg(
-        F.min("pos").alias("span_start"),
-        (F.max("pos") + w - 1).alias("span_end"),
-        (F.max("pos") + w - F.min("pos")).alias("span_tokens"),
-    )
+    dup = wins.join(shared, "h", "left_semi").select("doc_id", "pos")
+    return span_islands(dup, w=w)
 
 
 def _dup_spans_oracle() -> str:
@@ -1519,25 +1528,8 @@ def foreign_dup_spans(docs: DataFrame) -> DataFrame:
         .where(F.col("doc_id") != F.col("owner"))
         .select("doc_id", "pos")
     )
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = Window.partitionBy("doc_id").orderBy("pos")
-    flagged = foreign.withColumn(
-        "new_island",
-        F.when(
-            F.col("pos")
-            > F.coalesce(
-                F.max(F.col("pos") + RUN_W - 1).over(w_prev), F.lit(-1)
-            ),
-            1,
-        ).otherwise(0),
-    ).withColumn("island", F.sum("new_island").over(w_run))
-    return flagged.groupBy("doc_id", "island").agg(
-        F.min("pos").alias("span_start"),
-        (F.max("pos") + RUN_W - 1).alias("span_end"),
+    return span_islands(foreign, w=RUN_W).select(
+        "doc_id", "island", "span_start", "span_end"
     )
 
 
@@ -1681,6 +1673,147 @@ def q_dup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("removed_hash"),
+        )
+        .orderBy("source")
+    )
+
+
+def doc_window_positions(docs: DataFrame, w: int = RUN_W) -> DataFrame:
+    """(doc_id, pos, h): every full-width window's start position and
+    60-bit content hash — the probe-side input of the incremental /
+    streaming span detectors. Window text dies into the hash scan-side."""
+    return docs.select(
+        "doc_id", F.posexplode(token_windows(w=w)).alias("pos", "w")
+    ).select("doc_id", "pos", hash60("w").alias("h"))
+
+
+def incremental_dup_spans(
+    new_docs: DataFrame, corpus_hashes: DataFrame, w: int = RUN_W
+) -> DataFrame:
+    """Maximal spans of NEW docs that duplicate the ALREADY-INGESTED
+    corpus (the incremental semantics: new-vs-corpus, not new-vs-new —
+    q_dedup_lsh_incremental's contract at exact-run grain): new docs'
+    windows semi-join the persisted corpus hash index, survivors
+    interval-union per doc.
+
+    Scale: the persisted index is (h) — 8 bytes a window, no text; the
+    probe is one hash-keyed semi-join + the (doc_id, int) islands. Per
+    micro-batch the stream side is |batch windows|, never corpus-sized."""
+    wins = doc_window_positions(new_docs, w=w)
+    dup = wins.join(corpus_hashes, "h", "left_semi").select("doc_id", "pos")
+    return span_islands(dup, w=w)
+
+
+def _dup_spans_incr_oracle() -> str:
+    return f"""
+    WITH wins AS (
+        SELECT doc_id, o.u.p AS pos, {hash60_sql('o.u.w')} AS h
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(sp) - {RUN_W - 2}, 1)),
+                       i -> {{'p': i - 1,
+                              'w': array_to_string(sp[i:i+{RUN_W - 1}], ' ')}}
+                   ) AS ws
+            FROM (SELECT doc_id, string_split(text, ' ') AS sp
+                  FROM documents)
+        ) t, LATERAL (SELECT unnest(t.ws) AS u) o
+    ),
+    corpus_h AS (
+        SELECT DISTINCT h FROM wins WHERE doc_id % 2 <> 0
+    ),
+    dup AS (
+        SELECT w.doc_id, w.pos FROM wins w
+        JOIN corpus_h c ON w.h = c.h
+        WHERE w.doc_id % 2 = 0
+    ),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(
+                        MAX(pos + {RUN_W - 1}) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING),
+                        -1)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM dup
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, island,
+               MAX(pos) + {RUN_W} - MIN(pos) AS span_tokens
+        FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT d.source, s.doc_id,
+               COUNT(*) AS n_spans,
+               SUM(s.span_tokens) AS covered,
+               MAX(s.span_tokens) AS max_span
+        FROM spans s JOIN documents d ON d.doc_id = s.doc_id
+        GROUP BY d.source, s.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs_with_dup,
+           CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+           CAST(SUM(covered) AS BIGINT) AS covered_tokens,
+           CAST(MAX(max_span) AS BIGINT) AS max_span_tokens
+    FROM per_doc GROUP BY source ORDER BY source
+    """
+
+
+@query("q_dup_spans_incremental", oracle=_dup_spans_incr_oracle())
+def q_dup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring detection (r09): the corpus half
+    (odd doc_ids) persists its window-hash index ONCE; the ingest half
+    (even doc_ids) probes it — new docs' maximal spans duplicating the
+    already-ingested corpus, per-source rollup in the hash. The
+    new-vs-corpus contract (not new-vs-new) is what a daily ingest
+    needs: yesterday's corpus never recomputes, today's batch costs
+    |batch windows|. The streaming twin (run_dupspan_stream) applies
+    the identical probe per micro-batch; batching-independence is
+    pinned by tests/test_streaming.py.
+
+    Scale: the persisted index is 8 bytes a window; the probe is one
+    hash-keyed semi-join + (doc_id, int) islands — see
+    incremental_dup_spans.
+
+    Reference scope: north-star extension (BASELINE.json)."""
+    import shutil
+
+    from saas_analytics_pipeline_spark.scratch import scratch_path
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_path = scratch_path("saas_dupspan_index", sf_dir)
+    shutil.rmtree(index_path, ignore_errors=True)
+    corpus = docs.where(F.col("doc_id") % 2 != 0)
+    doc_window_positions(corpus).select("h").distinct().write.parquet(
+        index_path
+    )
+    new_docs = docs.where(F.col("doc_id") % 2 == 0)
+    spans = incremental_dup_spans(
+        new_docs, spark.read.parquet(index_path)
+    )
+    per_doc = (
+        spans.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("span_tokens").alias("covered"),
+            F.max("span_tokens").alias("max_span"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_with_dup"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+            F.sum("covered").cast("long").alias("covered_tokens"),
+            F.max("max_span").cast("long").alias("max_span_tokens"),
         )
         .orderBy("source")
     )

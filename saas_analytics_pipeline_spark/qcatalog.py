@@ -203,6 +203,10 @@ WINDOW_PRIORITY += [
     # SHOW HISTORY over the publish lineage: every retained version
     # re-read through its manifest, crashed orphan invisible
     "q_lake_history",
+    # incremental exact-substring detection: new docs probe the
+    # persisted corpus window-hash index (new-vs-corpus contract);
+    # streaming twin batching-independence pinned by test_streaming
+    "q_dup_spans_incremental",
 ]
 
 

@@ -1054,3 +1054,42 @@ def run_ann_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_dupspan_stream(
+    docs: DataFrame, index_path: str, out_dir: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming exact-substring detection — q_dup_spans_incremental's
+    live twin: each micro-batch of NEW docs probes the persisted corpus
+    window-hash index (incremental_dup_spans: scan-side window hashing,
+    one hash-keyed semi-join, per-doc interval union) and writes its
+    spans to a per-batch subdir with OVERWRITE semantics (the
+    ann_apply_batch idempotency unit — replays rewrite, never
+    duplicate). Batching-independence holds because spans are per-doc
+    and a doc never splits across micro-batches; equality with the
+    one-shot batch computation is pinned by tests/test_streaming.py.
+
+    Scale: per batch |batch windows| probe rows against an 8-bytes-a-
+    window index; no stream state — the index is the state, and it
+    never recomputes."""
+    import os
+
+    from saas_analytics_pipeline_spark.operators.dedup import (
+        incremental_dup_spans,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spans = incremental_dup_spans(
+            batch_df, spark.read.parquet(index_path)
+        )
+        spans.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id}")
+        )
+
+    return (
+        docs.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

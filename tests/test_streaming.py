@@ -834,3 +834,61 @@ def test_mart_upsert_batch_replay_does_not_double_count(spark, sf_dir, tmp_path)
         for r in read_current(spark, target).collect()
     }
     assert got2 == want
+
+
+def test_dupspan_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming exact-substring detection == the one-shot incremental
+    batch computation, independent of micro-batching (docs never split
+    across batches, spans are per-doc)."""
+    import os
+
+    from saas_analytics_pipeline_spark.operators.dedup import (
+        doc_window_positions,
+        incremental_dup_spans,
+    )
+    from saas_analytics_pipeline_spark.streaming.jobs import run_dupspan_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 != 0)
+    new_docs = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+
+    index_path = str(tmp_path / "dupspan_index")
+    doc_window_positions(corpus).select("h").distinct().write.parquet(index_path)
+
+    # stage the new docs as TWO stream files -> two micro-batches
+    src = tmp_path / "dupspan_src"
+    src.mkdir()
+    import glob as _glob
+
+    for i, pred in enumerate(
+        (F.col("doc_id") % 4 == 0, F.col("doc_id") % 4 != 0)
+    ):
+        stage = tmp_path / f"ds_stage{i}"
+        new_docs.where(pred).coalesce(1).write.parquet(str(stage))
+        (part,) = _glob.glob(str(stage / "part-*.parquet"))
+        shutil.copy(part, src / f"f{i}.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out_dir = str(tmp_path / "dupspan_out")
+    q = run_dupspan_stream(
+        stream, index_path, out_dir, str(tmp_path / "dupspan_ckpt")
+    )
+    q.awaitTermination(180)
+
+    got = {
+        tuple(r)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in incremental_dup_spans(
+            new_docs, spark.read.parquet(index_path)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
