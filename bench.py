@@ -98,6 +98,12 @@ HEADLINE_R09 = [
     "q_dedup_clusters_converged",
     "q_publish_lifecycle",
     "q_registry_build",
+    # the exact-substring family + the wired ANN loop: the round's new
+    # cost shapes (window explode -> hash index; token-touch rewrite
+    # join; assign/gauge/refit/fold cycle)
+    "q_dup_spans",
+    "q_dup_spans_rewrite",
+    "q_ann_maintenance",
 ]
 
 HEADLINE = (

@@ -51,6 +51,8 @@ def test_probe_record_is_complete_and_green():
         "skew_probe", "bucket_probe", "scd2_probe", "stream_probe",
         "ann_probe", "lsh_probe", "layout_probe", "bloom_probe",
         "html_probe",  # r09: the q_html_extract slope attribution
+        "dupspan_probe",  # r09: exact-substring window-width curve
+        "ann_fold_probe",  # r09: arrivals-compaction equality + cost
     }
     missing = expected - set(probes)
     assert not missing, f"probes missing from docs/PROBES.json: {missing}"
