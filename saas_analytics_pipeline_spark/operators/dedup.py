@@ -444,7 +444,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CC_MAX_ITERS = 50  # hard cap: a DEEP component past this FAILS LOUDLY
-CC_CKPT_EVERY = 4  # localCheckpoint cadence (the q_pagerank_converged house pattern)
+CC_CKPT_EVERY = 4  # legacy cadence knob (labels now checkpoint every round; kept for the deep-component test's depth parameter)
 
 
 def dedup_clusters(
@@ -464,9 +464,15 @@ def dedup_clusters(
     returning half-merged clusters (connected components is the dedup
     APPLY step — a silent cap at 100 TB wrongly splits a deep cluster
     and no one notices). The driver collects ONE scalar per round (the
-    changed-count); labels localCheckpoint every {CC_CKPT_EVERY} rounds
-    to truncate the per-round join lineage, and the edge frame
-    checkpoints ONCE so the upstream LSH pipeline never replays.
+    changed-count); labels localCheckpoint EVERY round (lazily — the
+    changed-count action materializes the blocks, so no extra job), and
+    the edge frame checkpoints ONCE so the upstream LSH pipeline never
+    replays. Per-round truncation, not a cadence: a cadence of K makes
+    each round re-execute every join since the last checkpoint
+    (~O(K^2) join executions per window — the r09 regression, ADVICE
+    r09), while per-round blocks free as the superseded generation's
+    plan is garbage-collected (no CacheManager strong refs, unlike
+    .cache()).
 
     The iterative shape Spark handles well: each round is one join + one
     min-agg (all distributed). Rounds needed = component diameter
@@ -499,8 +505,7 @@ def dedup_clusters(
             ).alias("cluster_id"),
         )
         n_iters += 1
-        if n_iters % CC_CKPT_EVERY == 0:
-            new_labels = new_labels.localCheckpoint()
+        new_labels = new_labels.localCheckpoint(eager=False)
         # the ONLY per-round driver action: a 1-row changed-count scalar
         changed = (
             new_labels.withColumnRenamed("cluster_id", "nc")
@@ -1343,8 +1348,11 @@ def span_islands(dup_positions: DataFrame, w: int = RUN_W) -> DataFrame:
     (doc_id, island, span_start, span_end, span_tokens). Shared by the
     batch audit, the keep-first rewrite, and the incremental/stream
     variants — one place owns the exactness argument (windows [p, p+w-1]
-    merge when they overlap or touch, so covered-token counts are
-    interval-exact)."""
+    merge when they OVERLAP — a window starting exactly at prev_end + 1
+    merely touches and starts a new island; covered-token counts are
+    interval-exact under either convention, only n_spans/max_span
+    differ, and the DuckDB oracles implement this same overlap-only
+    rule)."""
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -1388,17 +1396,22 @@ def dup_span_intervals(docs: DataFrame, w: int = RUN_W) -> DataFrame:
     the scan); the per-doc interval union windows over (doc_id, int)
     pairs. At 100 TB this is the RefinedWeb/Pile exact-substring dedup
     shape with the suffix array replaced by a hash inverted index —
-    same spans for widths >= the window, at 1/20th the sort cost."""
-    wins = docs.select(
-        "doc_id", F.posexplode(token_windows(w=w)).alias("pos", "w")
-    ).select("doc_id", "pos", hash60("w").alias("h"))
-    shared = (
-        wins.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+    same spans for widths >= the window, at 1/20th the sort cost.
+
+    r10: the cross-doc filter is a window aggregate over the hash
+    partition (max dense_rank == COUNT(DISTINCT doc_id)) instead of the
+    r09 groupBy + self-semi-join — the corpus is tokenized and hashed
+    ONCE (one Generate subtree) and the index shuffles ONCE on h,
+    instead of twice (aggregate input + probe side of the join)."""
+    wins = doc_window_positions(docs, w=w)
+    w_h = Window.partitionBy("h")
+    w_hd = Window.partitionBy("h").orderBy("doc_id")
+    dup = (
+        wins.withColumn("dr", F.dense_rank().over(w_hd))
+        .withColumn("nd", F.max("dr").over(w_h))
         .where(F.col("nd") >= 2)
-        .select("h")
+        .select("doc_id", "pos")
     )
-    dup = wins.join(shared, "h", "left_semi").select("doc_id", "pos")
     return span_islands(dup, w=w)
 
 
@@ -1509,23 +1522,17 @@ def foreign_dup_spans(docs: DataFrame) -> DataFrame:
     spans per doc; the owner doc keeps its copy untouched.
 
     Scale: same shuffle shape as dup_span_intervals (hash-keyed index,
-    (doc_id, int) islands); the owner resolution rides the same
-    per-hash aggregate that finds sharing."""
-    wins = docs.select(
-        "doc_id", F.posexplode(token_windows()).alias("pos", "w")
-    ).select("doc_id", "pos", hash60("w").alias("h"))
-    owners = (
-        wins.groupBy("h")
-        .agg(
-            F.min("doc_id").alias("owner"),
-            F.countDistinct("doc_id").alias("nd"),
-        )
-        .where(F.col("nd") >= 2)
-        .select("h", "owner")
-    )
+    (doc_id, int) islands); owner + sharing resolve as window
+    aggregates over the hash partition (r10: one Generate subtree, one
+    shuffle on h — see dup_span_intervals)."""
+    wins = doc_window_positions(docs, w=RUN_W)
+    w_h = Window.partitionBy("h")
+    w_hd = Window.partitionBy("h").orderBy("doc_id")
     foreign = (
-        wins.join(owners, "h")
-        .where(F.col("doc_id") != F.col("owner"))
+        wins.withColumn("dr", F.dense_rank().over(w_hd))
+        .withColumn("nd", F.max("dr").over(w_h))
+        .withColumn("owner", F.min("doc_id").over(w_h))
+        .where((F.col("nd") >= 2) & (F.col("doc_id") != F.col("owner")))
         .select("doc_id", "pos")
     )
     return span_islands(foreign, w=RUN_W).select(

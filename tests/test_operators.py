@@ -1873,10 +1873,10 @@ def test_bpe_multipass_nonclosed_table(spark):
 
 
 def test_dedup_clusters_deep_component_checkpoint_cadence(spark):
-    """A path graph deeper than the checkpoint cadence: convergence takes
-    >= diameter rounds, so the localCheckpoint cadence fires INSIDE the
-    run (the shallow testdata graphs converge before it would), and the
-    labels still collapse to one component."""
+    """A path graph much deeper than one round: convergence takes >=
+    diameter rounds, so the per-round lazy localCheckpoint fires many
+    times INSIDE the run (the shallow testdata graphs converge in 2-3),
+    and the labels still collapse to one component."""
     from saas_analytics_pipeline_spark.operators.dedup import (
         CC_CKPT_EVERY,
         dedup_clusters,
