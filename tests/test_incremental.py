@@ -66,6 +66,33 @@ def test_merge_upsert_replaces_and_appends(spark, tmp_path):
     assert merged == {(1, "a", 10), (2, "b2", 20), (3, "c", 10), (4, "d", 20)}
 
 
+def test_merge_upsert_roundtrips_through_published_target(spark, tmp_path):
+    """The docstring's documented loop — merge, write back via
+    write_day_increment, merge again — must close: the target read
+    resolves through the manifest when the path is a published table
+    (plain read.parquet on a manifest root would fail; ADVICE r09)."""
+    path = str(tmp_path / "pub_target")
+    base = spark.createDataFrame(
+        [(1, "a", 10, "2024-01-01"), (2, "b", 10, "2024-01-02")],
+        "k int, v string, ver int, d string",
+    )
+    write_day_increment(spark, base, path, "d")
+
+    inc1 = spark.createDataFrame(
+        [(2, "b2", 20, "2024-01-02"), (3, "c", 20, "2024-01-03")],
+        "k int, v string, ver int, d string",
+    ).withColumn("dt", F.to_date("d"))
+    merged1 = merge_upsert(spark, path, inc1, "k", "ver")
+    write_day_increment(spark, merged1.drop("dt"), path, "d")
+
+    inc2 = spark.createDataFrame(
+        [(1, "a2", 30, "2024-01-01")], "k int, v string, ver int, d string"
+    ).withColumn("dt", F.to_date("d"))
+    merged2 = merge_upsert(spark, path, inc2, "k", "ver")
+    got = {(r["k"], r["v"], r["ver"]) for r in merged2.collect()}
+    assert got == {(1, "a2", 30), (2, "b2", 20), (3, "c", 20)}
+
+
 def test_scd2_increment_equals_full_rebuild(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "ts"

@@ -34,6 +34,29 @@ def root(tmp_path):
     return str(tmp_path / "mart")
 
 
+@pytest.fixture(params=["local", "conditional_put"], autouse=True)
+def backend(request, monkeypatch):
+    """Run the WHOLE crash matrix under both commit backends: the
+    local rename-under-fence backend and the object-store
+    conditional-PUT backend (verdict r09 #3) — every old-or-never-torn
+    guarantee must hold on both. Patches the publish entry points'
+    default backend; tests that certify fence-specific behavior opt
+    out via the local_only marker."""
+    import functools
+
+    be = P.LOCAL if request.param == "local" else P.CONDITIONAL_PUT
+    if request.node.get_closest_marker("local_only") and be is not P.LOCAL:
+        pytest.skip("certifies the local writer fence specifically")
+    for fn_name in (
+        "publish_snapshot",
+        "ensure_published",
+        "publish_partition_overwrite",
+    ):
+        orig = getattr(P, fn_name)
+        monkeypatch.setattr(P, fn_name, functools.partial(orig, backend=be))
+    return be
+
+
 def _frame(spark, tag: int):
     return spark.range(100).select(
         F.col("id").alias("k"),
@@ -132,6 +155,7 @@ def test_reader_on_retained_snapshot_survives_vacuum(spark, root):
     assert _snap(P.read_current(spark, root)) == _snap(_frame(spark, 2))
 
 
+@pytest.mark.local_only
 def test_concurrent_publishers_fail_loudly(spark, root):
     """The writer fence: while one publisher holds the fence, a second
     publish (and a vacuum) raises ConcurrentPublishError instead of
@@ -322,3 +346,166 @@ def test_read_partitions_refuses_whole_snapshot_root(spark, root):
     P.publish_snapshot(spark, _frame(spark, 1), root, "tx1")
     with pytest.raises(ValueError, match="whole-snapshot"):
         P.read_partitions(spark, root, ["x"])
+
+
+# ---------------------------------------------------------------------------
+# r10: conditional-PUT contention, disjoint-partition concurrency, the
+# Hive-escape partition-key fix, and the vacuumed-replay ledger
+# ---------------------------------------------------------------------------
+
+
+def test_cas_lost_update_impossible(spark, root, backend):
+    """The lost-update certificate (verdict r09 #3): writer A reads the
+    table state, and B commits BEFORE A's conditional PUT lands. A's
+    whole-snapshot publish retries on the miss (last-wins semantics:
+    its frame is not derived from the old state) — but the retried
+    commit must sit ON TOP of B's commit in the lineage, so B's commit
+    is never silently discarded."""
+    if backend is P.LOCAL:
+        pytest.skip("the fence serializes whole publishes on local")
+    P.publish_snapshot(spark, _frame(spark, 1), root, "tx1")
+
+    interposed = []
+
+    def interpose(b):
+        if b == P.AFTER_MANIFEST and not interposed:
+            interposed.append(True)
+            # writer B lands a full commit between A's read and A's PUT
+            P.publish_snapshot(spark, _frame(spark, 2), root, "txB")
+
+    P.publish_snapshot(
+        spark, _frame(spark, 3), root, "txA", crash_hook=interpose
+    )
+    # A won the retried CAS; B's commit is A's parent, not lost
+    m = P.current_manifest(root)
+    assert m["txid"] == "txA"
+    assert m["parent"] == "manifest-txB.json"
+    assert m["seq"] == 3
+    assert _snap(P.read_current(spark, root)) == _snap(_frame(spark, 3))
+
+
+def test_partition_overwrite_disjoint_writers_both_commit(spark, root, backend):
+    """Two writers overwriting DISJOINT days race: the CAS loser
+    re-merges against the winner's manifest and commits — both days
+    land (verdict r09 #4)."""
+    if backend is P.LOCAL:
+        pytest.skip("the fence serializes whole publishes on local")
+    P.publish_partition_overwrite(spark, _days(spark, 1), root, "dt")
+
+    interposed = []
+
+    def interpose(b):
+        if b == P.AFTER_MANIFEST and not interposed:
+            interposed.append(True)
+            # writer B overwrites day 2 between A's read and A's PUT
+            P.publish_partition_overwrite(
+                spark, _days(spark, 5, days=("2024-01-02",)), root, "dt",
+                txid="wB",
+            )
+
+    # writer A overwrites day 1 only; its CAS misses once, re-merges
+    P.publish_partition_overwrite(
+        spark, _days(spark, 4, days=("2024-01-01",)), root, "dt",
+        txid="wA", crash_hook=interpose,
+    )
+    got = {
+        (str(r["dt"]), r["k"]): r["v"]
+        for r in P.read_current(spark, root).collect()
+    }
+    for k in range(5):
+        assert got[("2024-01-01", k)] == k * 10 + 4  # A's day
+        assert got[("2024-01-02", k)] == k * 10 + 5  # B's day survived
+    assert P.current_manifest(root)["seq"] == 3
+
+
+def test_partition_overwrite_overlapping_writers_fail_loudly(spark, root, backend):
+    """Two writers racing the SAME day: the CAS loser detects that its
+    touched partition drifted since its read and raises instead of
+    silently replacing the other writer's commit."""
+    if backend is P.LOCAL:
+        pytest.skip("the fence serializes whole publishes on local")
+    P.publish_partition_overwrite(spark, _days(spark, 1), root, "dt")
+
+    interposed = []
+
+    def interpose(b):
+        if b == P.AFTER_MANIFEST and not interposed:
+            interposed.append(True)
+            P.publish_partition_overwrite(
+                spark, _days(spark, 5, days=("2024-01-02",)), root, "dt",
+                txid="wB",
+            )
+
+    with pytest.raises(P.ConcurrentPublishError):
+        P.publish_partition_overwrite(
+            spark, _days(spark, 4, days=("2024-01-02",)), root, "dt",
+            txid="wA", crash_hook=interpose,
+        )
+    # B's commit stands untouched
+    got = {
+        (str(r["dt"]), r["k"]): r["v"]
+        for r in P.read_current(spark, root).collect()
+    }
+    for k in range(5):
+        assert got[("2024-01-02", k)] == k * 10 + 5
+    assert P.current_manifest(root)["txid"] == "wB"
+
+
+def test_partition_values_with_special_chars_roundtrip(spark, root):
+    """Partition values containing space / colon / percent: Spark
+    Hive-escapes the directory names; the manifest must key by the REAL
+    value so read_partitions' lookup hits (ADVICE r09)."""
+    rows = [("north region", 1, 10), ("a:b", 2, 20), ("50%", 3, 30)]
+    df = spark.createDataFrame(rows, "seg string, k int, v int")
+    P.publish_partition_overwrite(spark, df, root, "seg")
+    m = P.current_manifest(root)
+    assert set(m["partitions"]) == {"north region", "a:b", "50%"}
+    got, n_files = P.read_partitions(spark, root, ["north region", "50%"])
+    assert {(r["seg"], r["k"], r["v"]) for r in got.collect()} == {
+        ("north region", 1, 10),
+        ("50%", 3, 30),
+    }
+    assert n_files >= 2
+
+
+def test_vacuumed_txid_replay_never_regresses(spark, root):
+    """ADVICE r09: once vacuum(retain=...) removes a superseded txid's
+    manifest, a late replay of that txid (older than the retention
+    window — e.g. a resurrected stream checkpoint) must NOT fall
+    through to a fresh publish and commit the stale frame as the
+    newest snapshot. The _APPLIED ledger records vacuumed commits."""
+    P.ensure_published(spark, _frame(spark, 1), root, "b1")
+    P.ensure_published(spark, _frame(spark, 2), root, "b2")
+    P.ensure_published(spark, _frame(spark, 3), root, "b3")
+    P.vacuum(root, retain=0)  # b1 and b2 manifests are gone
+    assert not os.path.exists(
+        os.path.join(root, "manifests", "manifest-b1.json")
+    )
+    # the ancient replay: must be recognized as applied, not re-published
+    P.ensure_published(spark, _frame(spark, 9), root, "b1")
+    assert P.current_manifest(root)["txid"] == "b3"
+    assert _snap(P.read_current(spark, root)) == _snap(_frame(spark, 3))
+    # same contract for the partition-overwrite replay entry point
+    P.publish_partition_overwrite(spark, _days(spark, 1), root2 := root + "_p", "dt", txid="c1")
+    P.publish_partition_overwrite(spark, _days(spark, 2), root2, "dt", txid="c2")
+    P.publish_partition_overwrite(spark, _days(spark, 3), root2, "dt", txid="c3")
+    P.vacuum(root2, retain=0)
+    P.publish_partition_overwrite(spark, _days(spark, 9), root2, "dt", txid="c1")
+    assert P.current_manifest(root2)["txid"] == "c3"
+    assert _snap(P.read_current(spark, root2)) == _snap(_days(spark, 3))
+
+
+def test_orphan_txid_stays_retryable_after_vacuum(spark, root):
+    """The ledger records COMMITTED vacuumed txids only: a crashed
+    orphan (never committed) reclaimed by vacuum must stay retryable —
+    recording it would wrongly skip a legitimate retry."""
+    P.ensure_published(spark, _frame(spark, 1), root, "b1")
+    with pytest.raises(Boom):
+        P.ensure_published(
+            spark, _frame(spark, 2), root, "b2",
+            crash_hook=_crash_at(P.AFTER_DATA),
+        )
+    P.vacuum(root, retain=0)  # reclaims the b2 orphan dir
+    P.ensure_published(spark, _frame(spark, 2), root, "b2")  # the retry
+    assert P.current_manifest(root)["txid"] == "b2"
+    assert _snap(P.read_current(spark, root)) == _snap(_frame(spark, 2))
