@@ -217,7 +217,12 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) twin of q_distinct_count — the variant
     that scales: no per-key distinct shuffle, mergeable sketches, constant
     memory. At 100 TB exact DISTINCT over user_id is a full shuffle of the
-    fact table; HLL is one pass."""
+    fact table; HLL is one pass.
+
+    PERMANENTLY rows-only by design — the sketch estimate is
+    engine-specific, so no cross-engine oracle can exist; the exact
+    hash-green twin q_distinct_count certifies the values and
+    q_sketch_error pins the HLL estimate's error band against it."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
         F.approx_count_distinct("user_id", 0.01).alias("dau_approx"),
@@ -552,7 +557,12 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_approx_percentiles", oracle=None)  # sketch output: rows-only check
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile twin — the mergeable-sketch form that avoids the
-    per-group sort at 100 TB."""
+    per-group sort at 100 TB.
+
+    PERMANENTLY rows-only by design — the sketch estimate is
+    engine-specific, so no cross-engine oracle can exist; the exact
+    hash-green twin q_percentiles certifies the values and
+    q_quantile_sketch pins the sketch's error band against it."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.approx_percentile("o_totalprice", 0.5, 10000).alias("p50_approx"),

@@ -1480,7 +1480,9 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     many maximal spans, how many tokens those spans cover (exact
     interval union — overlapping windows coalesce), and the longest
     span. The suffix-array dedup modality (RefinedWeb/Pile exact
-    substring at 50 tokens) beside the existing shingle-containment
+    substring at 50 tokens — the w=50 production point is MEASURED, not
+    asserted: tools/dupspan_probe.py carries a w=50 row at sf0.1 and
+    sf1, docs/PROBES.json) beside the existing shingle-containment
     (q_dup_span_fraction) and MinHash (q_dedup_minhash) families: this
     one certifies EXACT maximal runs, the signal used to cut verbatim
     boilerplate and licence blocks out of training corpora.

@@ -1651,3 +1651,225 @@ def q_lake_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = ver if out is None else out.unionByName(ver)
     return out.orderBy("seq")
+
+
+# ---------------------------------------------------------------------------
+# Object-store contention certificate (r10): disjoint-partition writers
+# both commit under the conditional-PUT backend; overlapping fail loudly
+# ---------------------------------------------------------------------------
+
+# per-writer custkey bumps, disjoint partition slices of o_orderkey % 4
+CT_BUMP_A = 100_000  # writer A -> partition 1
+CT_BUMP_B = 200_000  # writer B -> partition 2 (interposes A)
+CT_BUMP_C = 300_000  # writer C -> partition 3 (loses to D, must raise)
+CT_BUMP_D = 400_000  # writer D -> partition 3 (interposes C)
+
+
+@query(
+    "q_publish_contention",
+    oracle=f"""
+    WITH committed AS (
+        SELECT o_orderkey % 4 AS pk,
+               o_custkey
+               + CASE o_orderkey % 4
+                     WHEN 1 THEN {CT_BUMP_A}
+                     WHEN 2 THEN {CT_BUMP_B}
+                     WHEN 3 THEN {CT_BUMP_D}
+                     ELSE 0 END AS o_custkey
+        FROM orders
+    )
+    SELECT 'wD' AS txid,
+           CAST(4 AS BIGINT) AS final_seq,
+           CAST(1 AS BIGINT) AS overlap_raised,
+           pk,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+    FROM committed GROUP BY pk ORDER BY pk
+    """,
+)
+def q_publish_contention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent partition-overwrite contention under the object-store
+    conditional-PUT backend (r10, verdict r09 #3+#4), deterministically
+    interleaved via the crash-hook seam:
+
+    1. base publish: orders partitioned by pk = o_orderkey % 4;
+    2. writer A overwrites partition 1; between A's manifest write and
+       its conditional PUT, writer B lands a FULL commit on partition 2
+       — A's CAS misses, A re-merges against B's manifest and commits:
+       DISJOINT writers both land (B's day survives A's retry);
+    3. writer C overwrites partition 3, interposed by writer D on the
+       SAME partition — C's retry detects that its touched partition
+       drifted and raises ConcurrentPublishError instead of silently
+       replacing D's commit (``overlap_raised`` pins the loud failure).
+
+    The final per-partition rollup + the committed txid/seq lineage are
+    the hash: a lost update (B's or D's bump missing), a silent
+    overlap overwrite (C's bump present), or a wrong retry lineage
+    (seq != 5) each breaks a literal column.
+
+    Scale: this is THE 100 TB write path — per-day backfill writers on
+    an object store (no rename, no flock) committing through
+    conditional PUTs; the loser's retry re-reads one manifest, no data
+    rewrite.
+
+    Ref: BigQuery gives the reference atomic per-load commits
+    (data_gen/generate_and_load_script.py:188); this certifies the
+    multi-writer equivalent the manifest protocol adds."""
+    import shutil
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    root = scratch_path("saas_lake_contention", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 4).alias("pk"), "o_custkey"
+    )
+    be = P.CONDITIONAL_PUT
+
+    def bumped(pk: int, bump: int) -> DataFrame:
+        return orders.where(F.col("pk") == pk).withColumn(
+            "o_custkey", F.col("o_custkey") + bump
+        )
+
+    P.publish_partition_overwrite(spark, orders, root, "pk", backend=be)
+
+    def interpose_with(frame: DataFrame, txid: str):
+        fired: list[bool] = []
+
+        def hook(barrier: str) -> None:
+            if barrier == P.AFTER_MANIFEST and not fired:
+                fired.append(True)
+                P.publish_partition_overwrite(
+                    spark, frame, root, "pk", txid=txid, backend=be
+                )
+
+        return hook
+
+    # disjoint race: A (pk=1) interposed by B (pk=2) -> both commit
+    P.publish_partition_overwrite(
+        spark, bumped(1, CT_BUMP_A), root, "pk", txid="wA",
+        crash_hook=interpose_with(bumped(2, CT_BUMP_B), "wB"),
+    )
+    # overlapping race: C and D both on pk=3 -> C must fail loudly
+    overlap_raised = 0
+    try:
+        P.publish_partition_overwrite(
+            spark, bumped(3, CT_BUMP_C), root, "pk", txid="wC",
+            crash_hook=interpose_with(bumped(3, CT_BUMP_D), "wD"),
+        )
+    except P.ConcurrentPublishError:
+        overlap_raised = 1
+    cur = P.current_manifest(root)
+    return (
+        P.read_current(spark, root)
+        .groupBy("pk")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_custkey").cast("long").alias("sum_custkey"),
+        )
+        .select(
+            F.lit(cur["txid"]).alias("txid"),
+            F.lit(int(cur["seq"])).cast("long").alias("final_seq"),
+            F.lit(overlap_raised).cast("long").alias("overlap_raised"),
+            "*",
+        )
+        .orderBy("pk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Replay-horizon certificate (r10): a replay OLDER than the retention
+# window must not regress the table (the _APPLIED ledger, ADVICE r09)
+# ---------------------------------------------------------------------------
+
+RH_BUMP = 7_000_000  # the final committed correction (b4)
+
+
+@query(
+    "q_replay_horizon",
+    oracle=f"""
+    WITH committed AS (
+        SELECT o_orderkey,
+               o_custkey
+               + CASE WHEN o_orderkey % 5 = 0 THEN {RH_BUMP} ELSE 0 END
+                   AS o_custkey,
+               o_totalprice
+        FROM orders
+    )
+    SELECT 'b4' AS txid,
+           CAST(2 AS BIGINT) AS n_manifests,
+           CAST(2 AS BIGINT) AS n_snapshots,
+           CAST(2 AS BIGINT) AS n_ledgered,
+           o_orderkey % 10 AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+    FROM committed GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_replay_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vacuumed-replay guard keyed (r10, ADVICE r09): the seq guard
+    alone protects replays only while the superseded manifest exists;
+    once vacuum removes it, a LATE replay (a resurrected stream
+    checkpoint older than the retention window) would fall through to
+    a fresh publish and commit its stale frame as the newest snapshot.
+    The durable ``_APPLIED`` ledger closes that hole:
+
+    1. ensure_published b1, b2, b3 (three corrections of orders);
+    2. vacuum(retain=0): b1/b2 manifests removed, ledgered as applied;
+    3. a POISONED replay of b1 (negated custkeys — loud if it leaks)
+       must be recognized as already-applied and skipped entirely;
+    4. a genuinely new batch b4 (the %5 bump) still publishes fine.
+
+    The hash pins the final rollup (poison absent, b4 present) plus the
+    manifest/snapshot/ledger counts — a regressed pointer, a
+    re-committed stale frame, or an over-eager ledger (blocking b4)
+    each breaks a literal column.
+
+    Scale: the ledger grows ~30 bytes per vacuumed commit (metadata);
+    replay recognition is one dict lookup, no data touched."""
+    import shutil
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    root = scratch_path("saas_lake_replay_horizon", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = orders.withColumn("o_custkey", F.col("o_custkey") + 1)
+    v3 = orders.withColumn("o_custkey", F.col("o_custkey") + 2)
+    v4 = orders.withColumn(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_custkey") + RH_BUMP
+        ).otherwise(F.col("o_custkey")),
+    )
+    P.ensure_published(spark, orders, root, "b1")
+    P.ensure_published(spark, v2, root, "b2")
+    P.ensure_published(spark, v3, root, "b3")
+    P.vacuum(root, retain=0)  # b1/b2 leave the retention window
+    poisoned = orders.withColumn("o_custkey", -F.col("o_custkey"))
+    P.ensure_published(spark, poisoned, root, "b1")  # ancient replay
+    P.ensure_published(spark, v4, root, "b4")  # fresh batch still lands
+    cur = P.current_manifest(root)
+    n_manifests = len(
+        [f for f in os.listdir(os.path.join(root, "manifests"))]
+    )
+    n_snapshots = len(os.listdir(os.path.join(root, "data")))
+    n_ledgered = len(P._applied_ledger(root))
+    return (
+        P.read_current(spark, root)
+        .groupBy((F.col("o_orderkey") % 10).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_custkey").cast("long").alias("sum_custkey"),
+        )
+        .select(
+            F.lit(cur["txid"]).alias("txid"),
+            F.lit(n_manifests).cast("long").alias("n_manifests"),
+            F.lit(n_snapshots).cast("long").alias("n_snapshots"),
+            F.lit(n_ledgered).cast("long").alias("n_ledgered"),
+            "*",
+        )
+        .orderBy("bucket")
+    )

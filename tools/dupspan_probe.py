@@ -4,7 +4,8 @@
 Production exact-substring dedup runs at ~50-token windows; the keyed
 certificate pins RUN_W=8 (testdata docs are short). This probe measures,
 at sf0.1 and sf1, how the hash-inverted-index shape behaves as the
-window widens (4 / 8 / 16 / 32):
+window widens (4 / 8 / 16 / 32 / 50 — the last being the
+RefinedWeb/Pile production point the q_dup_spans docstring cites):
 
 - **spans found / covered tokens** — the detection yield per width
   (wider windows find fewer, longer, higher-precision runs);
@@ -14,9 +15,10 @@ window widens (4 / 8 / 16 / 32):
   the evidence that taking w to the production 50 is a constant-factor
   move, not a blowup.
 
-Also asserts the nesting invariant — every width-2w duplicated span lies
-inside some width-w span's coverage (a 2w exact run contains two w
-runs) — as an internal equivalence check, exit nonzero on violation.
+Also asserts the nesting invariant — every wider-window duplicated span
+lies inside some narrower-window span's coverage (every w-subwindow of
+a shared W-token run is itself shared, for any w < W) — as an internal
+equivalence check, exit nonzero on violation.
 
 Run:  python tools/dupspan_probe.py
 Emits one JSON line; run_probes.py aggregates into docs/PROBES.json.
@@ -32,7 +34,7 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
-WIDTHS = [4, 8, 16, 32]
+WIDTHS = [4, 8, 16, 32, 50]
 # sf1 (10 replicas) is the big point: replica scaling makes EVERY window
 # cross-doc duplicated (the degenerate worst case for an exact-dup probe),
 # so sf1 already carries the max-load signal and sf3 only triples the
