@@ -1873,3 +1873,375 @@ def q_replay_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table-format maintenance (r10): per-file column stats + manifest-side file
+# skipping, OPTIMIZE bin-packing, merge-on-read deletes + purge — the
+# Delta/Iceberg maintenance surface on plain parquet (plans/publish.py)
+# ---------------------------------------------------------------------------
+
+# file-skipping certificate: the corpus clustered into this many files by
+# order date (ntile buckets — deterministic AND oracle-replayable; a
+# production writer gets the identical layout from repartitionByRange,
+# whose sampled bounds are layout-free but not replayable), then a
+# date-band read consults the manifest's per-file min/max instead of
+# opening footers. The partition value is an OPAQUE bucket id, so
+# partition pruning cannot serve the date predicate — the stats are the
+# only index, exactly the non-partition-column case file stats exist for.
+SKIP_FILES = 16
+SKIP_LO = "1996-06-01 00:00:00"
+SKIP_HI = "1996-12-31 00:00:00"
+
+
+@query(
+    "q_stats_skipping",
+    oracle=f"""
+    WITH b AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+               ntile({SKIP_FILES})
+                   OVER (ORDER BY o_orderdate, o_orderkey) AS fb
+        FROM orders
+    ),
+    s AS (
+        SELECT fb, min(o_orderdate) AS lo, max(o_orderdate) AS hi
+        FROM b GROUP BY fb
+    ),
+    sc AS (
+        SELECT COUNT(*) AS n FROM s
+        WHERE NOT (hi < TIMESTAMP '{SKIP_LO}' OR lo > TIMESTAMP '{SKIP_HI}')
+    )
+    SELECT CAST({SKIP_FILES} AS BIGINT) AS n_files_total,
+           (SELECT CAST(n AS BIGINT) FROM sc) AS n_files_scanned,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM b
+    WHERE o_orderdate BETWEEN TIMESTAMP '{SKIP_LO}'
+                          AND TIMESTAMP '{SKIP_HI}'
+    """,
+)
+def q_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-side FILE skipping over per-file column stats (r10): the
+    Delta-``stats`` / Iceberg-column-metrics mechanism on plain parquet.
+
+    Orders are clustered into {SKIP_FILES} files by (o_orderdate,
+    o_orderkey) ntile buckets and published under the manifest protocol
+    with the bucket id as an OPAQUE partition value; ``publish_stats``
+    then records each file's [min, max] of o_orderdate and o_totalprice
+    as a metadata-only commit. A date-band read (``read_skipping``)
+    resolves the band to exactly the files whose recorded range
+    overlaps — no directory listing, no footer opened for a skipped
+    file, and no help from partition pruning (the partition value
+    doesn't encode the date). The hash pins the scanned-file count
+    (layout-deterministic: ntile is replayed by the oracle) and the
+    exact band aggregate from the pruned-superset read — a wrong stats
+    entry, an over-eager skip (lost rows), or a broken overlap test
+    each breaks a column.
+
+    Scale: at 100 TB the manifest holds ~2 numbers per file per
+    annotated column; the planner prunes files BEFORE any I/O, the
+    complement of partition pruning for clustered non-partition
+    columns (q_layout_cluster's footer skip still applies inside the
+    files that survive). publish_stats scans only stats-less files, so
+    steady-state annotation cost follows the increment, not the lake.
+
+    Ref: the reference clusters its BigQuery facts for the same reason
+    (README.md:90-91 'partition + cluster keys'); file stats are the
+    lake-side equivalent BigQuery does server-side."""
+    import datetime
+    import shutil
+
+    from pyspark.sql import Window
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    root = scratch_path("saas_lake_skipping", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    # deterministic clustering: ntile over the date order (cert-sized
+    # single-partition window; production = repartitionByRange)
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    clustered = orders.withColumn("fb", F.ntile(SKIP_FILES).over(w))
+    P.publish_partition_overwrite(
+        spark, clustered.repartition(F.col("fb")), root, "fb"
+    )
+    P.publish_stats(spark, root, ["o_orderdate", "o_totalprice"])
+    lo = datetime.datetime.fromisoformat(SKIP_LO)
+    hi = datetime.datetime.fromisoformat(SKIP_HI)
+    pruned, n_scanned, n_total = P.read_skipping(
+        spark, root, "o_orderdate", lo, hi
+    )
+    return (
+        pruned.where(F.col("o_orderdate").between(F.lit(lo), F.lit(hi)))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.lit(n_total).cast("long").alias("n_files_total"),
+            F.lit(n_scanned).cast("long").alias("n_files_scanned"),
+            "*",
+        )
+    )
+
+
+# OPTIMIZE certificate: months written fragmented (maxRecordsPerFile
+# caps each month's files at this many rows — file COUNTS are then
+# ceil(rows/cap), oracle-replayable, while file CONTENTS stay
+# layout-free), then bin-packed to one file per month as a commit.
+OPT_MRPF = 24
+
+
+@query(
+    "q_optimize_compact",
+    oracle=f"""
+    WITH m AS (
+        SELECT year(o_orderdate) * 100 + month(o_orderdate) AS mk,
+               o_totalprice
+        FROM orders
+        WHERE year(o_orderdate) BETWEEN 1996 AND 1997
+    ),
+    c AS (SELECT mk, COUNT(*) AS cnt FROM m GROUP BY mk)
+    SELECT CAST(SUM(CEIL(cnt / {OPT_MRPF}.0)) AS BIGINT) AS files_before,
+           CAST(COUNT(*) AS BIGINT) AS files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CASE WHEN SUM(CEIL(cnt / {OPT_MRPF}.0)) > COUNT(*)
+                THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+               AS seq_after,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows_pre_snapshot,
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) FROM m) AS total_price
+    FROM c
+    """,
+)
+def q_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE bin-packing as an atomic commit (r10): a month-
+    partitioned orders table is deliberately published FRAGMENTED
+    (maxRecordsPerFile={OPT_MRPF} — the many-small-files debt a
+    per-batch streaming ingest accumulates), then ``optimize_table``
+    rewrites every fragmented partition to a single file as ONE new
+    snapshot: untouched partitions carry by reference, the pointer swap
+    is the only commit point, and the PRE-optimize snapshot stays
+    time-travelable (its row count is re-read through the superseded
+    manifest and pinned equal). The hash pins files_before
+    (sum of ceil(month_rows/{OPT_MRPF}) — the fragmented write's exact
+    file count), files_after (= one per month), the commit seq, and the
+    exact money total read back through the optimized manifest.
+
+    Scale: OPTIMIZE reads only fragmented partitions (manifest file
+    counts, no listing), writes one shuffle-free file per partition,
+    and a crash at any barrier leaves readers on the fragmented-but-
+    complete previous snapshot. At 100 TB this is the scheduled
+    maintenance job; readers never block on it.
+
+    Ref: BigQuery auto-compacts streaming ingest server-side; the
+    reference's WRITE_TRUNCATE loads never fragment
+    (data_gen/generate_and_load_script.py:188) — this is the lake-side
+    equivalent the manifest protocol makes safe."""
+    import shutil
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    root = scratch_path("saas_lake_optimize", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    # a two-year slice: the certificate needs fragmented months, not the
+    # whole table — the fragmented write's small-file count (and its
+    # per-file fsync) is the only thing the slice bounds
+    monthly = orders.where(
+        F.year("o_orderdate").between(1996, 1997)
+    ).withColumn("mk", F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+    conf_key = "spark.sql.files.maxRecordsPerFile"
+    prev_conf = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, str(OPT_MRPF))
+    try:
+        P.publish_partition_overwrite(
+            spark, monthly.repartition(F.col("mk")), root, "mk"
+        )
+    finally:
+        if prev_conf is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_conf)
+    before = P.current_manifest(root)
+    P.optimize_table(spark, root)
+    after = P.current_manifest(root)
+    n_pre = P.read_snapshot(spark, root, txid=before["txid"]).count()
+    return (
+        P.read_current(spark, root)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.lit(before["n_files"]).cast("long").alias("files_before"),
+            F.lit(after["n_files"]).cast("long").alias("files_after"),
+            F.lit(len(after["partitions"])).cast("long").alias(
+                "n_partitions"
+            ),
+            F.lit(int(after["seq"])).cast("long").alias("seq_after"),
+            F.col("n_rows"),
+            F.lit(n_pre).cast("long").alias("n_rows_pre_snapshot"),
+            F.col("total_price"),
+        )
+    )
+
+
+# merge-on-read delete certificate: two tombstone batches (the %{MOR_A}
+# and %{MOR_B} key sets), then the physical purge
+MOR_PARTS = 8
+MOR_A = 97
+MOR_B = 89
+
+
+@query(
+    "q_mor_delete",
+    oracle=f"""
+    WITH phases AS (
+        SELECT 'p1_base' AS phase, CAST(1 AS BIGINT) AS seq,
+               CAST(0 AS BIGINT) AS n_tomb_files,
+               CAST(0 AS BIGINT) AS n_parts_rewritten,
+               COUNT(*) AS n_rows,
+               CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+        FROM orders
+        UNION ALL
+        SELECT 'p2_mor', 3, 2, 0, COUNT(*), CAST(SUM(o_custkey) AS BIGINT)
+        FROM orders
+        WHERE o_orderkey % {MOR_A} != 0 AND o_orderkey % {MOR_B} != 0
+        UNION ALL
+        SELECT 'p3_purged', 4, 0,
+               (SELECT COUNT(DISTINCT o_orderkey % {MOR_PARTS})
+                FROM orders
+                WHERE o_orderkey % {MOR_A} = 0
+                   OR o_orderkey % {MOR_B} = 0),
+               COUNT(*), CAST(SUM(o_custkey) AS BIGINT)
+        FROM orders
+        WHERE o_orderkey % {MOR_A} != 0 AND o_orderkey % {MOR_B} != 0
+        UNION ALL
+        SELECT 'p4_travel_del1', 2, 1, 0, COUNT(*),
+               CAST(SUM(o_custkey) AS BIGINT)
+        FROM orders WHERE o_orderkey % {MOR_A} != 0
+    )
+    SELECT * FROM phases ORDER BY phase
+    """,
+)
+def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes + physical purge (r10): the GDPR shape at
+    100 TB — deleting keys from a lake WITHOUT rewriting it.
+
+    1. orders published partitioned by pk = o_orderkey % {MOR_PARTS}
+       (one file each);
+    2. two tombstone batches commit (keys %{MOR_A} == 0, then
+       %{MOR_B} == 0) via ``publish_deletes`` — O(|keys|) writes, zero
+       data files touched, and every reader anti-joins the tombstones
+       the instant each pointer swaps (phase p2);
+    3. ``optimize_table`` purges physically (phase p3): partitions
+       containing deleted keys rewrite without them, tombstones clear,
+       and the rewritten-partition count is pinned (= the distinct
+       residues of the deleted keys — the purge touched exactly the
+       partitions it had to);
+    4. time travel proves snapshot-scoped deletes: the pre-delete
+       snapshot still shows every key (p1, read after every later
+       commit), the snapshot between the two batches hides only the
+       first key set (p4) — each manifest carries ITS OWN tombstone
+       list.
+
+    Every phase row carries the visible row count and exact custkey
+    checksum replayed by the oracle from the delete predicates — a
+    leaked tombstone, an over-deleted key, a purge that missed a
+    partition, or a time-travel read contaminated by a later delete
+    each breaks a row.
+
+    Scale: reads pay one anti-join against tombstone parquet the
+    planner broadcasts while small; the purge consults the table's own
+    file stats (publish_stats) to rewrite only overlapping files —
+    a narrow key-range delete rewrites a handful of files, not the
+    lake. Ref: the reference's BigQuery DML DELETE gives this
+    server-side; this is the manifest-protocol equivalent."""
+    import shutil
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    root = scratch_path("saas_lake_mor", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    df = orders.withColumn("pk", F.col("o_orderkey") % MOR_PARTS)
+    P.publish_partition_overwrite(
+        spark, df.repartition(F.col("pk")), root, "pk"
+    )
+    P.publish_deletes(
+        spark,
+        orders.where(F.col("o_orderkey") % MOR_A == 0).select("o_orderkey"),
+        root,
+        "o_orderkey",
+    )
+    P.publish_deletes(
+        spark,
+        orders.where(F.col("o_orderkey") % MOR_B == 0).select("o_orderkey"),
+        root,
+        "o_orderkey",
+    )
+    mor_manifest = P.current_manifest(root)
+    mor_visible = P.read_current(spark, root)
+
+    def phase(
+        tag: str, frame: DataFrame, seq: int, n_tomb: int, n_rw: int
+    ) -> DataFrame:
+        return frame.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_custkey").cast("long").alias("sum_custkey"),
+        ).select(
+            F.lit(tag).alias("phase"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(n_tomb).cast("long").alias("n_tomb_files"),
+            F.lit(n_rw).cast("long").alias("n_parts_rewritten"),
+            "*",
+        )
+
+    p2 = phase(
+        "p2_mor", mor_visible, int(mor_manifest["seq"]),
+        len(mor_manifest["deletes"]), 0,
+    )
+    P.optimize_table(spark, root)
+    cur = P.current_manifest(root)
+    n_rewritten = sum(
+        1
+        for v, fs in cur["partitions"].items()
+        if fs != mor_manifest["partitions"].get(v)
+    )
+    p3 = phase(
+        "p3_purged", P.read_current(spark, root), int(cur["seq"]),
+        len(cur.get("deletes") or []), n_rewritten,
+    )
+    base_m = P.snapshot_manifest(root, seq=1)
+    del1_m = P.snapshot_manifest(root, seq=2)
+    # p1 reads seq=1 AFTER every later commit landed, so it doubles as
+    # the time-travel proof for the pre-delete snapshot
+    p1 = phase(
+        "p1_base", P.read_snapshot(spark, root, seq=1), 1,
+        len(base_m.get("deletes") or []), 0,
+    )
+    p4 = phase(
+        "p4_travel_del1", P.read_snapshot(spark, root, seq=2), 2,
+        len(del1_m.get("deletes") or []), 0,
+    )
+    return (
+        p1.unionByName(p2)
+        .unionByName(p3)
+        .unionByName(p4)
+        .orderBy("phase")
+    )

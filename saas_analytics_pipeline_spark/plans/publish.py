@@ -357,6 +357,28 @@ def _complete_pointer_if_newer(
 _CAS_RETRIES = 3  # bounded conditional-PUT retry budget per publish
 
 
+def _carried_metadata(prev: dict | None, live_files: set[str]) -> dict:
+    """Manifest fields that survive a partition-granular commit: per-file
+    column stats for files carried by reference (replaced files' stats
+    drop — their replacements are stats-less until the next
+    publish_stats, which read_skipping treats as always-scan), the stats
+    column register, and the merge-on-read tombstones (key-based, so
+    still correct against rewritten partitions)."""
+    if not prev:
+        return {}
+    out: dict = {}
+    stats = {
+        f: s for f, s in (prev.get("stats") or {}).items() if f in live_files
+    }
+    if stats or prev.get("stats_cols"):
+        out["stats"] = stats
+        out["stats_cols"] = prev.get("stats_cols") or []
+    if prev.get("deletes"):
+        out["deletes"] = prev["deletes"]
+        out["delete_key"] = prev["delete_key"]
+    return out
+
+
 def _publish_locked(
     spark: SparkSession,
     df: DataFrame,
@@ -634,6 +656,7 @@ def publish_partition_overwrite(
                 "seq": (int(prev.get("seq", 1)) + 1) if prev else 1,
                 "parent": _manifest_name(prev["txid"]) if prev else None,
             }
+            manifest.update(_carried_metadata(prev, set(files_flat)))
             _fsync_write(man_path, json.dumps(manifest, sort_keys=True))
             if crash_hook:
                 crash_hook(AFTER_MANIFEST)
@@ -674,13 +697,37 @@ def current_manifest(root: str) -> dict | None:
         return json.load(f)
 
 
+def _apply_deletes(spark: SparkSession, root: str, m: dict, df: DataFrame) -> DataFrame:
+    """Merge-on-read: anti-join the manifest's tombstone key files (if
+    any) against ``df``. No broadcast hint on purpose — the tombstone
+    parquet sizes are known to the planner, so a GDPR-scale key set
+    broadcasts and a pathological one degrades to a shuffle join instead
+    of blowing the driver."""
+    dels = m.get("deletes") or []
+    if not dels:
+        return df
+    keys = (
+        spark.read.parquet(*[os.path.join(root, f) for f in dels])
+        .select(m["delete_key"])
+        .distinct()
+    )
+    # the join moves its key to the front: restore the file column order
+    return df.join(keys, on=m["delete_key"], how="left_anti").select(
+        *df.columns
+    )
+
+
 def read_current(spark: SparkSession, root: str) -> DataFrame:
     """Resolve _CURRENT -> manifest -> explicit file list. Never globs
-    the data directory, so uncommitted snapshots are invisible."""
+    the data directory, so uncommitted snapshots are invisible. Applies
+    the manifest's merge-on-read delete tombstones (publish_deletes), so
+    deleted keys are invisible the instant the delete commits, long
+    before optimize_table purges them physically."""
     m = current_manifest(root)
     if m is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
-    return spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+    df = spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+    return _apply_deletes(spark, root, m, df)
 
 
 def snapshot_manifest(
@@ -729,9 +776,12 @@ def read_snapshot(
     """Read a historical snapshot by txid or commit seq (time travel):
     published snapshot dirs are immutable and vacuum retains the last
     ``retain`` superseded manifests, so any retained version reads back
-    bit-identical to the moment it was committed."""
+    bit-identical to the moment it was committed — including THAT
+    version's merge-on-read tombstones (a snapshot from before a delete
+    still shows the deleted keys; one from after does not)."""
     m = snapshot_manifest(root, txid=txid, seq=seq)
-    return spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+    df = spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+    return _apply_deletes(spark, root, m, df)
 
 
 def read_partitions(
@@ -757,7 +807,464 @@ def read_partitions(
             f"none of partitions {values!r} exist in the current manifest"
         )
     df = spark.read.parquet(*[os.path.join(root, f) for f in files])
-    return df, len(files)
+    return _apply_deletes(spark, root, m, df), len(files)
+
+
+# ---------------------------------------------------------------------------
+# Table-format maintenance (r10): per-file column stats + manifest-side file
+# skipping, merge-on-read delete tombstones, and OPTIMIZE bin-packing — each
+# a normal commit on the snapshot lineage (seq+1, parent link), so time
+# travel, retention vacuum, replay guards, and both commit backends apply
+# unchanged. This is the Delta/Iceberg maintenance story on plain parquet:
+#   - publish_stats:   metadata-only commit recording per-file min/max —
+#                      the file-level index a 100 TB scan consults BEFORE
+#                      opening any footer (partition pruning's complement
+#                      for non-partition predicates over clustered layout);
+#   - publish_deletes: GDPR-shaped deletes in O(|keys|) — a tombstone key
+#                      file joins the manifest, every reader anti-joins it,
+#                      no data file is rewritten until a later OPTIMIZE;
+#   - optimize_table:  bin-packs fragmented partitions to one file each and
+#                      physically purges tombstoned keys, carrying untouched
+#                      partitions by reference — the scheduled maintenance
+#                      job that amortizes deletes and small-file debt.
+# ---------------------------------------------------------------------------
+
+
+def _stats_val(v):
+    """JSON-safe stats value: numbers pass through; everything else
+    (dates, timestamps, strings) becomes its ``str`` form — ISO date/time
+    strings compare lexicographically in value order, so range overlap
+    tests stay correct across the JSON round trip."""
+    if v is None or isinstance(v, (int, float, bool)):
+        return v
+    return str(v)
+
+
+def _file_stats(
+    spark: SparkSession, root: str, files: list[str], cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file min/max of ``cols`` over the given manifest-relative
+    files, in ONE scan: group by input_file_name, so a task reading many
+    small files still yields one row per file and a large file split
+    across tasks merges partials. Returns {relpath: {col: [min, max]}};
+    min/max ignore nulls (Spark semantics) — an all-null or empty file
+    simply has no entry and skippers treat it conservatively."""
+    from urllib.parse import unquote, urlparse
+
+    if not files:
+        return {}
+    df = spark.read.parquet(*[os.path.join(root, f) for f in files])
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"_min_{c}"))
+        aggs.append(F.max(c).alias(f"_max_{c}"))
+    rows = df.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
+    rootabs = os.path.abspath(root)
+    out: dict[str, dict[str, list]] = {}
+    for r in rows:
+        rel = os.path.relpath(unquote(urlparse(r["_f"]).path), rootabs)
+        out[rel] = {
+            c: [_stats_val(r[f"_min_{c}"]), _stats_val(r[f"_max_{c}"])]
+            for c in cols
+        }
+    return out
+
+
+def publish_stats(
+    spark: SparkSession, root: str, cols: list[str], backend=LOCAL
+) -> str:
+    """Record per-file min/max of ``cols`` in the manifest as a
+    METADATA-ONLY commit (seq+1; files/partitions/tombstones carried by
+    reference, no data dir). Incremental by construction: only files
+    missing a requested column's entry are scanned, so annotating a
+    table after each partition overwrite costs one scan of the NEW
+    files, never the lake. read_skipping consults these entries to open
+    only files whose range overlaps a predicate — at 100 TB this is the
+    planner-side file index (Delta ``stats`` / Iceberg column metrics)
+    that partition pruning cannot give for non-partition columns."""
+    with _maybe_fence(root, backend):
+        for attempt in range(_CAS_RETRIES + 1):
+            prev_name, etag = backend.read_pointer(root)
+            prev = _load_manifest(root, prev_name)
+            if prev is None:
+                raise FileNotFoundError(f"no committed snapshot under {root}")
+            old = prev.get("stats") or {}
+            todo = [
+                f
+                for f in prev["files"]
+                if any(c not in old.get(f, {}) for c in cols)
+            ]
+            stats = {f: dict(old[f]) for f in old if f in set(prev["files"])}
+            for f, entry in _file_stats(spark, root, todo, cols).items():
+                stats.setdefault(f, {}).update(entry)
+            seq = int(prev.get("seq", 1)) + 1
+            txid = f"t{seq}"
+            manifest = {
+                "txid": txid,
+                "files": prev["files"],
+                "n_files": prev["n_files"],
+                "stats": stats,
+                "stats_cols": sorted(
+                    set(prev.get("stats_cols") or []) | set(cols)
+                ),
+                "seq": seq,
+                "parent": _manifest_name(prev["txid"]),
+            }
+            for k in ("partition_col", "partitions", "deletes", "delete_key"):
+                if k in prev:
+                    manifest[k] = prev[k]
+            man_dir = os.path.join(root, "manifests")
+            os.makedirs(man_dir, exist_ok=True)
+            _fsync_write(
+                os.path.join(man_dir, _manifest_name(txid)),
+                json.dumps(manifest, sort_keys=True),
+            )
+            try:
+                backend.commit_pointer(root, _manifest_name(txid), etag)
+                return _manifest_name(txid)
+            except CommitConflictError:
+                if attempt == _CAS_RETRIES:
+                    raise
+        raise AssertionError("unreachable")
+
+
+def read_skipping(
+    spark: SparkSession, root: str, col: str, lo, hi
+) -> tuple[DataFrame, int, int]:
+    """Manifest-side FILE skipping: open only the current snapshot's
+    files whose recorded [min, max] of ``col`` overlaps [lo, hi],
+    without listing directories or reading any skipped footer. Files
+    with no stats entry are scanned conservatively; all-null files
+    (min is null) cannot match a range predicate and are skipped.
+    Returns (frame, n_files_scanned, n_files_total); the frame is the
+    PRUNED SUPERSET — callers still apply the exact predicate (same
+    contract as a parquet row-group skip). Tombstones apply as in
+    read_current."""
+    m = current_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    if col not in (m.get("stats_cols") or []):
+        raise ValueError(
+            f"no file stats recorded for column {col!r} under {root}; "
+            "run publish_stats first"
+        )
+    stats = m.get("stats") or {}
+    qlo, qhi = _stats_val(lo), _stats_val(hi)
+    picked = []
+    for f in m["files"]:
+        s = stats.get(f, {}).get(col)
+        if s is None:
+            picked.append(f)  # stats-less file: conservative scan
+            continue
+        fmin, fmax = s
+        if fmin is None:
+            continue  # all-null file: a range predicate can't match
+        if not (fmax < qlo or fmin > qhi):
+            picked.append(f)
+    if not picked:
+        empty = spark.read.parquet(
+            os.path.join(root, m["files"][0])
+        ).where(F.lit(False))
+        return empty, 0, len(m["files"])
+    df = spark.read.parquet(*[os.path.join(root, f) for f in picked])
+    return _apply_deletes(spark, root, m, df), len(picked), len(m["files"])
+
+
+def publish_deletes(
+    spark: SparkSession,
+    keys_df: DataFrame,
+    root: str,
+    key_col: str,
+    txid: str | None = None,
+    crash_hook: Callable[[str], None] | None = None,
+    backend=LOCAL,
+) -> str:
+    """Merge-on-read delete: commit ``keys_df``'s distinct ``key_col``
+    values as a tombstone file appended to the manifest's ``deletes``
+    list — every reader (read_current / read_snapshot / read_partitions
+    / read_skipping) anti-joins the tombstones, so the keys vanish the
+    instant the pointer swaps, and NO data file is rewritten. The
+    physical purge is optimize_table's job; until then time travel to a
+    pre-delete snapshot still shows the keys (that manifest carries no
+    tombstone) — the audit-friendly GDPR shape: delete-on-read now,
+    amortized rewrite later.
+
+    Cost at 100 TB: O(|keys|) write + two metadata files; reads pay one
+    anti-join whose build side is the tombstone parquet (planner
+    broadcasts it while small). Replays with an explicit ``txid`` get
+    the same skip-if-committed / ledger guards as partition overwrites;
+    a CAS loser re-appends its tombstone onto the winner's manifest —
+    key-based deletes commute with any concurrent commit, so the retry
+    is unconditional."""
+    with _maybe_fence(root, backend):
+        prev_name, etag = backend.read_pointer(root)
+        prev = _load_manifest(root, prev_name)
+        if prev is None:
+            raise FileNotFoundError(
+                f"no committed snapshot under {root}; publish data before "
+                "publishing deletes"
+            )
+        if prev.get("deletes") and prev.get("delete_key") != key_col:
+            raise ValueError(
+                f"table {root} already carries tombstones keyed by "
+                f"{prev.get('delete_key')!r}; one delete key per table"
+            )
+        if txid is None:
+            derived_txid = f"t{int(prev.get('seq', 1)) + 1}"
+        else:
+            derived_txid = txid
+            if derived_txid in _applied_ledger(root):
+                return _manifest_name(derived_txid)
+            man_path = os.path.join(
+                root, "manifests", _manifest_name(derived_txid)
+            )
+            if os.path.exists(man_path):  # replay of a committed batch
+                with open(man_path) as f:
+                    mine = json.load(f)
+                _complete_pointer_if_newer(
+                    root, backend, _manifest_name(derived_txid), mine
+                )
+                return _manifest_name(derived_txid)
+        data_dir = os.path.join(root, "data", derived_txid)
+        man_path = os.path.join(root, "manifests", _manifest_name(derived_txid))
+        if os.path.exists(man_path):  # crashed orphan at this txid
+            os.remove(man_path)
+        if os.path.isdir(data_dir):
+            shutil.rmtree(data_dir)
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        (
+            keys_df.select(key_col)
+            .distinct()
+            .coalesce(1)
+            .write.mode("error")
+            .parquet(data_dir)
+        )
+        _fsync_tree(data_dir)
+        tomb = [
+            os.path.join("data", derived_txid, f)
+            for f in sorted(os.listdir(data_dir))
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+        if crash_hook:
+            crash_hook(AFTER_DATA)
+        for attempt in range(_CAS_RETRIES + 1):
+            manifest = {
+                "txid": derived_txid,
+                "files": prev["files"],
+                "n_files": prev["n_files"],
+                "deletes": list(prev.get("deletes") or []) + tomb,
+                "delete_key": key_col,
+                "seq": int(prev.get("seq", 1)) + 1,
+                "parent": _manifest_name(prev["txid"]),
+            }
+            for k in ("partition_col", "partitions", "stats", "stats_cols"):
+                if k in prev:
+                    manifest[k] = prev[k]
+            _fsync_write(man_path, json.dumps(manifest, sort_keys=True))
+            if crash_hook:
+                crash_hook(AFTER_MANIFEST)
+            try:
+                backend.commit_pointer(
+                    root, _manifest_name(derived_txid), etag
+                )
+                return _manifest_name(derived_txid)
+            except CommitConflictError:
+                if attempt == _CAS_RETRIES:
+                    raise
+                prev_name, etag = backend.read_pointer(root)
+                prev = _load_manifest(root, prev_name)
+                if prev.get("deletes") and prev.get("delete_key") != key_col:
+                    raise ValueError(
+                        f"concurrent commit under {root} switched the "
+                        f"delete key to {prev.get('delete_key')!r}"
+                    ) from None
+        raise AssertionError("unreachable")
+
+
+def optimize_table(
+    spark: SparkSession,
+    root: str,
+    backend=LOCAL,
+    crash_hook: Callable[[str], None] | None = None,
+) -> str:
+    """OPTIMIZE as a commit: bin-pack every fragmented partition (more
+    than one file) to a single file and physically purge merge-on-read
+    tombstones, as ONE atomic snapshot (seq+1). Untouched partitions
+    carry by reference — no data movement; the pre-optimize snapshot
+    stays time-travelable until the retention vacuum ages it out, and a
+    crash at any barrier leaves readers on the complete previous state
+    (same crash matrix as every other commit).
+
+    Tombstone purge picks its rewrite set with the table's OWN file
+    stats when the delete key is annotated (publish_stats): only files
+    whose [min, max] overlaps the tombstone key range are even scanned
+    for matches — at 100 TB a narrow GDPR delete rewrites a handful of
+    files, not the lake. Files without stats are scanned conservatively.
+    Rewritten files get fresh stats in the same commit when the table
+    carries a stats register; a partition emptied by the purge drops out
+    of the manifest entirely.
+
+    Concurrency: under the CAS backend the loser re-merges against the
+    winner IFF none of its rewritten partitions (and the tombstone list)
+    drifted — an overlapping OPTIMIZE/overwrite fails loudly, exactly
+    like publish_partition_overwrite."""
+    from urllib.parse import unquote
+
+    with _maybe_fence(root, backend):
+        prev_name, etag = backend.read_pointer(root)
+        prev = _load_manifest(root, prev_name)
+        if prev is None:
+            raise FileNotFoundError(f"no committed snapshot under {root}")
+        if "partitions" not in prev:
+            raise ValueError(
+                f"{root} is a whole-snapshot table; OPTIMIZE needs a "
+                "publish_partition_overwrite lineage"
+            )
+        pc = prev["partition_col"]
+        parts: dict[str, list[str]] = prev["partitions"]
+        rewrite = {v for v, fs in parts.items() if len(fs) > 1}
+        tombstones = list(prev.get("deletes") or [])
+        keys = None
+        if tombstones:
+            key_col = prev["delete_key"]
+            keys = (
+                spark.read.parquet(
+                    *[os.path.join(root, f) for f in tombstones]
+                )
+                .select(key_col)
+                .distinct()
+            )
+            b = keys.agg(
+                F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+            ).first()
+            stats = prev.get("stats") or {}
+            have = key_col in (prev.get("stats_cols") or [])
+            tlo, thi = _stats_val(b["lo"]), _stats_val(b["hi"])
+            cand = []
+            for v, fs in parts.items():
+                for f in fs:
+                    s = stats.get(f, {}).get(key_col) if have else None
+                    if s is None:
+                        cand.append(f)  # no stats: conservative candidate
+                    elif s[0] is not None and not (s[1] < tlo or s[0] > thi):
+                        cand.append(f)
+            if cand and tlo is not None:
+                hit = (
+                    spark.read.parquet(*[os.path.join(root, f) for f in cand])
+                    .join(keys, on=key_col, how="left_semi")
+                    .select(F.col(pc).cast("string").alias("_v"))
+                    .distinct()
+                    .collect()
+                )
+                rewrite |= {r["_v"] for r in hit}
+        if not rewrite and not tombstones:
+            return prev_name  # nothing fragmented, nothing tombstoned
+        seq = int(prev.get("seq", 1)) + 1
+        derived_txid = f"t{seq}"
+        data_dir = os.path.join(root, "data", derived_txid)
+        man_path = os.path.join(root, "manifests", _manifest_name(derived_txid))
+        if os.path.exists(man_path):  # crashed orphan at this seq
+            os.remove(man_path)
+        if os.path.isdir(data_dir):
+            shutil.rmtree(data_dir)
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        new_parts: dict[str, list[str]] = {}
+        rw_files = [f for v in sorted(rewrite) for f in parts[v]]
+        if rw_files:
+            df = spark.read.parquet(
+                *[os.path.join(root, f) for f in rw_files]
+            )
+            if keys is not None:
+                # keep the file column order: rewritten files must stay
+                # schema-identical to carried ones
+                df = df.join(
+                    keys, on=prev["delete_key"], how="left_anti"
+                ).select(*df.columns)
+            (
+                df.withColumn("_p", F.col(pc).cast("string"))
+                .repartition(F.col("_p"))
+                .write.partitionBy("_p")
+                .mode("error")
+                .parquet(data_dir)
+            )
+            _fsync_tree(data_dir)
+            for d in sorted(os.listdir(data_dir)):
+                if not d.startswith("_p="):
+                    continue
+                fs = sorted(
+                    f
+                    for f in os.listdir(os.path.join(data_dir, d))
+                    if f.startswith("part-") and f.endswith(".parquet")
+                )
+                new_parts[unquote(d[3:])] = [
+                    os.path.join("data", derived_txid, d, f) for f in fs
+                ]
+        if crash_hook:
+            crash_hook(AFTER_DATA)
+        stats_cols = prev.get("stats_cols") or []
+        fresh_stats = (
+            _file_stats(
+                spark,
+                root,
+                [f for fs in new_parts.values() for f in fs],
+                stats_cols,
+            )
+            if stats_cols
+            else {}
+        )
+        base_partitions = {v: parts.get(v) for v in rewrite}
+        base_deletes = tombstones
+        for attempt in range(_CAS_RETRIES + 1):
+            merged = dict((prev or {}).get("partitions") or {})
+            for v in rewrite:
+                merged.pop(v, None)
+            merged.update(new_parts)
+            files_flat = sorted(f for fs in merged.values() for f in fs)
+            manifest = {
+                "txid": derived_txid,
+                "partition_col": pc,
+                "partitions": merged,
+                "files": files_flat,
+                "n_files": len(files_flat),
+                "seq": int(prev.get("seq", 1)) + 1,
+                "parent": _manifest_name(prev["txid"]),
+            }
+            if stats_cols:
+                carried = {
+                    f: s
+                    for f, s in (prev.get("stats") or {}).items()
+                    if f in set(files_flat)
+                }
+                carried.update(fresh_stats)
+                manifest["stats"] = carried
+                manifest["stats_cols"] = stats_cols
+            _fsync_write(man_path, json.dumps(manifest, sort_keys=True))
+            if crash_hook:
+                crash_hook(AFTER_MANIFEST)
+            try:
+                backend.commit_pointer(
+                    root, _manifest_name(derived_txid), etag
+                )
+                return _manifest_name(derived_txid)
+            except CommitConflictError:
+                if attempt == _CAS_RETRIES:
+                    raise
+                prev_name, etag = backend.read_pointer(root)
+                prev = _load_manifest(root, prev_name)
+                drifted = [
+                    v
+                    for v in rewrite
+                    if (prev or {}).get("partitions", {}).get(v)
+                    != base_partitions[v]
+                ]
+                if drifted or (prev or {}).get("deletes", []) != base_deletes:
+                    raise ConcurrentPublishError(
+                        f"OPTIMIZE under {root} lost the commit race and "
+                        f"its inputs drifted (partitions {sorted(drifted)!r}"
+                        " or new tombstones); re-run against the current "
+                        "snapshot"
+                    ) from None
+        raise AssertionError("unreachable")
 
 
 def _retained_chain(root: str, retain: int) -> list[dict]:
@@ -805,6 +1312,8 @@ def vacuum(root: str, retain: int = 1) -> list[str]:
         keep = {m["txid"] for m in chain}
         for m in chain:  # txids alive through carried-over references
             keep.update(f.split(os.sep)[1] for f in m.get("files", []))
+            # merge-on-read tombstone files are carried by reference too
+            keep.update(f.split(os.sep)[1] for f in m.get("deletes", []))
         keep_manifests = {_manifest_name(m["txid"]) for m in chain}
         # the FULL committed lineage (no retain bound): anything on it
         # that is about to lose its manifest goes to the applied ledger

@@ -222,6 +222,19 @@ WINDOW_PRIORITY += [
     # retention window is recognized via the durable _APPLIED ledger
     # instead of re-committing a stale frame; ledger count in the hash
     "q_replay_horizon",
+    # table-format maintenance (r10, same 3-mode certification bar):
+    # per-file min/max stats + manifest-side FILE skipping over a
+    # clustered layout whose partition value is an opaque bucket id
+    # (the non-partition-column case partition pruning can't serve)
+    "q_stats_skipping",
+    # OPTIMIZE bin-packing as an atomic commit: fragmented months
+    # (maxRecordsPerFile, oracle-replayable counts) packed to one file
+    # each; pre-optimize snapshot re-read through its manifest
+    "q_optimize_compact",
+    # merge-on-read deletes + physical purge: tombstone commits hide
+    # keys instantly, optimize purges them, time travel stays
+    # snapshot-scoped — the GDPR shape at 100 TB
+    "q_mor_delete",
 ]
 
 
@@ -305,6 +318,18 @@ REVERIFY: dict[str, str] = {
     # r10 parameterized the ANN cells retention (cells_retain knob,
     # verdict r09 #6); default behavior identical
     "q_ann_maintenance": "r09",
+    # r10 added table-format maintenance to the publish protocol: every
+    # manifest reader (read_current / read_snapshot / read_partitions)
+    # now applies merge-on-read delete tombstones, partition overwrites
+    # carry stats/tombstone metadata, and vacuum retains tombstone
+    # files. Values are identical for tables without tombstones (all
+    # existing keys), but the old rows certify the pre-maintenance read
+    # bodies — re-certify every key that reads through the manifest
+    "q_registry_build": "r09",
+    "q_time_travel": "r09",
+    "q_partition_pruned_read": "r09",
+    "q_stream_mart_upsert": "r09",
+    "q_ivf_cell_drift": "r09",
 }
 
 

@@ -213,13 +213,13 @@ def test_compaction_gauge_file_counts(spark, sf_dir):
     import glob
     import math
     import os
-    import tempfile
 
     from saas_analytics_pipeline_spark.operators.lake import (
         FRAG_FILES,
         ROWS_PER_FILE,
         q_compaction_gauge,
     )
+    from saas_analytics_pipeline_spark.scratch import scratch_path
     from saas_analytics_pipeline_spark.sources import load_table
 
     row = q_compaction_gauge(spark, sf_dir).first()
@@ -227,10 +227,7 @@ def test_compaction_gauge_file_counts(spark, sf_dir):
     assert row.files_before == FRAG_FILES
     assert row.files_after == max(1, math.ceil(n / ROWS_PER_FILE))
     assert row.n_rows == n
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"saas_lake_compact_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    base = scratch_path("saas_lake_compact", sf_dir)
     on_disk = len(glob.glob(os.path.join(base, "compact", "*.parquet")))
     assert on_disk == row.files_after
 

@@ -51,6 +51,9 @@ def backend(request, monkeypatch):
         "publish_snapshot",
         "ensure_published",
         "publish_partition_overwrite",
+        "publish_stats",
+        "publish_deletes",
+        "optimize_table",
     ):
         orig = getattr(P, fn_name)
         monkeypatch.setattr(P, fn_name, functools.partial(orig, backend=be))
@@ -509,3 +512,256 @@ def test_orphan_txid_stays_retryable_after_vacuum(spark, root):
     P.ensure_published(spark, _frame(spark, 2), root, "b2")  # the retry
     assert P.current_manifest(root)["txid"] == "b2"
     assert _snap(P.read_current(spark, root)) == _snap(_frame(spark, 2))
+
+
+# ---------------------------------------------------------------------------
+# Table-format maintenance (r10): file stats + skipping, merge-on-read
+# deletes, OPTIMIZE bin-packing — all under BOTH commit backends
+# ---------------------------------------------------------------------------
+
+
+def _banded(spark, tag: int, bands=4, rows=40):
+    """Rows whose k-ranges are disjoint per band: band b holds
+    k in [b*rows, b*rows+rows) — file stats on k then prune bands."""
+    return (
+        spark.range(bands * rows)
+        .select(
+            (F.col("id") / rows).cast("int").alias("band"),
+            F.col("id").alias("k"),
+            (F.col("id") * 10 + tag).alias("v"),
+        )
+        .repartition(F.col("band"))
+    )
+
+
+def test_stats_skipping_prunes_and_loses_nothing(spark, root):
+    P.publish_partition_overwrite(spark, _banded(spark, 1), root, "band")
+    P.publish_stats(spark, root, ["k"])
+    m = P.current_manifest(root)
+    assert set(m["stats_cols"]) == {"k"}
+    assert len(m["stats"]) == m["n_files"] == 4
+    # a band-sized k range resolves to exactly one file
+    df, n_scanned, n_total = P.read_skipping(spark, root, "k", 40, 79)
+    assert (n_scanned, n_total) == (1, 4)
+    got = df.where(F.col("k").between(40, 79))
+    want = _banded(spark, 1).where(F.col("k").between(40, 79))
+    assert _snap(got) == _snap(want)
+    # an out-of-range predicate opens nothing
+    empty, n_scanned, _ = P.read_skipping(spark, root, "k", 10_000, 20_000)
+    assert n_scanned == 0 and empty.count() == 0
+
+
+def test_read_skipping_requires_stats(spark, root):
+    P.publish_partition_overwrite(spark, _banded(spark, 1), root, "band")
+    with pytest.raises(ValueError, match="publish_stats"):
+        P.read_skipping(spark, root, "k", 0, 10)
+
+
+def test_stats_carry_over_partition_overwrite(spark, root):
+    """An overwrite keeps carried files' stats and drops replaced
+    files' entries; the replacement files scan conservatively until the
+    next (incremental) publish_stats annotates ONLY them."""
+    P.publish_partition_overwrite(spark, _banded(spark, 1), root, "band")
+    P.publish_stats(spark, root, ["k"])
+    before = P.current_manifest(root)["stats"]
+    P.publish_partition_overwrite(
+        spark, _banded(spark, 2).where(F.col("band") == 0), root, "band"
+    )
+    m = P.current_manifest(root)
+    carried = [f for fs in m["partitions"].values() for f in fs if f in before]
+    assert len(carried) == 3  # bands 1-3 carried with their stats
+    assert set(m["stats"]) == set(carried)
+    # replaced band-0 file: stats-less => conservatively scanned
+    _, n_scanned, n_total = P.read_skipping(spark, root, "k", 40, 79)
+    assert (n_scanned, n_total) == (2, 4)  # band 1 by stats + band 0 blind
+    # incremental annotation scans only the stats-less file
+    P.publish_stats(spark, root, ["k"])
+    _, n_scanned, _ = P.read_skipping(spark, root, "k", 40, 79)
+    assert n_scanned == 1
+
+
+def test_deletes_invisible_everywhere_and_snapshot_scoped(spark, root):
+    P.publish_partition_overwrite(spark, _banded(spark, 1), root, "band")
+    P.publish_stats(spark, root, ["k"])
+    pre_seq = P.current_manifest(root)["seq"]
+    P.publish_deletes(
+        spark, spark.range(10).select(F.col("id").alias("k")), root, "k"
+    )
+    full = _banded(spark, 1)
+    want = full.where(F.col("k") >= 10)
+    assert _snap(P.read_current(spark, root)) == _snap(want)
+    got, _ = P.read_partitions(spark, root, ["0"])
+    assert _snap(got) == _snap(want.where(F.col("band") == 0))
+    skipped, _, _ = P.read_skipping(spark, root, "k", 0, 39)
+    assert _snap(skipped.where(F.col("k").between(0, 39))) == _snap(
+        want.where(F.col("k").between(0, 39))
+    )
+    # the pre-delete snapshot still shows every key (snapshot-scoped)
+    assert _snap(P.read_snapshot(spark, root, seq=pre_seq)) == _snap(full)
+
+
+def test_delete_key_mismatch_refused(spark, root):
+    P.publish_partition_overwrite(spark, _banded(spark, 1), root, "band")
+    P.publish_deletes(
+        spark, spark.range(3).select(F.col("id").alias("k")), root, "k"
+    )
+    with pytest.raises(ValueError, match="one delete key"):
+        P.publish_deletes(
+            spark, spark.range(3).select(F.col("id").alias("v")), root, "v"
+        )
+
+
+@pytest.mark.parametrize("barrier", [P.AFTER_DATA, P.AFTER_MANIFEST])
+def test_delete_crash_leaves_old_state(spark, root, barrier):
+    P.publish_partition_overwrite(spark, _banded(spark, 1), root, "band")
+    with pytest.raises(Boom):
+        P.publish_deletes(
+            spark,
+            spark.range(10).select(F.col("id").alias("k")),
+            root,
+            "k",
+            crash_hook=_crash_at(barrier),
+        )
+    assert _snap(P.read_current(spark, root)) == _snap(_banded(spark, 1))
+
+
+def test_optimize_binpacks_purges_and_keeps_history(spark, root):
+    # fragment: 2 files per band via maxRecordsPerFile
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "20")
+    try:
+        P.publish_partition_overwrite(spark, _banded(spark, 1), root, "band")
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    P.publish_stats(spark, root, ["k"])
+    P.publish_deletes(
+        spark, spark.range(5).select(F.col("id").alias("k")), root, "k"
+    )
+    frag = P.current_manifest(root)
+    assert frag["n_files"] == 8
+    P.optimize_table(spark, root)
+    m = P.current_manifest(root)
+    assert m["n_files"] == 4  # one per band
+    assert all(len(fs) == 1 for fs in m["partitions"].values())
+    assert "deletes" not in m  # physically purged
+    want = _banded(spark, 1).where(F.col("k") >= 5)
+    assert _snap(P.read_current(spark, root)) == _snap(want)
+    # rewritten files carry FRESH stats (skipping still exact)
+    assert set(m["stats"]) == {f for fs in m["partitions"].values() for f in fs}
+    _, n_scanned, n_total = P.read_skipping(spark, root, "k", 40, 79)
+    assert (n_scanned, n_total) == (1, 4)
+    # the fragmented pre-optimize snapshot is still time-travelable
+    pre = P.read_snapshot(spark, root, txid=frag["txid"])
+    assert _snap(pre) == _snap(want)  # same tombstones, old layout
+
+
+@pytest.mark.parametrize("barrier", [P.AFTER_DATA, P.AFTER_MANIFEST])
+def test_optimize_crash_leaves_old_state(spark, root, barrier):
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "20")
+    try:
+        P.publish_partition_overwrite(spark, _banded(spark, 1), root, "band")
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    before = P.current_manifest(root)
+    with pytest.raises(Boom):
+        P.optimize_table(spark, root, crash_hook=_crash_at(barrier))
+    assert P.current_manifest(root) == before
+    assert _snap(P.read_current(spark, root)) == _snap(_banded(spark, 1))
+    # the retry converges (crashed orphan reclaimed)
+    P.optimize_table(spark, root)
+    assert P.current_manifest(root)["n_files"] == 4
+
+
+def test_optimize_noop_on_clean_table(spark, root):
+    P.publish_partition_overwrite(spark, _banded(spark, 1), root, "band")
+    before = P.current_manifest(root)
+    P.optimize_table(spark, root)
+    assert P.current_manifest(root) == before  # no commit, same pointer
+
+
+def test_optimize_purge_narrowed_by_stats(spark, root):
+    """With file stats on the delete key, a narrow key-range delete
+    rewrites ONLY the overlapping partition's file — the others carry
+    by reference (same file paths)."""
+    P.publish_partition_overwrite(spark, _banded(spark, 1), root, "band")
+    P.publish_stats(spark, root, ["k"])
+    before = P.current_manifest(root)["partitions"]
+    # keys 40..44 live entirely in band 1
+    P.publish_deletes(
+        spark,
+        spark.range(40, 45).select(F.col("id").alias("k")),
+        root,
+        "k",
+    )
+    P.optimize_table(spark, root)
+    after = P.current_manifest(root)["partitions"]
+    assert after["1"] != before["1"]  # rewritten without the keys
+    for band in ("0", "2", "3"):
+        assert after[band] == before[band]  # carried by reference
+    want = _banded(spark, 1).where(~F.col("k").between(40, 44))
+    assert _snap(P.read_current(spark, root)) == _snap(want)
+
+
+def test_optimize_drops_emptied_partition(spark, root):
+    P.publish_partition_overwrite(spark, _banded(spark, 1), root, "band")
+    # delete band 0 wholesale
+    P.publish_deletes(
+        spark, spark.range(40).select(F.col("id").alias("k")), root, "k"
+    )
+    P.optimize_table(spark, root)
+    m = P.current_manifest(root)
+    assert set(m["partitions"]) == {"1", "2", "3"}
+    assert _snap(P.read_current(spark, root)) == _snap(
+        _banded(spark, 1).where(F.col("k") >= 40)
+    )
+
+
+def test_vacuum_keeps_tombstone_txids(spark, root):
+    P.publish_partition_overwrite(spark, _banded(spark, 1), root, "band")
+    P.publish_deletes(
+        spark, spark.range(10).select(F.col("id").alias("k")), root, "k"
+    )
+    P.publish_stats(spark, root, ["k"])  # one more commit on top
+    removed = P.vacuum(root, retain=0)
+    # the tombstone's txid dir is referenced by the current manifest
+    m = P.current_manifest(root)
+    tomb_txids = {f.split(os.sep)[1] for f in m["deletes"]}
+    assert tomb_txids.isdisjoint(set(removed))
+    want = _banded(spark, 1).where(F.col("k") >= 10)
+    assert _snap(P.read_current(spark, root)) == _snap(want)
+
+
+def test_concurrent_delete_appends_both_tombstones(spark, root, backend):
+    """Under the CAS backend, a delete losing the conditional PUT to
+    another delete re-merges: BOTH key sets end up hidden. Under the
+    local fence the interposer would deadlock on the flock, so the
+    race is certified on the CAS backend only."""
+    if backend is P.LOCAL:
+        pytest.skip("whole-publish fence serializes writers by design")
+    P.publish_partition_overwrite(spark, _banded(spark, 1), root, "band")
+    fired = []
+
+    def interpose(b):
+        if b == P.AFTER_MANIFEST and not fired:
+            fired.append(True)
+            P.publish_deletes(
+                spark,
+                spark.range(150, 155).select(F.col("id").alias("k")),
+                root,
+                "k",
+                txid="delB",
+            )
+
+    P.publish_deletes(
+        spark,
+        spark.range(5).select(F.col("id").alias("k")),
+        root,
+        "k",
+        txid="delA",
+        crash_hook=interpose,
+    )
+    m = P.current_manifest(root)
+    assert len(m["deletes"]) == 2
+    want = _banded(spark, 1).where(
+        (F.col("k") >= 5) & ~F.col("k").between(150, 154)
+    )
+    assert _snap(P.read_current(spark, root)) == _snap(want)
