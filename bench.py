@@ -106,6 +106,17 @@ HEADLINE_R09 = [
     "q_ann_maintenance",
 ]
 
+# r10: table-format maintenance — manifest-side file skipping over
+# per-file stats, OPTIMIZE bin-packing (fragmented write + pack commit),
+# and merge-on-read deletes + purge. Tracked so commit/maintenance
+# overhead regressions (an accidental full-table rewrite, a skipped-file
+# scan) show up as a timing step.
+HEADLINE_R10 = [
+    "q_stats_skipping",
+    "q_optimize_compact",
+    "q_mor_delete",
+]
+
 HEADLINE = (
     HEADLINE_CORE
     + HEADLINE_TPCH
@@ -113,6 +124,7 @@ HEADLINE = (
     + HEADLINE_CURATION
     + HEADLINE_R08
     + HEADLINE_R09
+    + HEADLINE_R10
 )
 
 

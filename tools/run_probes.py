@@ -36,6 +36,7 @@ PROBES: list[tuple[str, list[str]]] = [
     ("html_probe", []),
     ("dupspan_probe", []),
     ("ann_fold_probe", []),
+    ("skipping_probe", []),
 ]
 
 
