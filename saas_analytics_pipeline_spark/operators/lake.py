@@ -2245,3 +2245,111 @@ def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(p4)
         .orderBy("phase")
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution IN the manifest protocol (r10): schema-in-log — the
+# governed-table counterpart of q_schema_evolution's mergeSchema read
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_schema_evolution_lake",
+    oracle=f"""
+    WITH src AS (
+        SELECT year(o_orderdate) AS yr, o_orderkey, o_totalprice,
+               CASE WHEN year(o_orderdate) = 1997
+                    THEN {CHANNEL_SQL} END AS ch
+        FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    )
+    SELECT yr,
+           CAST(5 AS BIGINT) AS n_schema_fields,
+           CAST(2 AS BIGINT) AS seq,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(ch) AS BIGINT) AS n_with_channel,
+           COUNT(DISTINCT ch) AS n_channels,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM src GROUP BY yr ORDER BY yr
+    """,
+)
+def q_schema_evolution_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution THROUGH the manifest protocol (r10): the
+    schema-in-log mechanism (Delta/Iceberg semantics) that
+    q_schema_evolution's footer-merging read cannot give a governed
+    table. Two incremental loads of a month-partitioned orders table:
+    1996's months with the base columns, then 1997's months from a
+    NEWER pipeline version that adds ``o_channel``. The commit evolves
+    the manifest's schema record (new column appended); readers apply
+    the RECORDED schema, so 1996's carried files surface o_channel as
+    NULL without any footer merging — before this mechanism,
+    read_current inferred from one file and silently DROPPED the new
+    column for mixed-schema manifests. The hash pins the per-year
+    rollup (null backfill + channel values + exact money), the evolved
+    field count, and the commit seq; the rejected case — the same
+    column re-written with an incompatible type — fails BEFORE any data
+    write and is pinned in tests/test_publish.py.
+
+    Scale: the manifest is the schema authority — a reader of a
+    million-file table does zero footer reads to learn the schema, and
+    evolution is a metadata append at commit time.
+
+    Ref: the reference's fixed per-source contract is
+    models/schema.yml:1-141; BigQuery evolves via ALTER TABLE
+    server-side — this is the lake-side equivalent on plain parquet."""
+    import shutil
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    root = scratch_path("saas_lake_schema_evo", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+    def month_slice(year: int) -> DataFrame:
+        return (
+            orders.where(F.year("o_orderdate") == year)
+            .withColumn(
+                "mk", F.year("o_orderdate") * 100 + F.month("o_orderdate")
+            )
+            .drop("o_orderdate")
+        )
+
+    P.publish_partition_overwrite(
+        spark, month_slice(1996).repartition(F.col("mk")), root, "mk"
+    )
+    P.publish_partition_overwrite(
+        spark,
+        month_slice(1997)
+        .withColumn("o_channel", channel_expr())
+        .repartition(F.col("mk")),
+        root,
+        "mk",
+    )
+    import json as _json
+
+    m = P.current_manifest(root)
+    n_fields = len(_json.loads(m["schema"])["fields"])
+    return (
+        P.read_current(spark, root)
+        .groupBy(F.expr("mk div 100").cast("int").alias("yr"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("o_channel").cast("long").alias("n_with_channel"),
+            F.countDistinct("o_channel").alias("n_channels"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            "yr",
+            F.lit(n_fields).cast("long").alias("n_schema_fields"),
+            F.lit(int(m["seq"])).cast("long").alias("seq"),
+            "n_rows",
+            "n_with_channel",
+            "n_channels",
+            "total_price",
+        )
+        .orderBy("yr")
+    )

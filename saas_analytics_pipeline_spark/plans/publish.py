@@ -357,6 +357,66 @@ def _complete_pointer_if_newer(
 _CAS_RETRIES = 3  # bounded conditional-PUT retry budget per publish
 
 
+def _nullable_schema_json(schema) -> str:
+    """The manifest schema record: top-level fields forced nullable
+    (parquet read-back is nullable regardless; recording the write-side
+    nullability would only create spurious schema diffs)."""
+    from pyspark.sql.types import StructField, StructType
+
+    return json.dumps(
+        StructType(
+            [StructField(f.name, f.dataType, True) for f in schema.fields]
+        ).jsonValue()
+    )
+
+
+def _evolved_schema(prev: dict | None, df: DataFrame) -> str:
+    """Schema evolution at commit time (Delta-style schema-in-log): the
+    new manifest's schema is the previous schema with the increment's
+    NEW columns appended; a column present on both sides with a
+    different type is a LOUD error — silent coercion across a 100 TB
+    lake is how type drift becomes unreadable history."""
+    from pyspark.sql.types import StructField, StructType
+
+    if prev is None or "schema" not in prev:
+        return _nullable_schema_json(df.schema)
+    base = StructType.fromJson(json.loads(prev["schema"]))
+    new_fields = {f.name: f for f in df.schema.fields}
+    out = []
+    for f in base.fields:
+        nf = new_fields.get(f.name)
+        if nf is not None and nf.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution type conflict on {f.name!r}: table has "
+                f"{f.dataType.simpleString()}, increment writes "
+                f"{nf.dataType.simpleString()} — cast explicitly or "
+                "migrate the table"
+            )
+        out.append(StructField(f.name, f.dataType, True))
+    seen = {f.name for f in base.fields}
+    for f in df.schema.fields:
+        if f.name not in seen:
+            out.append(StructField(f.name, f.dataType, True))
+    return json.dumps(StructType(out).jsonValue())
+
+
+def _read_files(
+    spark: SparkSession, root: str, m: dict, files: list[str]
+) -> DataFrame:
+    """Read manifest files under the manifest's recorded schema: files
+    from BEFORE a column was added surface it as NULL, and the reader
+    never footer-merges (at 100 TB the manifest IS the schema
+    authority, not a million footers). Legacy manifests without a
+    schema record fall back to inference."""
+    reader = spark.read
+    sch = m.get("schema")
+    if sch:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(sch)))
+    return reader.parquet(*[os.path.join(root, f) for f in files])
+
+
 def _carried_metadata(prev: dict | None, live_files: set[str]) -> dict:
     """Manifest fields that survive a partition-granular commit: per-file
     column stats for files carried by reference (replaced files' stats
@@ -416,6 +476,9 @@ def _publish_locked(
             "txid": txid,
             "files": [os.path.join("data", txid, f) for f in files],
             "n_files": len(files),
+            # a whole-snapshot publish REPLACES the table: its schema is
+            # the frame's own (no carried files to evolve against)
+            "schema": _nullable_schema_json(df.schema),
             # commit lineage: monotone under the fence / the CAS; vacuum
             # walks parent links to retain the N most recent snapshots
             "seq": (int(prev.get("seq", 1)) + 1) if prev else 1,
@@ -588,6 +651,9 @@ def publish_partition_overwrite(
                 "data — republish the full table once via "
                 "publish_partition_overwrite, or keep using publish_next"
             )
+        # validate schema evolution BEFORE any data writes: a type
+        # conflict must fail the publish while it is still free
+        _evolved_schema(prev, df)
         if txid is None:
             derived_txid = f"t{(int(prev.get('seq', 1)) + 1) if prev else 1}"
         else:
@@ -657,6 +723,13 @@ def publish_partition_overwrite(
                 "parent": _manifest_name(prev["txid"]) if prev else None,
             }
             manifest.update(_carried_metadata(prev, set(files_flat)))
+            if prev is None or "schema" in prev:
+                # evolve the schema record: carried files may predate the
+                # increment's new columns (readers fill them as NULL). A
+                # legacy lineage without a schema record stays legacy —
+                # recording only the increment's schema would DROP the
+                # carried files' other columns at read time.
+                manifest["schema"] = _evolved_schema(prev, df)
             _fsync_write(man_path, json.dumps(manifest, sort_keys=True))
             if crash_hook:
                 crash_hook(AFTER_MANIFEST)
@@ -726,7 +799,7 @@ def read_current(spark: SparkSession, root: str) -> DataFrame:
     m = current_manifest(root)
     if m is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
-    df = spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+    df = _read_files(spark, root, m, m["files"])
     return _apply_deletes(spark, root, m, df)
 
 
@@ -780,7 +853,7 @@ def read_snapshot(
     version's merge-on-read tombstones (a snapshot from before a delete
     still shows the deleted keys; one from after does not)."""
     m = snapshot_manifest(root, txid=txid, seq=seq)
-    df = spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+    df = _read_files(spark, root, m, m["files"])
     return _apply_deletes(spark, root, m, df)
 
 
@@ -806,7 +879,7 @@ def read_partitions(
         raise FileNotFoundError(
             f"none of partitions {values!r} exist in the current manifest"
         )
-    df = spark.read.parquet(*[os.path.join(root, f) for f in files])
+    df = _read_files(spark, root, m, files)
     return _apply_deletes(spark, root, m, df), len(files)
 
 
@@ -841,7 +914,11 @@ def _stats_val(v):
 
 
 def _file_stats(
-    spark: SparkSession, root: str, files: list[str], cols: list[str]
+    spark: SparkSession,
+    root: str,
+    files: list[str],
+    cols: list[str],
+    m: dict | None = None,
 ) -> dict[str, dict[str, list]]:
     """Per-file min/max of ``cols`` over the given manifest-relative
     files, in ONE scan: group by input_file_name, so a task reading many
@@ -853,7 +930,10 @@ def _file_stats(
 
     if not files:
         return {}
-    df = spark.read.parquet(*[os.path.join(root, f) for f in files])
+    if m is not None and m.get("schema"):
+        df = _read_files(spark, root, m, files)
+    else:
+        df = spark.read.parquet(*[os.path.join(root, f) for f in files])
     aggs = []
     for c in cols:
         aggs.append(F.min(c).alias(f"_min_{c}"))
@@ -895,7 +975,7 @@ def publish_stats(
                 if any(c not in old.get(f, {}) for c in cols)
             ]
             stats = {f: dict(old[f]) for f in old if f in set(prev["files"])}
-            for f, entry in _file_stats(spark, root, todo, cols).items():
+            for f, entry in _file_stats(spark, root, todo, cols, prev).items():
                 stats.setdefault(f, {}).update(entry)
             seq = int(prev.get("seq", 1)) + 1
             txid = f"t{seq}"
@@ -910,7 +990,10 @@ def publish_stats(
                 "seq": seq,
                 "parent": _manifest_name(prev["txid"]),
             }
-            for k in ("partition_col", "partitions", "deletes", "delete_key"):
+            for k in (
+                "partition_col", "partitions", "deletes", "delete_key",
+                "schema",
+            ):
                 if k in prev:
                     manifest[k] = prev[k]
             man_dir = os.path.join(root, "manifests")
@@ -962,11 +1045,11 @@ def read_skipping(
         if not (fmax < qlo or fmin > qhi):
             picked.append(f)
     if not picked:
-        empty = spark.read.parquet(
-            os.path.join(root, m["files"][0])
-        ).where(F.lit(False))
+        empty = _read_files(spark, root, m, [m["files"][0]]).where(
+            F.lit(False)
+        )
         return empty, 0, len(m["files"])
-    df = spark.read.parquet(*[os.path.join(root, f) for f in picked])
+    df = _read_files(spark, root, m, picked)
     return _apply_deletes(spark, root, m, df), len(picked), len(m["files"])
 
 
@@ -1057,7 +1140,10 @@ def publish_deletes(
                 "seq": int(prev.get("seq", 1)) + 1,
                 "parent": _manifest_name(prev["txid"]),
             }
-            for k in ("partition_col", "partitions", "stats", "stats_cols"):
+            for k in (
+                "partition_col", "partitions", "stats", "stats_cols",
+                "schema",
+            ):
                 if k in prev:
                     manifest[k] = prev[k]
             _fsync_write(man_path, json.dumps(manifest, sort_keys=True))
@@ -1084,6 +1170,7 @@ def publish_deletes(
 def optimize_table(
     spark: SparkSession,
     root: str,
+    cluster_by: list[str] | None = None,
     backend=LOCAL,
     crash_hook: Callable[[str], None] | None = None,
 ) -> str:
@@ -1107,7 +1194,13 @@ def optimize_table(
     Concurrency: under the CAS backend the loser re-merges against the
     winner IFF none of its rewritten partitions (and the tombstone list)
     drifted — an overlapping OPTIMIZE/overwrite fails loudly, exactly
-    like publish_partition_overwrite."""
+    like publish_partition_overwrite.
+
+    ``cluster_by``: OPTIMIZE-ZORDER-lite — rewrite EVERY partition with
+    rows sorted by the given columns (one in-task sort, no extra
+    shuffle), so parquet row-group min/max tighten and the same commit's
+    fresh file stats narrow; later predicates on the cluster keys skip
+    at both the manifest (read_skipping) and row-group level."""
     from urllib.parse import unquote
 
     with _maybe_fence(root, backend):
@@ -1122,7 +1215,12 @@ def optimize_table(
             )
         pc = prev["partition_col"]
         parts: dict[str, list[str]] = prev["partitions"]
-        rewrite = {v for v, fs in parts.items() if len(fs) > 1}
+        # a requested re-cluster rewrites EVERY partition (the point is
+        # the new sort order); plain OPTIMIZE only the fragmented ones
+        if cluster_by:
+            rewrite = set(parts)
+        else:
+            rewrite = {v for v, fs in parts.items() if len(fs) > 1}
         tombstones = list(prev.get("deletes") or [])
         keys = None
         if tombstones:
@@ -1171,9 +1269,7 @@ def optimize_table(
         new_parts: dict[str, list[str]] = {}
         rw_files = [f for v in sorted(rewrite) for f in parts[v]]
         if rw_files:
-            df = spark.read.parquet(
-                *[os.path.join(root, f) for f in rw_files]
-            )
+            df = _read_files(spark, root, prev, rw_files)
             if keys is not None:
                 # keep the file column order: rewritten files must stay
                 # schema-identical to carried ones
@@ -1183,6 +1279,10 @@ def optimize_table(
             (
                 df.withColumn("_p", F.col(pc).cast("string"))
                 .repartition(F.col("_p"))
+                # OPTIMIZE-ZORDER-lite: cluster rewritten rows so parquet
+                # row-group min/max tighten on the sort keys (and file
+                # stats narrow) — one in-task sort, no extra shuffle
+                .sortWithinPartitions("_p", *(cluster_by or []))
                 .write.partitionBy("_p")
                 .mode("error")
                 .parquet(data_dir)
@@ -1208,6 +1308,7 @@ def optimize_table(
                 root,
                 [f for fs in new_parts.values() for f in fs],
                 stats_cols,
+                prev,
             )
             if stats_cols
             else {}
@@ -1238,6 +1339,8 @@ def optimize_table(
                 carried.update(fresh_stats)
                 manifest["stats"] = carried
                 manifest["stats_cols"] = stats_cols
+            if "schema" in prev:
+                manifest["schema"] = prev["schema"]
             _fsync_write(man_path, json.dumps(manifest, sort_keys=True))
             if crash_hook:
                 crash_hook(AFTER_MANIFEST)

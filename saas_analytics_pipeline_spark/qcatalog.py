@@ -235,6 +235,12 @@ WINDOW_PRIORITY += [
     # keys instantly, optimize purges them, time travel stays
     # snapshot-scoped — the GDPR shape at 100 TB
     "q_mor_delete",
+    # schema-in-log evolution: a later increment's added column reaches
+    # the manifest's schema record; readers apply it (old files
+    # null-backfill, zero footer merging); type conflicts fail before
+    # any data write — fixes the silent column drop mixed-schema
+    # manifests had under inferred reads
+    "q_schema_evolution_lake",
 ]
 
 
@@ -330,6 +336,9 @@ REVERIFY: dict[str, str] = {
     "q_partition_pruned_read": "r09",
     "q_stream_mart_upsert": "r09",
     "q_ivf_cell_drift": "r09",
+    # r10 schema-in-log: write_day_increment commits now record the
+    # manifest schema and its reader resolves through it
+    "q_rollup_incremental": "r09",
 }
 
 

@@ -765,3 +765,95 @@ def test_concurrent_delete_appends_both_tombstones(spark, root, backend):
         (F.col("k") >= 5) & ~F.col("k").between(150, 154)
     )
     assert _snap(P.read_current(spark, root)) == _snap(want)
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution in the manifest (r10): schema-in-log
+# ---------------------------------------------------------------------------
+
+
+def _day(spark, dt: str, cols: str, rows):
+    import pyspark.sql.functions as SF
+
+    return spark.createDataFrame(rows, cols).select(
+        SF.to_date(SF.lit(dt)).alias("dt"), "*"
+    )
+
+
+def test_schema_evolves_and_backfills_null(spark, root):
+    d1 = _day(spark, "2024-01-01", "k int, v int", [(1, 10)])
+    d2 = _day(spark, "2024-01-02", "k int, v int, ch string", [(2, 20, "web")])
+    P.publish_partition_overwrite(spark, d1, root, "dt")
+    P.publish_partition_overwrite(spark, d2, root, "dt")
+    cur = P.read_current(spark, root)
+    assert cur.columns == ["dt", "k", "v", "ch"]
+    got = {r["k"]: r["ch"] for r in cur.collect()}
+    assert got == {1: None, 2: "web"}
+    # partition reads and snapshots see the same evolved schema
+    got1, _ = P.read_partitions(spark, root, ["2024-01-01"])
+    assert got1.columns == ["dt", "k", "v", "ch"]
+    # time travel reads the OLD schema: before evolution, no ch column
+    assert P.read_snapshot(spark, root, seq=1).columns == ["dt", "k", "v"]
+
+
+def test_schema_type_conflict_fails_before_any_write(spark, root):
+    P.publish_partition_overwrite(
+        spark, _day(spark, "2024-01-01", "k int, v int", [(1, 10)]), root, "dt"
+    )
+    before = P.current_manifest(root)
+    bad = _day(spark, "2024-01-02", "k int, v string", [(2, "oops")])
+    with pytest.raises(ValueError, match="type conflict"):
+        P.publish_partition_overwrite(spark, bad, root, "dt")
+    # nothing committed, no orphan data dir for a new txid
+    assert P.current_manifest(root) == before
+    assert sorted(os.listdir(os.path.join(root, "data"))) == [before["txid"]]
+
+
+def test_optimize_normalizes_schema_across_generations(spark, root):
+    """OPTIMIZE rewrites mixed-generation partitions under the evolved
+    schema: a partition whose file predates the added column is
+    rewritten WITH the column (null-backfilled) once it fragments or
+    purges."""
+    d1 = _day(spark, "2024-01-01", "k int, v int", [(1, 10), (2, 20)])
+    d2 = _day(spark, "2024-01-02", "k int, v int, ch string", [(3, 30, "web")])
+    P.publish_partition_overwrite(spark, d1, root, "dt")
+    P.publish_partition_overwrite(spark, d2, root, "dt")
+    P.publish_deletes(
+        spark, spark.range(1, 2).select(F.col("id").cast("int").alias("k")),
+        root, "k",
+    )
+    P.optimize_table(spark, root)  # purges k=1 from the 01-01 partition
+    cur = P.read_current(spark, root)
+    assert cur.columns == ["dt", "k", "v", "ch"]
+    got = {r["k"]: r["ch"] for r in cur.collect()}
+    assert got == {2: None, 3: "web"}
+    # the rewritten old-generation file itself now carries the column
+    m = P.current_manifest(root)
+    f01 = m["partitions"]["2024-01-01"][0]
+    raw = spark.read.parquet(os.path.join(root, f01))
+    assert "ch" in raw.columns
+
+
+def test_optimize_cluster_by_rewrites_all_and_sorts(spark, root):
+    """OPTIMIZE with cluster_by re-clusters EVERY partition: rows in
+    each rewritten file come out sorted by the cluster key, and the
+    fresh file stats reflect the new (tight) layout."""
+    rows = [(b, k, k * 7 % 40) for b in range(2) for k in range(40)]
+    df = spark.createDataFrame(rows, "band int, k int, v int").repartition(
+        F.col("band")
+    )
+    P.publish_partition_overwrite(spark, df, root, "band")
+    P.publish_stats(spark, root, ["v"])
+    before = P.current_manifest(root)["partitions"]
+    P.optimize_table(spark, root, cluster_by=["v"])
+    m = P.current_manifest(root)
+    assert all(m["partitions"][b] != before[b] for b in before)  # all rewritten
+    for b, fs in m["partitions"].items():
+        vals = [
+            r["v"]
+            for r in spark.read.parquet(os.path.join(root, fs[0])).collect()
+        ]
+        assert vals == sorted(vals)
+    # same data, stats refreshed for the new files
+    assert _snap(P.read_current(spark, root)) == _snap(df)
+    assert set(m["stats"]) == {f for fs in m["partitions"].values() for f in fs}
