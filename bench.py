@@ -115,6 +115,7 @@ HEADLINE_R10 = [
     "q_stats_skipping",
     "q_optimize_compact",
     "q_mor_delete",
+    "q_schema_evolution_lake",
 ]
 
 HEADLINE = (

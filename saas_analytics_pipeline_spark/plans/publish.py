@@ -1450,3 +1450,58 @@ def vacuum(root: str, retain: int = 1) -> list[str]:
                 if name not in keep_manifests:
                     os.remove(os.path.join(man_root, name))
         return removed
+
+
+def maintain_table(
+    spark: SparkSession,
+    root: str,
+    retain: int = 1,
+    stats_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    backend=LOCAL,
+) -> dict:
+    """The scheduled maintenance job, composed from the three r10
+    primitives in dependency order:
+
+    1. ``optimize_table`` — bin-pack fragmented partitions, purge
+       merge-on-read tombstones (optionally re-cluster via
+       ``cluster_by``);
+    2. ``publish_stats`` — annotate whichever requested columns are
+       missing stats (incremental: only the files OPTIMIZE just wrote,
+       or that increments added since the last run, are scanned);
+    3. ``vacuum`` — age superseded snapshots out past ``retain``,
+       recording committed txids in the replay ledger.
+
+    Idempotent by construction: a second run on an already-maintained
+    table is metadata-only (OPTIMIZE no-ops on a clean un-clustered
+    table, stats find nothing to scan, vacuum finds nothing
+    unreferenced), and each step is individually crash-atomic — a
+    maintenance process dying anywhere leaves readers on a committed
+    snapshot and the NEXT run completes the remainder. Returns a small
+    report dict for the operator's log line.
+
+    Scale: this is the nightly/hourly background job at 100 TB;
+    readers never block on it (snapshot isolation), and its cost
+    follows the day's increments, not the table."""
+    report: dict = {}
+    before = current_manifest(root)
+    if before is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    optimize_table(
+        spark, root, cluster_by=cluster_by, backend=backend
+    )
+    after_opt = current_manifest(root)
+    report["optimized"] = int(after_opt["seq"]) != int(before["seq"])
+    report["n_files"] = after_opt["n_files"]
+    if stats_cols:
+        pre_stats = after_opt.get("stats") or {}
+        missing = [
+            f
+            for f in after_opt["files"]
+            if any(c not in pre_stats.get(f, {}) for c in stats_cols)
+        ]
+        if missing:
+            publish_stats(spark, root, stats_cols, backend=backend)
+        report["stats_annotated_files"] = len(missing)
+    report["vacuumed_txids"] = vacuum(root, retain=retain)
+    return report

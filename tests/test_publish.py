@@ -857,3 +857,35 @@ def test_optimize_cluster_by_rewrites_all_and_sorts(spark, root):
     # same data, stats refreshed for the new files
     assert _snap(P.read_current(spark, root)) == _snap(df)
     assert set(m["stats"]) == {f for fs in m["partitions"].values() for f in fs}
+
+
+@pytest.mark.local_only
+def test_maintain_table_composes_and_is_idempotent(spark, root):
+    """maintain_table = OPTIMIZE + incremental stats + vacuum in one
+    call; the second run is metadata-only (nothing optimized, nothing
+    scanned, nothing vacuumed) and the table reads identically."""
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "20")
+    try:
+        P.publish_partition_overwrite(spark, _banded(spark, 1), root, "band")
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    P.publish_deletes(
+        spark, spark.range(5).select(F.col("id").alias("k")), root, "k"
+    )
+    r1 = P.maintain_table(spark, root, retain=0, stats_cols=["k"])
+    assert r1["optimized"] is True
+    assert r1["n_files"] == 4
+    # optimize refreshes stats only when the table already HAD a stats
+    # register; this table gains one via maintain's publish_stats step,
+    # so all 4 optimized files get annotated here
+    assert r1["stats_annotated_files"] == 4
+    want = _banded(spark, 1).where(F.col("k") >= 5)
+    assert _snap(P.read_current(spark, root)) == _snap(want)
+    r2 = P.maintain_table(spark, root, retain=0, stats_cols=["k"])
+    assert r2["optimized"] is False
+    assert r2["stats_annotated_files"] == 0
+    assert r2["vacuumed_txids"] == []
+    assert _snap(P.read_current(spark, root)) == _snap(want)
+    # skipping works off the stats maintain added
+    _, n_scanned, n_total = P.read_skipping(spark, root, "k", 40, 79)
+    assert (n_scanned, n_total) == (1, 4)
