@@ -116,6 +116,7 @@ HEADLINE_R10 = [
     "q_optimize_compact",
     "q_mor_delete",
     "q_schema_evolution_lake",
+    "q_txn_commit",
 ]
 
 HEADLINE = (

@@ -2353,3 +2353,149 @@ def q_schema_evolution_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-table atomic commit certificate (r10): fact + dim as ONE change
+# ---------------------------------------------------------------------------
+
+TXN_BUMP = 5_000_000  # v2 fact amount bump (loud if v2 leaks early)
+
+
+@query(
+    "q_txn_commit",
+    oracle=f"""
+    WITH fact1 AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS amount
+        FROM orders
+    ),
+    fact2 AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DECIMAL(18,2))
+                   + CASE WHEN o_orderkey % 10 = 0
+                          THEN {TXN_BUMP} ELSE 0 END AS amount
+        FROM orders
+    ),
+    dim1 AS (SELECT DISTINCT o_custkey AS ck, o_custkey % 3 AS tier
+             FROM orders),
+    dim2 AS (SELECT DISTINCT o_custkey AS ck, (o_custkey + 1) % 3 AS tier
+             FROM orders),
+    v1 AS (
+        SELECT tier, COUNT(*) AS n_orders,
+               CAST(SUM(amount) AS DOUBLE) AS total_amount
+        FROM fact1 JOIN dim1 ON o_custkey = ck GROUP BY tier
+    ),
+    v2 AS (
+        SELECT tier, COUNT(*) AS n_orders,
+               CAST(SUM(amount) AS DOUBLE) AS total_amount
+        FROM fact2 JOIN dim2 ON o_custkey = ck GROUP BY tier
+    )
+    SELECT 'p1_v1' AS phase, CAST(1 AS BIGINT) AS seq, * FROM v1
+    UNION ALL
+    SELECT 'p2_after_crash', 1, * FROM v1
+    UNION ALL
+    SELECT 'p3_v2', 2, * FROM v2
+    UNION ALL
+    SELECT 'p4_travel_v1', 1, * FROM v1
+    ORDER BY phase, tier
+    """,
+)
+def q_txn_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table ATOMIC commit (r10): a fact and its dimension become
+    visible as one change — the star-schema consistency the reference's
+    table-at-a-time BigQuery loads can't give
+    (data_gen/generate_and_load_script.py loads each table separately;
+    a reader between loads joins new facts to old dims).
+
+    ``publish_tables`` stages both tables' snapshots + manifests
+    (durable, invisible), then swaps ONE catalog pointer:
+
+    - p1: {{fact v1, dim v1}} committed and joined — baseline rollup;
+    - p2: a v2 publish CRASHES after staging the dim but before the
+      commit (the deterministic crash hook); the joined rollup must
+      equal p1 EXACTLY — the staged v2 dim is invisible, no reader ever
+      joins v1 facts to v2 tiers (per-table pointers would leak here);
+    - p3: the v2 retry (same txid — staged orphans reclaimed) commits
+      both tables at once: bumped amounts land in shifted tiers in the
+      same instant;
+    - p4: catalog time travel to seq=1 reads the CONSISTENT v1 pair.
+
+    Per-tier order counts + exact money totals replayed by the oracle
+    for both versions pin every phase; a torn commit, a leaked staged
+    table, or a mixed-version join each breaks a row.
+
+    Scale: staging cost is the data writes themselves; the commit adds
+    one tiny catalog record + one pointer swap no matter how many
+    tables change. Crash matrix + CAS backend + disjoint-writer merge
+    in tests/test_publish.py."""
+    import shutil
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    cat = scratch_path("saas_lake_txn", sf_dir)
+    shutil.rmtree(cat, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    fact1 = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amount"),
+    )
+    fact2 = fact1.withColumn(
+        "amount",
+        F.col("amount")
+        + F.when(F.col("o_orderkey") % 10 == 0, TXN_BUMP).otherwise(0),
+    )
+    dim1 = orders.select(
+        F.col("o_custkey").alias("ck"), (F.col("o_custkey") % 3).alias("tier")
+    ).distinct()
+    dim2 = orders.select(
+        F.col("o_custkey").alias("ck"),
+        ((F.col("o_custkey") + 1) % 3).alias("tier"),
+    ).distinct()
+
+    def rollup(tag: str, seq: int) -> DataFrame:
+        f = P.read_catalog_table(spark, cat, "fact", seq=seq)
+        d = P.read_catalog_table(spark, cat, "dim", seq=seq)
+        return (
+            f.join(d, f.o_custkey == d.ck)
+            .groupBy("tier")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("amount").cast("double").alias("total_amount"),
+            )
+            .select(
+                F.lit(tag).alias("phase"),
+                F.lit(seq).cast("long").alias("seq"),
+                "*",
+            )
+        )
+
+    P.publish_tables(spark, {"fact": fact1, "dim": dim1}, cat)
+    p1 = rollup("p1_v1", 1)
+
+    class _Boom(RuntimeError):
+        pass
+
+    def crash_after_dim(barrier: str) -> None:
+        if barrier == "staged:dim":
+            raise _Boom(barrier)
+
+    try:
+        P.publish_tables(
+            spark, {"fact": fact2, "dim": dim2}, cat, txid="v2",
+            crash_hook=crash_after_dim,
+        )
+    except _Boom:
+        pass
+    cur_seq = int(P.catalog_record(cat)["seq"])  # still 1: crash invisible
+    p2 = rollup("p2_after_crash", cur_seq)
+    P.publish_tables(spark, {"fact": fact2, "dim": dim2}, cat, txid="v2")
+    p3 = rollup("p3_v2", int(P.catalog_record(cat)["seq"]))
+    p4 = rollup("p4_travel_v1", 1)
+    return (
+        p1.unionByName(p2)
+        .unionByName(p3)
+        .unionByName(p4)
+        .orderBy("phase", "tier")
+    )

@@ -1505,3 +1505,184 @@ def maintain_table(
         report["stats_annotated_files"] = len(missing)
     report["vacuumed_txids"] = vacuum(root, retain=retain)
     return report
+
+
+# ---------------------------------------------------------------------------
+# Multi-table atomic commit (r10): a CATALOG pointer over staged tables —
+# fact + dim become visible as ONE change (ROADMAP item pulled forward)
+# ---------------------------------------------------------------------------
+#
+# Layout::
+#
+#     <catalog_root>/_CURRENT              the catalog pointer (one swap
+#                                          commits ANY number of tables)
+#     <catalog_root>/manifests/catalog-<txid>.json
+#                                          {tables: {name: manifest-name},
+#                                           seq, parent}
+#     <catalog_root>/tables/<name>/...     per-table manifest/data layout,
+#                                          IDENTICAL to a standalone table
+#                                          except no per-table _CURRENT —
+#                                          the catalog record is the only
+#                                          source of truth
+#
+# Staging writes each table's snapshot dir + manifest with the normal
+# machinery (durable, invisible); the catalog pointer swap — rename under
+# the fence or conditional PUT — is the single commit point for the whole
+# set. A writer dying after staging N-1 of N tables leaves readers on the
+# previous catalog record: they NEVER see fact-without-dim. Untouched
+# tables carry into the new catalog record by reference.
+
+
+def _catalog_name(txid: str) -> str:
+    return f"catalog-{txid}.json"
+
+
+def _stage_table_snapshot(
+    spark: SparkSession, table_root: str, df: DataFrame, txid: str
+) -> str:
+    """Write one table's snapshot dir + manifest WITHOUT any pointer
+    swap (the catalog commit is the visibility event). The manifest
+    carries no seq/parent of its own — catalog records version the SET."""
+    data_dir = os.path.join(table_root, "data", txid)
+    man_dir = os.path.join(table_root, "manifests")
+    os.makedirs(man_dir, exist_ok=True)
+    if os.path.isdir(data_dir):  # crashed orphan from a previous attempt
+        shutil.rmtree(data_dir)
+    df.write.mode("error").parquet(data_dir)
+    _fsync_tree(data_dir)
+    files = sorted(
+        f for f in os.listdir(data_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    name = _manifest_name(txid)
+    _fsync_write(
+        os.path.join(man_dir, name),
+        json.dumps(
+            {
+                "txid": txid,
+                "files": [os.path.join("data", txid, f) for f in files],
+                "n_files": len(files),
+                "schema": _nullable_schema_json(df.schema),
+            },
+            sort_keys=True,
+        ),
+    )
+    return name
+
+
+def publish_tables(
+    spark: SparkSession,
+    frames: dict[str, DataFrame],
+    catalog_root: str,
+    txid: str | None = None,
+    crash_hook: Callable[[str], None] | None = None,
+    backend=LOCAL,
+) -> str:
+    """Publish several tables as ONE atomic commit: every frame is
+    staged (snapshot dir + manifest, durable but invisible), then the
+    CATALOG pointer — a record mapping table name -> manifest — swaps
+    once. Readers resolve tables THROUGH the committed catalog record,
+    so a fact and its dimension change together or not at all: a writer
+    crashing after staging some tables leaves every reader on the
+    previous consistent set (the staged orphans are reclaimed by the
+    next attempt). Tables absent from ``frames`` carry into the new
+    record by reference, unchanged.
+
+    This is the multi-table transaction a star-schema load needs (the
+    reference loads each BigQuery table separately and accepts the
+    inconsistency window; an Iceberg REST catalog / Delta commit
+    coordinator closes it the same way — one catalog-level commit
+    point). Conflict policy matches publish_snapshot: a CAS loser
+    re-derives its catalog record against the winner's (its staged
+    table snapshots are already written and untouched) and retries.
+
+    Scale: staging is the data write itself; the commit adds one tiny
+    record + one pointer swap regardless of how many tables change."""
+    with _maybe_fence(catalog_root, backend):
+        prev_name, etag = backend.read_pointer(catalog_root)
+        prev = _load_manifest(catalog_root, prev_name)
+        if txid is None:
+            txid = f"t{(int(prev.get('seq', 1)) + 1) if prev else 1}"
+        staged: dict[str, str] = {}
+        for name in sorted(frames):
+            table_root = os.path.join(catalog_root, "tables", name)
+            staged[name] = _stage_table_snapshot(
+                spark, table_root, frames[name], txid
+            )
+            if crash_hook:
+                crash_hook(f"staged:{name}")
+        man_dir = os.path.join(catalog_root, "manifests")
+        os.makedirs(man_dir, exist_ok=True)
+        cat_name = _catalog_name(txid)
+        for attempt in range(_CAS_RETRIES + 1):
+            tables = dict((prev or {}).get("tables") or {})
+            tables.update(staged)
+            record = {
+                "txid": txid,
+                "tables": tables,
+                "seq": (int(prev.get("seq", 1)) + 1) if prev else 1,
+                "parent": _catalog_name(prev["txid"]) if prev else None,
+            }
+            _fsync_write(
+                os.path.join(man_dir, cat_name),
+                json.dumps(record, sort_keys=True),
+            )
+            if crash_hook:
+                crash_hook(AFTER_MANIFEST)
+            try:
+                backend.commit_pointer(catalog_root, cat_name, etag)
+                return cat_name
+            except CommitConflictError:
+                if attempt == _CAS_RETRIES:
+                    raise
+                prev_name, etag = backend.read_pointer(catalog_root)
+                prev = _load_manifest(catalog_root, prev_name)
+        raise AssertionError("unreachable")
+
+
+def catalog_record(catalog_root: str, seq: int | None = None) -> dict | None:
+    """The committed catalog record (or a historical one by seq via the
+    parent-chain walk — catalog time travel)."""
+    try:
+        with open(os.path.join(catalog_root, CURRENT)) as f:
+            name = f.read().strip()
+    except FileNotFoundError:
+        return None
+    with open(os.path.join(catalog_root, "manifests", name)) as f:
+        rec = json.load(f)
+    if seq is None:
+        return rec
+    while rec is not None:
+        if int(rec.get("seq", 1)) == seq:
+            return rec
+        parent = rec.get("parent")
+        if not parent:
+            break
+        with open(os.path.join(catalog_root, "manifests", parent)) as f:
+            rec = json.load(f)
+    raise FileNotFoundError(f"catalog seq={seq} not reachable")
+
+
+def read_catalog_table(
+    spark: SparkSession,
+    catalog_root: str,
+    table: str,
+    seq: int | None = None,
+) -> DataFrame:
+    """Read one table through the committed catalog record (or a
+    historical record by ``seq``): the record's manifest name — not any
+    per-table pointer — decides visibility, so every table read off the
+    same record is mutually consistent."""
+    rec = catalog_record(catalog_root, seq=seq)
+    if rec is None:
+        raise FileNotFoundError(f"no committed catalog under {catalog_root}")
+    man_name = rec["tables"].get(table)
+    if man_name is None:
+        raise FileNotFoundError(
+            f"table {table!r} not in catalog {catalog_root} (seq "
+            f"{rec.get('seq')})"
+        )
+    table_root = os.path.join(catalog_root, "tables", table)
+    m = _load_manifest(table_root, man_name)
+    df = _read_files(spark, table_root, m, m["files"])
+    return _apply_deletes(spark, table_root, m, df)

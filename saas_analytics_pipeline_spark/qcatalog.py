@@ -241,6 +241,11 @@ WINDOW_PRIORITY += [
     # any data write — fixes the silent column drop mixed-schema
     # manifests had under inferred reads
     "q_schema_evolution_lake",
+    # multi-table atomic commit (ROADMAP_r11 #2 pulled forward): fact +
+    # dim staged then made visible by ONE catalog-pointer swap; a crash
+    # after staging some tables leaves readers on the previous
+    # consistent set; same-txid retry converges; catalog time travel
+    "q_txn_commit",
 ]
 
 

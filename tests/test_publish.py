@@ -889,3 +889,132 @@ def test_maintain_table_composes_and_is_idempotent(spark, root):
     # skipping works off the stats maintain added
     _, n_scanned, n_total = P.read_skipping(spark, root, "k", 40, 79)
     assert (n_scanned, n_total) == (1, 4)
+
+
+# ---------------------------------------------------------------------------
+# Multi-table atomic commit (r10): the catalog pointer
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return str(tmp_path / "catalog")
+
+
+def _fact(spark, tag: int):
+    return spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 10 + tag).alias("amount")
+    )
+
+
+def _dim(spark, tag: int):
+    return spark.range(20).select(
+        F.col("id").alias("k"), ((F.col("id") + tag) % 3).alias("tier")
+    )
+
+
+def test_publish_tables_commits_pair_atomically(spark, cat, backend):
+    P.publish_tables(
+        spark, {"fact": _fact(spark, 1), "dim": _dim(spark, 1)}, cat,
+        backend=backend,
+    )
+    P.publish_tables(
+        spark, {"fact": _fact(spark, 2), "dim": _dim(spark, 2)}, cat,
+        backend=backend,
+    )
+    assert _snap(P.read_catalog_table(spark, cat, "fact")) == _snap(
+        _fact(spark, 2)
+    )
+    assert _snap(P.read_catalog_table(spark, cat, "dim")) == _snap(
+        _dim(spark, 2)
+    )
+    # catalog time travel: seq=1 shows the CONSISTENT v1 pair
+    assert _snap(P.read_catalog_table(spark, cat, "fact", seq=1)) == _snap(
+        _fact(spark, 1)
+    )
+    assert _snap(P.read_catalog_table(spark, cat, "dim", seq=1)) == _snap(
+        _dim(spark, 1)
+    )
+
+
+@pytest.mark.parametrize("barrier", ["staged:dim", P.AFTER_MANIFEST])
+def test_partial_staging_crash_never_tears_the_set(spark, cat, backend, barrier):
+    """A writer dying after staging SOME tables (or after the catalog
+    record, before the pointer) leaves readers on the previous
+    consistent set — never fact-without-dim; the retry converges."""
+    P.publish_tables(
+        spark, {"fact": _fact(spark, 1), "dim": _dim(spark, 1)}, cat,
+        backend=backend,
+    )
+    with pytest.raises(Boom):
+        P.publish_tables(
+            spark,
+            {"fact": _fact(spark, 2), "dim": _dim(spark, 2)},
+            cat,
+            txid="v2",
+            crash_hook=_crash_at(barrier),
+            backend=backend,
+        )
+    # dim WAS staged (sorted order stages it first) — but invisible
+    assert _snap(P.read_catalog_table(spark, cat, "dim")) == _snap(
+        _dim(spark, 1)
+    )
+    assert _snap(P.read_catalog_table(spark, cat, "fact")) == _snap(
+        _fact(spark, 1)
+    )
+    P.publish_tables(
+        spark, {"fact": _fact(spark, 2), "dim": _dim(spark, 2)}, cat,
+        txid="v2", backend=backend,
+    )
+    assert _snap(P.read_catalog_table(spark, cat, "dim")) == _snap(
+        _dim(spark, 2)
+    )
+    assert _snap(P.read_catalog_table(spark, cat, "fact")) == _snap(
+        _fact(spark, 2)
+    )
+
+
+def test_untouched_catalog_table_carries_by_reference(spark, cat, backend):
+    P.publish_tables(
+        spark, {"fact": _fact(spark, 1), "dim": _dim(spark, 1)}, cat,
+        backend=backend,
+    )
+    rec1 = P.catalog_record(cat)
+    P.publish_tables(spark, {"fact": _fact(spark, 2)}, cat, backend=backend)
+    rec2 = P.catalog_record(cat)
+    assert rec2["tables"]["dim"] == rec1["tables"]["dim"]  # same manifest
+    assert rec2["tables"]["fact"] != rec1["tables"]["fact"]
+    assert _snap(P.read_catalog_table(spark, cat, "dim")) == _snap(
+        _dim(spark, 1)
+    )
+
+
+def test_concurrent_catalog_writers_merge_disjoint_tables(spark, cat, backend):
+    if backend is P.LOCAL:
+        pytest.skip("whole-publish fence serializes writers by design")
+    P.publish_tables(
+        spark, {"fact": _fact(spark, 1), "dim": _dim(spark, 1)}, cat,
+        backend=backend,
+    )
+    fired = []
+
+    def interpose(b):
+        if b == P.AFTER_MANIFEST and not fired:
+            fired.append(True)
+            P.publish_tables(
+                spark, {"dim": _dim(spark, 9)}, cat, txid="wB",
+                backend=backend,
+            )
+
+    P.publish_tables(
+        spark, {"fact": _fact(spark, 9)}, cat, txid="wA",
+        crash_hook=interpose, backend=backend,
+    )
+    # both writers' tables landed; the loser re-merged onto the winner
+    assert _snap(P.read_catalog_table(spark, cat, "fact")) == _snap(
+        _fact(spark, 9)
+    )
+    assert _snap(P.read_catalog_table(spark, cat, "dim")) == _snap(
+        _dim(spark, 9)
+    )
+    assert int(P.catalog_record(cat)["seq"]) >= 3
