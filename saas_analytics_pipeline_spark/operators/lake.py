@@ -1,5 +1,8 @@
 """Lake-mechanics operators: schema evolution on read, range-clustered
-layout + min/max pruning, small-file compaction, and merge-upsert.
+layout + min/max pruning, small-file compaction, merge-upsert, and the
+r10 table-format maintenance certificates over plans/publish.py (file
+stats + manifest-side skipping, OPTIMIZE, merge-on-read deletes,
+schema-in-log evolution, multi-table atomic commit).
 
 A long-lived corpus lake accumulates parquet written by different pipeline
 versions — later generations add columns (a new quality score, a channel

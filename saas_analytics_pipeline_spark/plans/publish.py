@@ -1602,7 +1602,31 @@ def publish_tables(
         prev_name, etag = backend.read_pointer(catalog_root)
         prev = _load_manifest(catalog_root, prev_name)
         if txid is None:
+            # auto-derived txid: NOT a replay — a crashed previous attempt
+            # at this seq (record written, pointer never swapped) is an
+            # orphan; reclaim its record so the fresh frames stage anew
             txid = f"t{(int(prev.get('seq', 1)) + 1) if prev else 1}"
+            orphan = os.path.join(
+                catalog_root, "manifests", _catalog_name(txid)
+            )
+            if os.path.exists(orphan):
+                os.remove(orphan)
+        else:
+            # explicit txid: replay semantics (the streaming contract).
+            # An already-written catalog record means every table was
+            # fully staged — restaging would rmtree data files a
+            # COMMITTED record may reference; skip and complete the
+            # pointer if ours is newer.
+            cat_path = os.path.join(
+                catalog_root, "manifests", _catalog_name(txid)
+            )
+            if os.path.exists(cat_path):
+                with open(cat_path) as f:
+                    mine = json.load(f)
+                _complete_pointer_if_newer(
+                    catalog_root, backend, _catalog_name(txid), mine
+                )
+                return _catalog_name(txid)
         staged: dict[str, str] = {}
         for name in sorted(frames):
             table_root = os.path.join(catalog_root, "tables", name)

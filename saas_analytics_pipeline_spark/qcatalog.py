@@ -256,8 +256,6 @@ WINDOW_PRIORITY += [
 # post-upgrade green row re-verifies it permanently (an unconditional
 # exclusion would re-queue the key forever, wasting a window slot).
 REVERIFY: dict[str, str] = {
-    # r03 rows-only; r04 ships a recursive-CTE connected-components oracle
-    "q_dedup_clusters": "r03",
     # r04 rewrote the money math to exact integer micro-units (both Spark
     # and oracle): totals are the same exact rationals but the final
     # double can differ in the last ulp from the r02-verified decimal
@@ -291,19 +289,17 @@ REVERIFY: dict[str, str] = {
     # (run_ann_maintenance) shares them; values identical (same
     # expressions, selfcheck-verified) but the r07 rows certify the
     # pre-refactor inline bodies
-    "q_ivf_cell_drift": "r07",
+    # (q_ivf_cell_drift's floor was r07 here; superseded by the r10
+    # entry below)
     "q_ivf_refit_partial": "r07",
     # r09 rerouted the partitioned write paths through the ATOMIC
     # manifest publish (publish_partition_overwrite) and the read-back
     # through read_current; values identical (same final state,
     # selfcheck-verified in all three modes) but the r08/r07 rows
     # certify the in-place dynamic-overwrite path
-    "q_partition_overwrite": "r08",
-    "q_stream_mart_upsert": "r08",
-    # r09 ported dedup_clusters to the convergence contract (while-loop
-    # + localCheckpoint instead of per-round cache); same fixpoint, but
-    # the old rows certify the pre-contract loop
-    "q_dedup_clusters": "r08",
+    # (q_partition_overwrite's and q_stream_mart_upsert's floors were
+    # r08 here; superseded by the r10 entries below — dict literals keep
+    # the LAST duplicate, so earlier floors fold into the latest entry)
     # r10 rewrote the dup-span cross-doc filter as hash-partition window
     # aggregates (one Generate subtree, one shuffle — was groupBy +
     # self-semi-join); values identical (3-mode selfcheck) but the r09
@@ -312,6 +308,8 @@ REVERIFY: dict[str, str] = {
     "q_dup_spans_rewrite": "r09",
     # r10 moved dedup_clusters' label checkpoint from an every-4 cadence
     # to lazy per-round (ADVICE r09 recompute regression); same fixpoint
+    # (also folds the older r03-rows-only and r08 convergence-contract
+    # floors for q_dedup_clusters — one key, latest floor wins)
     "q_dedup_clusters": "r09",
     "q_dedup_clusters_converged": "r09",
     # r10 put the commit point behind the backend interface (local

@@ -1018,3 +1018,36 @@ def test_concurrent_catalog_writers_merge_disjoint_tables(spark, cat, backend):
         _dim(spark, 9)
     )
     assert int(P.catalog_record(cat)["seq"]) >= 3
+
+
+def test_catalog_committed_txid_replay_skips_restaging(spark, cat, backend):
+    """Replaying an already-committed catalog txid (the streaming
+    contract) must NOT restage — restaging would rewrite data files the
+    committed record references. The replay skips, even with different
+    frames, and a stale replay never regresses the pointer."""
+    P.publish_tables(
+        spark, {"fact": _fact(spark, 1), "dim": _dim(spark, 1)}, cat,
+        txid="b1", backend=backend,
+    )
+    rec1 = P.catalog_record(cat)
+    # replay with POISONED frames: recognized as applied, skipped
+    P.publish_tables(
+        spark, {"fact": _fact(spark, 7), "dim": _dim(spark, 7)}, cat,
+        txid="b1", backend=backend,
+    )
+    assert P.catalog_record(cat) == rec1
+    assert _snap(P.read_catalog_table(spark, cat, "fact")) == _snap(
+        _fact(spark, 1)
+    )
+    # a newer commit, then an ancient replay: pointer never regresses
+    P.publish_tables(
+        spark, {"fact": _fact(spark, 2)}, cat, txid="b2", backend=backend
+    )
+    P.publish_tables(
+        spark, {"fact": _fact(spark, 9), "dim": _dim(spark, 9)}, cat,
+        txid="b1", backend=backend,
+    )
+    assert int(P.catalog_record(cat)["seq"]) == 2
+    assert _snap(P.read_catalog_table(spark, cat, "fact")) == _snap(
+        _fact(spark, 2)
+    )
