@@ -1613,6 +1613,10 @@ def publish_tables(
                 os.remove(orphan)
         else:
             # explicit txid: replay semantics (the streaming contract).
+            # A txid vacuumed past the retention window is in the
+            # durable ledger — a late replay must never re-commit it.
+            if txid in _applied_ledger(catalog_root):
+                return _catalog_name(txid)
             # An already-written catalog record means every table was
             # fully staged — restaging would rmtree data files a
             # COMMITTED record may reference; skip and complete the
@@ -1710,3 +1714,159 @@ def read_catalog_table(
     m = _load_manifest(table_root, man_name)
     df = _read_files(spark, table_root, m, m["files"])
     return _apply_deletes(spark, table_root, m, df)
+
+
+def vacuum_catalog(catalog_root: str, retain: int = 1) -> list[str]:
+    """Retention vacuum for a catalog lineage: walk the committed
+    record's parent chain, keep the last ``retain`` superseded records,
+    and reclaim every per-table snapshot (data dir + manifest) no
+    retained record references. Staged-but-never-committed orphans
+    (a writer died before its catalog record or pointer) reclaim
+    immediately — they were never readable. Committed-and-removed
+    catalog txids go to the durable ``_APPLIED`` ledger so a
+    ``publish_tables`` replay from beyond the retention window is
+    recognized instead of re-committing a stale set. Returns the
+    removed ``table/txid`` entries.
+
+    Scale: metadata-only — a record walk plus one directory listing per
+    table; no data is read."""
+    with writer_lock(catalog_root):
+        chain: list[dict] = []
+        rec = catalog_record(catalog_root)
+        while rec is not None and len(chain) < retain + 1:
+            chain.append(rec)
+            parent = rec.get("parent")
+            if not parent:
+                break
+            try:
+                with open(
+                    os.path.join(catalog_root, "manifests", parent)
+                ) as f:
+                    rec = json.load(f)
+            except FileNotFoundError:
+                break
+        keep_records = {_catalog_name(r["txid"]) for r in chain}
+        # (table -> manifest names) and (table -> data txids) to retain
+        keep_manifests: dict[str, set[str]] = {}
+        keep_txids: dict[str, set[str]] = {}
+        for r in chain:
+            for tname, man_name in r.get("tables", {}).items():
+                keep_manifests.setdefault(tname, set()).add(man_name)
+                troot = os.path.join(catalog_root, "tables", tname)
+                m = _load_manifest(troot, man_name)
+                keep_txids.setdefault(tname, set()).update(
+                    f.split(os.sep)[1] for f in m.get("files", [])
+                )
+                keep_txids[tname].update(
+                    f.split(os.sep)[1] for f in m.get("deletes", [])
+                )
+        # ledger committed catalog txids about to lose their record
+        committed: dict[str, int] = {}
+        walk = chain[-1] if chain else None
+        while walk is not None and walk.get("parent"):
+            try:
+                with open(
+                    os.path.join(catalog_root, "manifests", walk["parent"])
+                ) as f:
+                    walk = json.load(f)
+            except FileNotFoundError:
+                break
+            committed[walk["txid"]] = int(walk.get("seq", 1))
+        _record_applied(
+            catalog_root,
+            {
+                t: s
+                for t, s in committed.items()
+                if _catalog_name(t) not in keep_records
+            },
+        )
+        removed: list[str] = []
+        tables_root = os.path.join(catalog_root, "tables")
+        if os.path.isdir(tables_root):
+            for tname in sorted(os.listdir(tables_root)):
+                troot = os.path.join(tables_root, tname)
+                data_root = os.path.join(troot, "data")
+                if os.path.isdir(data_root):
+                    for txid in sorted(os.listdir(data_root)):
+                        if txid not in keep_txids.get(tname, set()):
+                            shutil.rmtree(os.path.join(data_root, txid))
+                            removed.append(f"{tname}/{txid}")
+                man_root = os.path.join(troot, "manifests")
+                if os.path.isdir(man_root):
+                    for name in sorted(os.listdir(man_root)):
+                        if name not in {
+                            _manifest_name(t)
+                            for t in keep_txids.get(tname, set())
+                        } and name not in keep_manifests.get(tname, set()):
+                            os.remove(os.path.join(man_root, name))
+        man_root = os.path.join(catalog_root, "manifests")
+        if os.path.isdir(man_root):
+            for name in sorted(os.listdir(man_root)):
+                if name not in keep_records:
+                    os.remove(os.path.join(man_root, name))
+        return removed
+
+
+def read_where(
+    spark: SparkSession, root: str, col: str, lo, hi
+) -> tuple[DataFrame, dict]:
+    """Predicate-routed read: ONE entry point that picks the cheapest
+    manifest-side pruning for a range predicate on ``col`` and applies
+    the exact predicate on top — the reader never chooses a mechanism:
+
+    - ``col`` is the table's partition column: manifest partition
+      pruning (read_partitions) over the values in [lo, hi];
+    - ``col`` has file stats: manifest file skipping (read_skipping);
+    - otherwise: full read_current (Catalyst still gets the pushed
+      filter for parquet row-group skipping).
+
+    Returns (frame WITH the exact predicate applied, route report) —
+    result identity with read_current + filter is pinned in tests.
+    Tombstones apply on every route (the underlying readers)."""
+    m = current_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if m.get("partition_col") == col:
+        # partition keys are stringified values; compare in the BOUND's
+        # domain (numeric bounds parse the key back) — lexicographic
+        # compare would order "10" < "9"
+        if isinstance(lo, (int, float)) and not isinstance(lo, bool):
+
+            def _key(v: str):
+                return float(v)
+
+        else:
+
+            def _key(v: str):
+                return v
+
+        qlo, qhi = (
+            (float(lo), float(hi))
+            if isinstance(lo, (int, float)) and not isinstance(lo, bool)
+            else (str(_stats_val(lo)), str(_stats_val(hi)))
+        )
+        values = [
+            v for v in m.get("partitions", {}) if qlo <= _key(v) <= qhi
+        ]
+        if not values:
+            empty = _read_files(spark, root, m, [m["files"][0]]).where(
+                F.lit(False)
+            )
+            return empty, {"route": "partition_pruning", "files": 0}
+        df, n_files = read_partitions(spark, root, values)
+        return df.where(pred), {
+            "route": "partition_pruning",
+            "files": n_files,
+        }
+    if col in (m.get("stats_cols") or []):
+        df, n_scanned, n_total = read_skipping(spark, root, col, lo, hi)
+        return df.where(pred), {
+            "route": "file_skipping",
+            "files": n_scanned,
+            "files_total": n_total,
+        }
+    return read_current(spark, root).where(pred), {
+        "route": "full_scan",
+        "files": m["n_files"],
+    }

@@ -1051,3 +1051,91 @@ def test_catalog_committed_txid_replay_skips_restaging(spark, cat, backend):
     assert _snap(P.read_catalog_table(spark, cat, "fact")) == _snap(
         _fact(spark, 2)
     )
+
+
+def test_vacuum_catalog_keeps_retained_sets(spark, cat, backend):
+    for tag in (1, 2, 3):
+        P.publish_tables(
+            spark, {"fact": _fact(spark, tag), "dim": _dim(spark, tag)},
+            cat, backend=backend,
+        )
+    removed = P.vacuum_catalog(cat, retain=1)
+    # v1's snapshots reclaimed for both tables; v2 retained for readers
+    assert sorted(removed) == ["dim/t1", "fact/t1"]
+    assert _snap(P.read_catalog_table(spark, cat, "fact", seq=2)) == _snap(
+        _fact(spark, 2)
+    )
+    assert _snap(P.read_catalog_table(spark, cat, "fact")) == _snap(
+        _fact(spark, 3)
+    )
+    with pytest.raises(FileNotFoundError):
+        P.read_catalog_table(spark, cat, "fact", seq=1)
+
+
+def test_vacuum_catalog_keeps_carried_table_snapshots(spark, cat, backend):
+    """A table untouched since an old commit carries by reference: its
+    snapshot must survive any vacuum while a retained record points at
+    it."""
+    P.publish_tables(
+        spark, {"fact": _fact(spark, 1), "dim": _dim(spark, 1)}, cat,
+        backend=backend,
+    )
+    P.publish_tables(spark, {"fact": _fact(spark, 2)}, cat, backend=backend)
+    P.publish_tables(spark, {"fact": _fact(spark, 3)}, cat, backend=backend)
+    removed = P.vacuum_catalog(cat, retain=0)
+    assert "dim/t1" not in removed  # still referenced by the current record
+    assert _snap(P.read_catalog_table(spark, cat, "dim")) == _snap(
+        _dim(spark, 1)
+    )
+    assert _snap(P.read_catalog_table(spark, cat, "fact")) == _snap(
+        _fact(spark, 3)
+    )
+
+
+def test_vacuumed_catalog_replay_never_regresses(spark, cat, backend):
+    P.publish_tables(
+        spark, {"fact": _fact(spark, 1)}, cat, txid="b1", backend=backend
+    )
+    P.publish_tables(
+        spark, {"fact": _fact(spark, 2)}, cat, txid="b2", backend=backend
+    )
+    P.vacuum_catalog(cat, retain=0)  # b1 leaves the retention window
+    # ancient poisoned replay of b1: ledgered as applied, skipped
+    P.publish_tables(
+        spark, {"fact": _fact(spark, 9)}, cat, txid="b1", backend=backend
+    )
+    assert P.catalog_record(cat)["txid"] == "b2"
+    assert _snap(P.read_catalog_table(spark, cat, "fact")) == _snap(
+        _fact(spark, 2)
+    )
+
+
+def test_read_where_routes_and_matches_full_scan(spark, root):
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "20")
+    try:
+        P.publish_partition_overwrite(spark, _banded(spark, 1), root, "band")
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    P.publish_stats(spark, root, ["k"])
+
+    def want(col, lo, hi):
+        return _snap(
+            P.read_current(spark, root).where(F.col(col).between(lo, hi))
+        )
+
+    # partition column -> partition pruning (numeric keys compare
+    # numerically, not lexicographically)
+    df, rep = P.read_where(spark, root, "band", 1, 2)
+    assert rep["route"] == "partition_pruning" and rep["files"] == 4
+    assert _snap(df) == want("band", 1, 2)
+    # stats column -> file skipping
+    df, rep = P.read_where(spark, root, "k", 40, 79)
+    assert rep["route"] == "file_skipping" and rep["files"] == 2
+    assert _snap(df) == want("k", 40, 79)
+    # neither -> full scan, still exact
+    df, rep = P.read_where(spark, root, "v", 100, 300)
+    assert rep["route"] == "full_scan"
+    assert _snap(df) == want("v", 100, 300)
+    # empty partition range
+    df, rep = P.read_where(spark, root, "band", 50, 60)
+    assert rep["files"] == 0 and df.count() == 0
