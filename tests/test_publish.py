@@ -1061,7 +1061,9 @@ def test_vacuum_catalog_keeps_retained_sets(spark, cat, backend):
         )
     removed = P.vacuum_catalog(cat, retain=1)
     # v1's snapshots reclaimed for both tables; v2 retained for readers
-    assert sorted(removed) == ["dim/t1", "fact/t1"]
+    # (txid names are t1 under the fence, t1-<suffix> under CAS backends)
+    assert sorted(e.split("/")[0] for e in removed) == ["dim", "fact"]
+    assert all(e.split("/")[1].startswith("t1") for e in removed)
     assert _snap(P.read_catalog_table(spark, cat, "fact", seq=2)) == _snap(
         _fact(spark, 2)
     )
@@ -1083,7 +1085,8 @@ def test_vacuum_catalog_keeps_carried_table_snapshots(spark, cat, backend):
     P.publish_tables(spark, {"fact": _fact(spark, 2)}, cat, backend=backend)
     P.publish_tables(spark, {"fact": _fact(spark, 3)}, cat, backend=backend)
     removed = P.vacuum_catalog(cat, retain=0)
-    assert "dim/t1" not in removed  # still referenced by the current record
+    # dim's v1 snapshot is still referenced by the current record
+    assert not any(e.startswith("dim/") for e in removed)
     assert _snap(P.read_catalog_table(spark, cat, "dim")) == _snap(
         _dim(spark, 1)
     )
@@ -1139,3 +1142,317 @@ def test_read_where_routes_and_matches_full_scan(spark, root):
     # empty partition range
     df, rep = P.read_where(spark, root, "band", 50, 60)
     assert rep["files"] == 0 and df.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r11: derived-txid uniqueness under CAS (the concurrent-OPTIMIZE manifest
+# collision, VERDICT r10 #1), tombstone reconciliation across overwrites,
+# Decimal-safe stats, empty-files manifests, parent-cycle guards, and
+# compound predicate routing (ADVICE r10)
+# ---------------------------------------------------------------------------
+
+
+def _walk_parents(root):
+    """Parent-chain manifest names from the committed pointer, bounded —
+    returns the walked names; a cycle would repeat a name."""
+    names = []
+    m = P.current_manifest(root)
+    while m is not None and len(names) < 20:
+        names.append(P._manifest_name(m["txid"]))
+        parent = m.get("parent")
+        if not parent:
+            break
+        if parent in names:
+            names.append(parent)  # surface the cycle to the assertion
+            break
+        with open(os.path.join(root, "manifests", parent)) as f:
+            import json
+
+            m = json.load(f)
+    return names
+
+
+def test_concurrent_optimize_and_auto_overwrite_no_manifest_collision(
+    spark, root, backend
+):
+    """VERDICT r10 'what's wrong' #1: OPTIMIZE interposed (between its
+    manifest write and its conditional PUT) by a writer committing an
+    AUTO-derived txid at the same seq. Pre-fix both derived t<N+1>: the
+    loser's retry rewrote the winner's COMMITTED manifest at the shared
+    name with parent == its own name (a self-loop). Post-fix CAS txids
+    carry a unique suffix — both commits land under distinct names and
+    the parent chain stays acyclic."""
+    if backend is P.LOCAL:
+        pytest.skip("the fence serializes whole publishes on local")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "20")
+    try:
+        P.publish_partition_overwrite(spark, _banded(spark, 1), root, "band")
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    band9 = _banded(spark, 7).where(F.col("band") == 0).withColumn(
+        "band", F.lit(9)
+    )
+    fired = []
+
+    def interpose(b):
+        if b == P.AFTER_MANIFEST and not fired:
+            fired.append(True)
+            # auto txid on purpose: pre-fix this derived the SAME t<N+1>
+            P.publish_partition_overwrite(spark, band9, root, "band")
+
+    P.optimize_table(spark, root, crash_hook=interpose)
+    m = P.current_manifest(root)
+    chain = _walk_parents(root)
+    assert len(chain) == len(set(chain)), f"parent cycle: {chain}"
+    assert int(m["seq"]) == 3
+    assert set(m["partitions"]) == {"0", "1", "2", "3", "9"}
+    assert all(len(fs) == 1 for v, fs in m["partitions"].items() if v != "9")
+    got = _snap(P.read_current(spark, root))
+    assert got == _snap(_banded(spark, 1).unionByName(band9))
+    # time travel through the winner's manifest still works (no overwrite)
+    assert _snap(P.read_snapshot(spark, root, seq=2)) == _snap(
+        _banded(spark, 1).unionByName(band9)
+    )
+
+
+def test_concurrent_auto_txid_deletes_both_commit_distinct_names(
+    spark, root, backend
+):
+    """Two deletes racing with AUTO-derived txids (ADVICE r10: the
+    explicit-txid contention tests missed this path): distinct manifest
+    names, both key sets hidden, acyclic lineage."""
+    if backend is P.LOCAL:
+        pytest.skip("the fence serializes whole publishes on local")
+    P.publish_partition_overwrite(spark, _banded(spark, 1), root, "band")
+    fired = []
+
+    def interpose(b):
+        if b == P.AFTER_MANIFEST and not fired:
+            fired.append(True)
+            P.publish_deletes(
+                spark, spark.range(5, 8).select(F.col("id").alias("k")),
+                root, "k",
+            )
+
+    P.publish_deletes(
+        spark, spark.range(3).select(F.col("id").alias("k")), root, "k",
+        crash_hook=interpose,
+    )
+    chain = _walk_parents(root)
+    assert len(chain) == len(set(chain)), f"parent cycle: {chain}"
+    want = _banded(spark, 1).where(
+        (F.col("k") >= 3) & ~F.col("k").between(5, 7)
+    )
+    assert _snap(P.read_current(spark, root)) == _snap(want)
+
+
+def _udays(spark, tag: int, day_keys: dict):
+    """Rows with caller-chosen keys per day — lets tombstone tests place
+    a key in exactly one (or several) partitions."""
+    rows = [(d, k, k * 10 + tag) for d, ks in day_keys.items() for k in ks]
+    return spark.createDataFrame(rows, "dt string, k int, v int").select(
+        F.to_date("dt").alias("dt"), "k", "v"
+    )
+
+
+def test_overwrite_reinserting_deleted_key_makes_it_visible(spark, root):
+    """ADVICE r10 (medium): a tombstone hides rows that existed at
+    delete time — an overwrite that REWRITES the key's partition with a
+    fresh row re-inserts it; the stale tombstone must not keep hiding
+    the new row. Keys deleted in UNTOUCHED partitions stay hidden."""
+    d1, d2 = "2024-01-01", "2024-01-02"
+    P.publish_partition_overwrite(
+        spark, _udays(spark, 1, {d1: [0, 1, 2], d2: [10, 11]}), root, "dt"
+    )
+    P.publish_deletes(
+        spark, spark.createDataFrame([(2,), (11,)], "k int"), root, "k"
+    )
+    assert {r["k"] for r in P.read_current(spark, root).collect()} == {
+        0, 1, 10,
+    }
+    # resubscribe: day 1 rewritten WITH k=2 (its only physical home)
+    P.publish_partition_overwrite(
+        spark, _udays(spark, 9, {d1: [0, 1, 2]}), root, "dt"
+    )
+    got = {(r["k"]): r["v"] for r in P.read_current(spark, root).collect()}
+    assert got[2] == 29  # the NEW row is visible
+    assert 11 not in got  # untouched day's tombstone still applies
+    assert got[10] == 101  # untouched survivor intact
+    # and the pre-overwrite snapshot still hides k=2 (snapshot-scoped)
+    m = P.current_manifest(root)
+    with open(os.path.join(root, "manifests", m["parent"])) as f:
+        import json
+
+        prev = json.load(f)
+    assert {r["k"] for r in P.read_snapshot(
+        spark, root, txid=prev["txid"]
+    ).collect()} == {0, 1, 10}
+
+
+def test_overwrite_reinsert_with_stale_copy_fails_loudly(spark, root):
+    """If a re-inserted key still physically exists in an UNTOUCHED
+    partition, dropping its tombstone would resurrect the stale copy —
+    the overwrite must refuse (purge via optimize_table first)."""
+    d1, d2 = "2024-01-01", "2024-01-02"
+    # k=2 lives in BOTH days
+    P.publish_partition_overwrite(
+        spark, _udays(spark, 1, {d1: [0, 2], d2: [2, 10]}), root, "dt"
+    )
+    P.publish_deletes(spark, spark.createDataFrame([(2,)], "k int"), root, "k")
+    with pytest.raises(ValueError, match="resurrect"):
+        P.publish_partition_overwrite(
+            spark, _udays(spark, 9, {d1: [0, 2]}), root, "dt"
+        )
+    # after the purge the re-insert succeeds
+    P.optimize_table(spark, root)
+    P.publish_partition_overwrite(
+        spark, _udays(spark, 9, {d1: [0, 2]}), root, "dt"
+    )
+    got = {r["k"]: r["v"] for r in P.read_current(spark, root).collect()}
+    assert got == {0: 9, 2: 29, 10: 101}
+
+
+def test_reinserting_every_tombstoned_key_drops_the_register(spark, root):
+    d1 = "2024-01-01"
+    P.publish_partition_overwrite(
+        spark, _udays(spark, 1, {d1: [0, 1, 2]}), root, "dt"
+    )
+    P.publish_deletes(
+        spark, spark.createDataFrame([(1,), (2,)], "k int"), root, "k"
+    )
+    P.publish_partition_overwrite(
+        spark, _udays(spark, 9, {d1: [0, 1, 2]}), root, "dt"
+    )
+    m = P.current_manifest(root)
+    assert "deletes" not in m and "delete_key" not in m
+    assert {r["k"] for r in P.read_current(spark, root).collect()} == {0, 1, 2}
+
+
+def test_decimal_stats_record_floats_and_lose_nothing(spark, root):
+    """ADVICE r10 (medium): DecimalType min/max must serialize as
+    numbers — str(Decimal) compares lexicographically ('100.0' < '99.5')
+    and silently skips matching files."""
+    df = (
+        spark.range(200)
+        .select(
+            (F.col("id") / 50).cast("int").alias("band"),
+            F.col("id").alias("k"),
+            # amounts 9.00 .. 1999.00: crosses the digit-count boundary
+            # where lexicographic compare breaks
+            (F.col("id") * 10 + 9).cast("decimal(18,2)").alias("amount"),
+        )
+        .repartition(F.col("band"))
+    )
+    P.publish_partition_overwrite(spark, df, root, "band")
+    P.publish_stats(spark, root, ["amount"])
+    m = P.current_manifest(root)
+    for entry in m["stats"].values():
+        lo, hi = entry["amount"]
+        assert isinstance(lo, float) and isinstance(hi, float)
+    import decimal
+
+    qlo, qhi = decimal.Decimal("99.00"), decimal.Decimal("1009.00")
+    pruned, n_scanned, n_total = P.read_skipping(
+        spark, root, "amount", qlo, qhi
+    )
+    assert n_total == 4 and 0 < n_scanned < 4
+    got = pruned.where(F.col("amount").between(qlo, qhi))
+    want = df.where(F.col("amount").between(qlo, qhi))
+    assert _snap(got) == _snap(want)
+
+
+def test_purge_all_partitions_leaves_readable_empty_table(spark, root):
+    """ADVICE r10 (low): optimize_table purging EVERY row writes a
+    manifest with files: [] — readers must synthesize the empty frame
+    from the recorded schema instead of raising."""
+    d1 = "2024-01-01"
+    P.publish_partition_overwrite(
+        spark, _udays(spark, 1, {d1: [0, 1]}), root, "dt"
+    )
+    P.publish_deletes(
+        spark, spark.createDataFrame([(0,), (1,)], "k int"), root, "k"
+    )
+    P.optimize_table(spark, root)
+    m = P.current_manifest(root)
+    assert m["files"] == [] and m["partitions"] == {}
+    cur = P.read_current(spark, root)
+    assert cur.count() == 0
+    assert cur.columns == ["dt", "k", "v"]
+    # the predicate-routed read survives the empty manifest too
+    df, rep = P.read_where(spark, root, "dt", "2024-01-01", "2024-01-02")
+    assert rep["files"] == 0 and df.count() == 0
+
+
+def test_parent_cycle_guard_terminates(spark, root):
+    """A hand-corrupted self-loop parent link (the pre-fix concurrent-
+    OPTIMIZE symptom) must not hang any lineage walk."""
+    import json
+
+    for tag in (1, 2, 3):
+        P.publish_next(spark, _frame(spark, tag), root)
+    name = P.current_manifest(root)["txid"]
+    man_path = os.path.join(root, "manifests", P._manifest_name(name))
+    with open(man_path) as f:
+        m = json.load(f)
+    m["parent"] = P._manifest_name(name)  # self-loop
+    with open(man_path, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(FileNotFoundError):
+        P.snapshot_manifest(root, seq=1)  # walk terminates, not hangs
+    P.vacuum(root, retain=1)  # both walks bounded
+    assert _snap(P.read_current(spark, root)) == _snap(_frame(spark, 3))
+
+
+def test_read_where_mixed_partition_keys_fall_back_conservatively(
+    spark, root
+):
+    """ADVICE r10 (low): numeric bounds over a table with a stray
+    non-numeric partition key must keep pruning the parseable keys and
+    scan the stray one conservatively — not raise ValueError."""
+    rows = [("1", 1, 10), ("2", 2, 20), ("x", 3, 30)]
+    df = spark.createDataFrame(rows, "seg string, k int, v int")
+    P.publish_partition_overwrite(spark, df, root, "seg")
+    got, rep = P.read_where(spark, root, "seg", 1, 1)
+    assert rep["route"] == "partition_pruning"
+    assert rep["files"] == 2  # seg=1 plus the conservative stray "x"
+    assert {r["k"] for r in got.collect()} == {1}
+
+
+def test_read_where_all_intersects_partition_and_stats_routes(spark, root):
+    """Compound routing (VERDICT r10 #3): an AND of a partition-column
+    predicate and a stats-column predicate opens only the files BOTH
+    prunings keep."""
+    P.publish_partition_overwrite(spark, _banded(spark, 1), root, "band")
+    P.publish_stats(spark, root, ["k"])
+
+    def want(clauses):
+        df = P.read_current(spark, root)
+        for col, lo, hi in clauses:
+            df = df.where(F.col(col).between(lo, hi))
+        return _snap(df)
+
+    preds = [("band", 1, 2), ("k", 40, 79)]
+    df, rep = P.read_where_all(spark, root, preds)
+    routes = {r["col"]: r for r in rep["routes"]}
+    assert routes["band"]["route"] == "partition_pruning"
+    assert routes["band"]["files"] == 2
+    assert routes["k"]["route"] == "file_skipping"
+    assert routes["k"]["files"] == 1
+    assert rep["files"] == 1  # the intersection
+    assert _snap(df) == want(preds)
+    # an unindexed column adds the exact predicate but no pruning
+    preds3 = preds + [("v", 0, 10_000)]
+    df3, rep3 = P.read_where_all(spark, root, preds3)
+    assert rep3["files"] == 1
+    assert _snap(df3) == want(preds3)
+    # disjoint prunings intersect to the empty read
+    dfe, repe = P.read_where_all(
+        spark, root, [("band", 0, 0), ("k", 40, 79)]
+    )
+    assert repe["files"] == 0 and dfe.count() == 0
+    # tombstones apply on the compound route too
+    P.publish_deletes(
+        spark, spark.range(40, 45).select(F.col("id").alias("k")), root, "k"
+    )
+    dft, _ = P.read_where_all(spark, root, preds)
+    assert _snap(dft) == want(preds)
