@@ -903,3 +903,39 @@ def test_apply_cdc_snapshot_survivors_via_broadcast_anti(spark, sf_dir):
     plan = plan_of(qcatalog.QUERIES["q_cdc_apply"].fn(spark, sf_dir))
     assert "BroadcastHashJoin LeftAnti" in plan
     assert "SortMergeJoin LeftAnti" not in plan
+
+
+def test_bucket_manifest_frame_joins_with_zero_exchange_and_sort(
+    spark, sf_dir
+):
+    """q_bucket_manifest's frame (r11): both sides published through the
+    manifest protocol with a recorded bucket spec, read back through
+    read_bucketed — the SortMergeJoin subtree must contain NO Exchange
+    and NO Sort (one sorted file per bucket by construction, so the
+    scan's reported ordering is trusted)."""
+    from saas_analytics_pipeline_spark.operators.lake import (
+        _BUCKET_MANIFEST_CONFS,
+        bucket_manifest_frame,
+    )
+
+    prev = {k: spark.conf.get(k, None) for k in _BUCKET_MANIFEST_CONFS}
+    try:
+        for k, v in _BUCKET_MANIFEST_CONFS.items():
+            spark.conf.set(k, v)
+        df = bucket_manifest_frame(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2
+        # the two aggregate exchanges above the join only (partial->final
+        # hash + the orderBy range); the join inputs contribute ZERO
+        assert plan.count("Exchange") == 2, plan
+        # and zero Sorts anywhere below the aggregate: the SMJ runs on
+        # the buckets' own sort order
+        smj = plan[plan.index("SortMergeJoin"):]
+        assert "Sort " not in smj, smj
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
