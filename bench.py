@@ -119,6 +119,15 @@ HEADLINE_R10 = [
     "q_txn_commit",
 ]
 
+# r11: the publish-layer routing + co-location certificates — manifest
+# bucket specs (zero-Exchange fact-fact joins through the protocol) and
+# predicate-routed reads (partition/stats/compound file pruning). Tracked
+# so a lost route or a broken bucket spec shows up as a timing step.
+HEADLINE_R11 = [
+    "q_bucket_manifest",
+    "q_predicate_routing",
+]
+
 HEADLINE = (
     HEADLINE_CORE
     + HEADLINE_TPCH
@@ -127,6 +136,7 @@ HEADLINE = (
     + HEADLINE_R08
     + HEADLINE_R09
     + HEADLINE_R10
+    + HEADLINE_R11
 )
 
 
@@ -152,19 +162,29 @@ def main() -> None:
     for name in HEADLINE:
         run(qs[name](spark, sf_dir))
 
-    # three timed passes, keep the per-query MIN: the steady-state number,
-    # robust to interference from co-tenant processes on the bench host
-    # (observed: a co-tenant load spike inflates every query ~60% — the
-    # per-query min across passes is the stable signal)
-    timings: dict[str, float] = {}
-    for _pass in range(3):
+    # five timed passes, report the per-query MEDIAN (VERDICT r10 #7):
+    # the r10 round showed min-of-3 still drifting ±20% round-over-round
+    # under co-tenant load spikes on the bench host; the median of five
+    # is robust to up to two polluted passes in EITHER direction, so
+    # round-over-round deltas mean plan changes, not host weather.
+    import statistics
+
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _pass in range(5):
         for name in HEADLINE:
             t0 = time.perf_counter()
             run(qs[name](spark, sf_dir))
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            samples[name].append(time.perf_counter() - t0)
+    timings = {
+        name: round(statistics.median(samples[name]), 3)
+        for name in HEADLINE
+    }
     for name in HEADLINE:
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        print(
+            f"# {name}: median {timings[name]:.3f}s "
+            f"(min {min(samples[name]):.3f}s over 5)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     payload = {

@@ -2340,3 +2340,153 @@ def read_bucketed(
             f"INTO {int(spec['n'])} BUCKETS LOCATION '{loc}'"
         )
     return spark.table(name)
+
+
+def maintain_catalog(
+    spark: SparkSession,
+    catalog_root: str,
+    retain: int = 1,
+    stats_cols: dict[str, list[str]] | None = None,
+    compact: bool = True,
+    backend=LOCAL,
+) -> dict:
+    """Scheduled maintenance over a ``publish_tables`` catalog AS ONE
+    UNIT (VERDICT r10 #5): per-table compaction (bin-pack a fragmented
+    snapshot to one file) and per-file stats annotation are STAGED like
+    any multi-table commit and made visible by a SINGLE catalog-pointer
+    swap — a reader resolving tables through the catalog record never
+    sees half-maintained sets (the torn-pair hazard per-table
+    maintenance would create); the catalog retention vacuum then ages
+    superseded records out. Tables needing no work carry by reference.
+
+    ``stats_cols`` maps table name -> columns to annotate in the staged
+    manifest (recorded exactly as publish_stats does, ready for a
+    future skipping read path over catalog tables).
+
+    Conflict policy: under the CAS backend, if a concurrent
+    ``publish_tables`` commits between our read and our swap, the retry
+    REFUSES (ConcurrentPublishError) whenever any table we restaged
+    drifted — maintenance must never clobber a newer data commit with a
+    compaction of older data; undrifted-table races re-merge and retry.
+
+    Idempotent: a second run finds one-file snapshots with complete
+    stats and commits nothing. Crash-atomic: all staging is invisible
+    until the pointer swap; a dead maintainer leaves orphans the next
+    run reclaims. Scale: compaction reads only fragmented snapshots;
+    stats scan only files missing entries; the commit itself is one
+    tiny record + one swap regardless of table count."""
+    with _maybe_fence(catalog_root, backend):
+        prev_name, etag = backend.read_pointer(catalog_root)
+        rec = _load_manifest(catalog_root, prev_name)
+        if rec is None:
+            raise FileNotFoundError(f"no committed catalog under {catalog_root}")
+        txid = _derive_txid(rec, backend)
+        base_tables = dict(rec["tables"])
+        staged: dict[str, str] = {}
+        compacted: list[str] = []
+        annotated: list[str] = []
+        for tname in sorted(base_tables):
+            troot = os.path.join(catalog_root, "tables", tname)
+            m = _load_manifest(troot, base_tables[tname])
+            cols = (stats_cols or {}).get(tname) or []
+            old_stats = m.get("stats") or {}
+            missing = [
+                f
+                for f in m["files"]
+                if any(c not in old_stats.get(f, {}) for c in cols)
+            ]
+            needs_compact = compact and m["n_files"] > 1
+            if not needs_compact and not missing:
+                continue  # healthy: carries by reference
+            man_dir = os.path.join(troot, "manifests")
+            os.makedirs(man_dir, exist_ok=True)
+            if needs_compact:
+                data_dir = os.path.join(troot, "data", txid)
+                _reclaim_orphan_data(troot, txid, m)
+                _read_files(spark, troot, m, m["files"]).coalesce(
+                    1
+                ).write.mode("error").parquet(data_dir)
+                _fsync_tree(data_dir)
+                files = [
+                    os.path.join("data", txid, f)
+                    for f in sorted(os.listdir(data_dir))
+                    if f.startswith("part-") and f.endswith(".parquet")
+                ]
+                compacted.append(tname)
+            else:
+                files = list(m["files"])  # metadata-only stats commit
+            new_m = {
+                "txid": txid,
+                "files": files,
+                "n_files": len(files),
+                "schema": m.get("schema"),
+            }
+            if cols:
+                stats = {
+                    f: dict(old_stats[f]) for f in old_stats if f in set(files)
+                }
+                todo = [
+                    f
+                    for f in files
+                    if any(c not in stats.get(f, {}) for c in cols)
+                ]
+                for f, entry in _file_stats(
+                    spark, troot, todo, cols, new_m
+                ).items():
+                    stats.setdefault(f, {}).update(entry)
+                new_m["stats"] = stats
+                new_m["stats_cols"] = sorted(
+                    set(m.get("stats_cols") or []) | set(cols)
+                )
+                annotated.append(tname)
+            _fsync_write(
+                os.path.join(man_dir, _manifest_name(txid)),
+                json.dumps(new_m, sort_keys=True),
+            )
+            staged[tname] = _manifest_name(txid)
+        committed = prev_name
+        if staged:
+            man_dir = os.path.join(catalog_root, "manifests")
+            os.makedirs(man_dir, exist_ok=True)
+            cat_name = _catalog_name(txid)
+            for attempt in range(_CAS_RETRIES + 1):
+                tables = dict((rec or {}).get("tables") or {})
+                tables.update(staged)
+                record = {
+                    "txid": txid,
+                    "tables": tables,
+                    "seq": int(rec.get("seq", 1)) + 1,
+                    "parent": _catalog_name(rec["txid"]),
+                }
+                _fsync_write(
+                    os.path.join(man_dir, cat_name),
+                    json.dumps(record, sort_keys=True),
+                )
+                try:
+                    backend.commit_pointer(catalog_root, cat_name, etag)
+                    committed = cat_name
+                    break
+                except CommitConflictError:
+                    if attempt == _CAS_RETRIES:
+                        raise
+                    prev_name, etag = backend.read_pointer(catalog_root)
+                    rec = _load_manifest(catalog_root, prev_name)
+                    drifted = [
+                        t
+                        for t in staged
+                        if (rec or {}).get("tables", {}).get(t)
+                        != base_tables.get(t)
+                    ]
+                    if drifted:
+                        raise ConcurrentPublishError(
+                            f"catalog maintenance under {catalog_root} lost "
+                            f"the commit race and tables {sorted(drifted)!r} "
+                            "drifted; refusing to clobber the newer commit "
+                            "with a compaction of older data — re-run"
+                        ) from None
+    return {
+        "compacted": compacted,
+        "stats_annotated": annotated,
+        "committed": committed,
+        "vacuumed": vacuum_catalog(catalog_root, retain=retain),
+    }

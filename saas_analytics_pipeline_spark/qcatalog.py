@@ -248,6 +248,22 @@ WINDOW_PRIORITY += [
     "q_txn_commit",
 ]
 
+# Round-11 window additions (same 3-mode certification bar: DuckDB
+# oracle + selfcheck --pandas and --vanilla at sf0.001 AND sf0.01 before
+# entering). Pins kept to TWO so the 50-slot window clears the whole r04
+# staleness tail (verdict r10 #1) alongside the r11 REVERIFY floors.
+WINDOW_PRIORITY += [
+    # bucketed manifest tables (verdict r10 #4): the bucket spec recorded
+    # at publish survives the protocol; two matching-spec tables join
+    # with zero Exchanges AND zero Sorts below the SMJ (plan-pinned),
+    # hash row identical to the plain join
+    "q_bucket_manifest",
+    # predicate-routed reads certified (verdict r10 #3): partition route,
+    # stats route, compound AND (intersected file lists), full-scan
+    # fallback — route names + files-scanned counts in the hash
+    "q_predicate_routing",
+]
+
 
 # Keys whose check was UPGRADED after their last driver row (e.g. a
 # rows-only query that gained a real SQL oracle), mapped to the LAST round
@@ -343,6 +359,31 @@ REVERIFY: dict[str, str] = {
     # manifest schema and its reader resolves through it
     "q_rollup_incremental": "r09",
 }
+
+# r11 rewired the publish layer under every manifest table: auto-derived
+# txids gained CAS-unique suffixes + guarded orphan reclaims, partition
+# overwrites reconcile carried tombstones against the increment, Decimal
+# stats serialize as widened floats, the purge candidate scan reads under
+# the manifest schema, empty-file manifests synthesize schema-typed empty
+# frames in every reader, and read_where gained try_cast predicates + a
+# conservative mixed-key fallback. Values are identical for every
+# existing key (3-mode selfcheck re-run), but the old rows certify the
+# pre-r11 bodies — re-certify every key that reads or writes through the
+# manifest layer. (dict.update keeps these as the operative floors.)
+REVERIFY.update(
+    dict.fromkeys(
+        [
+            "q_partition_overwrite", "q_atomic_publish",
+            "q_publish_lifecycle", "q_registry_build", "q_time_travel",
+            "q_partition_pruned_read", "q_lake_history",
+            "q_publish_contention", "q_replay_horizon", "q_stats_skipping",
+            "q_optimize_compact", "q_mor_delete", "q_schema_evolution_lake",
+            "q_txn_commit", "q_merge_upsert", "q_stream_mart_upsert",
+            "q_rollup_incremental", "q_ann_maintenance", "q_ivf_cell_drift",
+        ],
+        "r10",
+    )
+)
 
 
 def _scan_correctness() -> dict[str, str]:

@@ -1498,3 +1498,119 @@ def test_read_bucketed_refuses_tombstoned_snapshot(spark, root):
     assert {r["k"] for r in P.read_current(spark, root).collect()} == set(
         range(3, 100)
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: catalog-level maintenance as one atomic unit (VERDICT r10 #5)
+# ---------------------------------------------------------------------------
+
+
+def _frag(spark, tag: int, parts: int = 4):
+    """A deliberately multi-file frame (one file per input partition)."""
+    return _fact(spark, tag).repartition(parts)
+
+
+def test_maintain_catalog_compacts_all_tables_in_one_commit(
+    spark, cat, backend
+):
+    P.publish_tables(
+        spark, {"fact": _frag(spark, 1), "dim": _frag(spark, 2, 3)}, cat,
+        backend=backend,
+    )
+    rec1 = P.catalog_record(cat)
+    report = P.maintain_catalog(
+        spark, cat, retain=1, stats_cols={"fact": ["k"]}, backend=backend
+    )
+    assert sorted(report["compacted"]) == ["dim", "fact"]
+    assert report["stats_annotated"] == ["fact"]
+    rec2 = P.catalog_record(cat)
+    assert int(rec2["seq"]) == int(rec1["seq"]) + 1
+    # ONE txid commits both tables' compactions (the atomic unit)
+    assert len({v for v in rec2["tables"].values()}) == 1
+    # content identical, layout packed, stats recorded
+    assert _snap(P.read_catalog_table(spark, cat, "fact")) == _snap(
+        _fact(spark, 1)
+    )
+    assert _snap(P.read_catalog_table(spark, cat, "dim")) == _snap(
+        _fact(spark, 2)
+    )
+    troot = os.path.join(cat, "tables", "fact")
+    m = P._load_manifest(troot, rec2["tables"]["fact"])
+    assert m["n_files"] == 1
+    assert m["stats_cols"] == ["k"] and len(m["stats"]) == 1
+    # idempotent: a second run commits nothing
+    report2 = P.maintain_catalog(
+        spark, cat, retain=1, stats_cols={"fact": ["k"]}, backend=backend
+    )
+    assert report2["compacted"] == [] and report2["stats_annotated"] == []
+    assert P.catalog_record(cat) == rec2
+    # the pre-maintenance record stayed time-travelable (retain=1)
+    assert _snap(
+        P.read_catalog_table(spark, cat, "fact", seq=int(rec1["seq"]))
+    ) == _snap(_fact(spark, 1))
+
+
+def test_maintain_catalog_never_exposes_a_mixed_set(spark, cat, backend):
+    """Readers BETWEEN two data commits see either the pre- or
+    post-maintenance catalog record — never a compacted fact beside an
+    old record (the single-swap contract)."""
+    P.publish_tables(
+        spark, {"fact": _frag(spark, 1), "dim": _frag(spark, 2, 3)}, cat,
+        backend=backend,
+    )
+    before = P.catalog_record(cat)
+    fact_pre = _snap(P.read_catalog_table(spark, cat, "fact"))
+    P.maintain_catalog(spark, cat, retain=1, backend=backend)
+    after = P.catalog_record(cat)
+    # every retained record resolves a CONSISTENT set: both tables of a
+    # record share its txid generation (or the base commit's)
+    for rec in (before, after):
+        assert len({v for v in rec["tables"].values()}) == 1
+    assert _snap(P.read_catalog_table(spark, cat, "fact")) == fact_pre
+    # second data commit lands on top of maintenance cleanly
+    P.publish_tables(
+        spark, {"fact": _frag(spark, 5)}, cat, backend=backend
+    )
+    assert _snap(P.read_catalog_table(spark, cat, "fact")) == _snap(
+        _fact(spark, 5)
+    )
+    assert _snap(P.read_catalog_table(spark, cat, "dim")) == _snap(
+        _fact(spark, 2)
+    )
+
+
+def test_maintain_catalog_refuses_to_clobber_concurrent_commit(
+    spark, cat, backend, monkeypatch
+):
+    """A publish_tables landing between maintenance's read and its swap:
+    the maintenance retry must refuse when its restaged table drifted —
+    compacting OLD data over a NEWER commit would lose the commit."""
+    if backend is P.LOCAL:
+        pytest.skip("the fence serializes whole publishes on local")
+    P.publish_tables(
+        spark, {"fact": _frag(spark, 1)}, cat, backend=backend
+    )
+
+    # interpose via the backend's pointer read: right after maintenance
+    # reads the catalog state, land a fresh fact commit
+    real_read = P.ConditionalPutBackend.read_pointer
+    state = {"interposed": False}
+
+    def read_then_race(self, root):
+        out = real_read(self, root)
+        if not state["interposed"]:
+            state["interposed"] = True
+            P.publish_tables(
+                spark, {"fact": _fact(spark, 9)}, cat, txid="w9",
+                backend=P.CONDITIONAL_PUT,
+            )
+        return out
+
+    monkeypatch.setattr(P.ConditionalPutBackend, "read_pointer", read_then_race)
+    with pytest.raises(P.ConcurrentPublishError):
+        P.maintain_catalog(spark, cat, retain=5, backend=backend)
+    monkeypatch.undo()
+    # the newer commit stands
+    assert _snap(P.read_catalog_table(spark, cat, "fact")) == _snap(
+        _fact(spark, 9)
+    )

@@ -892,3 +892,130 @@ def test_dupspan_stream_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# r11: streaming lake maintenance (VERDICT r10 #6) — ingest + the composed
+# maintain_table job in one foreachBatch cadence
+# ---------------------------------------------------------------------------
+
+
+def _lake_days(spark):
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    return [
+        spark.createDataFrame(
+            [(d, k, k * 10 + i) for k in range(40)], "dt string, k int, v int"
+        )
+        for i, d in enumerate(days)
+    ]
+
+
+def test_lake_maintenance_loop_matches_batch_and_compacts(spark, tmp_path):
+    """run_lake_maintenance over three day increments (fragmented writes
+    via maxRecordsPerFile): after the drain, content equals the one-shot
+    batch union, the cadence's maintain_table packed every day to one
+    file, and the requested stats are annotated."""
+    import glob as _glob
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+    from saas_analytics_pipeline_spark.streaming.jobs import (
+        run_lake_maintenance,
+    )
+
+    days = _lake_days(spark)
+    src = tmp_path / "lake_src"
+    src.mkdir()
+    for i, d in enumerate(days):
+        stage = tmp_path / f"lstage{i}"
+        d.coalesce(1).write.parquet(str(stage))
+        (part,) = _glob.glob(str(stage / "part-*.parquet"))
+        shutil.copy(part, src / f"f{i}.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    root = str(tmp_path / "lake_tbl")
+    q = run_lake_maintenance(
+        stream, root, "dt", str(tmp_path / "lake_ckpt"),
+        maintain_every=3, stats_cols=["k"], retain=1,
+    )
+    q.awaitTermination(180)
+    m = P.current_manifest(root)
+    assert set(m["partitions"]) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    # the batch-2 maintenance ran: every file carries the requested stats
+    # (packing itself is asserted in the crash-matrix test below, whose
+    # direct-call increments are deliberately fragmented)
+    assert set(m["stats"]) == set(m["files"]) and m["stats_cols"] == ["k"]
+    want = sorted(
+        tuple(r)
+        for d in days
+        for r in d.collect()
+    )
+    got = sorted(
+        tuple(r) for r in P.read_current(spark, root).select("dt", "k", "v").collect()
+    )
+    assert got == want
+
+
+def test_lake_maintenance_crash_replay_idempotent(spark, tmp_path):
+    """The crash matrix of the per-batch lake body: kill after the
+    increment publish and after the maintenance job, replay, and prove
+    the table equals the no-crash run — replays converge instead of
+    torn backfills or duplicate-txid poison."""
+    import os
+
+    import pytest as _pytest
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+    from saas_analytics_pipeline_spark.streaming.jobs import (
+        LAKE_AFTER_INCREMENT,
+        LAKE_AFTER_MAINTAIN,
+        lake_apply_batch,
+    )
+
+    days = _lake_days(spark)
+
+    class Boom(RuntimeError):
+        pass
+
+    def die_at(barrier):
+        def hook(b):
+            if b == barrier:
+                raise Boom(b)
+
+        return hook
+
+    def run(root, marker_dir, crashes):
+        os.makedirs(marker_dir, exist_ok=True)
+        for i, day in enumerate(days):
+            d = day.repartition(4)  # fragmented increments: 4 files/day
+            kw = dict(maintain_every=3, stats_cols=["k"], retain=1)
+            if i in crashes:
+                with _pytest.raises(Boom):
+                    lake_apply_batch(
+                        d, i, root, "dt", marker_dir,
+                        crash_hook=die_at(crashes[i]), **kw,
+                    )
+            lake_apply_batch(d, i, root, "dt", marker_dir, **kw)  # replay
+            lake_apply_batch(d, i, root, "dt", marker_dir, **kw)  # fast-skip
+
+    ref_root = str(tmp_path / "lake_ref")
+    run(ref_root, str(tmp_path / "lake_ref_m"), {})
+    cr_root = str(tmp_path / "lake_crash")
+    run(
+        cr_root,
+        str(tmp_path / "lake_crash_m"),
+        {1: LAKE_AFTER_INCREMENT, 2: LAKE_AFTER_MAINTAIN},
+    )
+    ref = sorted(tuple(r) for r in P.read_current(spark, ref_root).collect())
+    got = sorted(tuple(r) for r in P.read_current(spark, cr_root).collect())
+    assert got == ref and len(got) == 120
+    mr = P.current_manifest(ref_root)
+    mc = P.current_manifest(cr_root)
+    # batch-2's maintain_table packed every fragmented day to ONE file,
+    # crash or no crash
+    for m in (mr, mc):
+        assert all(len(fs) == 1 for fs in m["partitions"].values()), m
+        assert set(m["stats_cols"]) == {"k"}

@@ -37,6 +37,7 @@ PROBES: list[tuple[str, list[str]]] = [
     ("dupspan_probe", []),
     ("ann_fold_probe", []),
     ("skipping_probe", []),
+    ("lake_maint_probe", []),
 ]
 
 
