@@ -126,6 +126,8 @@ HEADLINE_R10 = [
 HEADLINE_R11 = [
     "q_bucket_manifest",
     "q_predicate_routing",
+    "q_catalog_maintain",
+    "q_stream_lake_maint",
 ]
 
 HEADLINE = (

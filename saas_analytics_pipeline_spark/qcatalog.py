@@ -262,6 +262,14 @@ WINDOW_PRIORITY += [
     # stats route, compound AND (intersected file lists), full-scan
     # fallback — route names + files-scanned counts in the hash
     "q_predicate_routing",
+    # catalog-unit maintenance (verdict r10 #5): fact+dim compaction +
+    # stats as ONE atomic catalog commit — per-table file counts, the
+    # single-seq advance, and the one-generation invariant in the hash
+    "q_catalog_maintain",
+    # streaming lake maintenance (verdict r10 #6): fragmented month
+    # increments through the foreachBatch body with a crash + replay;
+    # the cadence's maintain_table packs every month to one file
+    "q_stream_lake_maint",
 ]
 
 

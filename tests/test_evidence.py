@@ -53,6 +53,8 @@ def test_probe_record_is_complete_and_green():
         "html_probe",  # r09: the q_html_extract slope attribution
         "dupspan_probe",  # r09: exact-substring window-width curve
         "ann_fold_probe",  # r09: arrivals-compaction equality + cost
+        "skipping_probe",  # r10: file skipping / MOR overhead / OPTIMIZE
+        "lake_maint_probe",  # r11: maintenance cost follows the increment
     }
     missing = expected - set(probes)
     assert not missing, f"probes missing from docs/PROBES.json: {missing}"
