@@ -50,9 +50,23 @@ def main() -> int:
         cwd=ROOT, capture_output=True, text=True,
     ).stdout.strip()
 
+    # optional probe-name args: run a SUBSET and merge into the existing
+    # record (still sequential, still uncontended — lets a long regen
+    # split across invocations; the commit stamp is refreshed, so finish
+    # every chunk on the same tree)
+    subset = set(sys.argv[1:])
+    todo = [(n, a) for n, a in PROBES if not subset or n in subset]
+    unknown = subset - {n for n, _ in PROBES}
+    if unknown:
+        sys.exit(f"unknown probes: {sorted(unknown)}")
+
     out: dict = {"commit": commit, "probes": {}}
+    dst0 = ROOT / "docs" / "PROBES.json"
+    if subset and dst0.exists():
+        prev = json.loads(dst0.read_text())
+        out["probes"].update(prev.get("probes") or {})
     failures = []
-    for name, args in PROBES:
+    for name, args in todo:
         print(f"# running {name} {' '.join(args)}", file=sys.stderr)
         try:
             proc = subprocess.run(
