@@ -2970,3 +2970,141 @@ def q_stream_lake_maint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("mk", "n_files", "n_rows", "sum_custkey")
         .orderBy("mk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Predicate routing over CATALOG tables, keyed (r11): the read path for the
+# per-file stats maintain_catalog records — without it they're write-only
+# ---------------------------------------------------------------------------
+
+CR_LO = "1992-01-01 00:00:00"
+CR_HI = "1994-06-30 00:00:00"
+CR_CK = (100, 5000)  # the un-indexed custkey band (full-scan route)
+# ntile ids remapped by *17 before the 4-way repartition: murmur3 of the
+# longs {17,34,51,68} lands in 4 DISTINCT buckets (checked: [2,0,3,1]),
+# so each date-quartile tile is exactly one staged file — deterministic
+# AND oracle-replayable, where hashing raw 1..4 would collide tiles
+CR_TILE_MUL = 17
+
+
+@query(
+    "q_catalog_routing",
+    oracle=f"""
+    WITH b AS (
+        SELECT o_custkey, o_orderdate,
+               ntile(4) OVER (ORDER BY o_orderdate, o_orderkey) AS fb
+        FROM orders
+    ),
+    s AS (
+        SELECT fb, min(o_orderdate) AS lo, max(o_orderdate) AS hi
+        FROM b GROUP BY fb
+    ),
+    skipf AS (
+        SELECT COUNT(*) AS n FROM s
+        WHERE NOT (hi < TIMESTAMP '{CR_LO}' OR lo > TIMESTAMP '{CR_HI}')
+    )
+    SELECT 'r1_stats' AS phase, 'file_skipping' AS route,
+           (SELECT CAST(n AS BIGINT) FROM skipf) AS files_scanned,
+           COUNT(*) AS n_rows, CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+    FROM b WHERE o_orderdate BETWEEN TIMESTAMP '{CR_LO}'
+                               AND TIMESTAMP '{CR_HI}'
+    UNION ALL
+    SELECT 'r2_full', 'full_scan', 4, COUNT(*),
+           CAST(SUM(o_custkey) AS BIGINT)
+    FROM b WHERE o_custkey BETWEEN {CR_CK[0]} AND {CR_CK[1]}
+    UNION ALL
+    SELECT 'r3_compound', 'file_skipping+full_scan',
+           (SELECT CAST(n AS BIGINT) FROM skipf), COUNT(*),
+           CAST(SUM(o_custkey) AS BIGINT)
+    FROM b WHERE o_orderdate BETWEEN TIMESTAMP '{CR_LO}'
+                               AND TIMESTAMP '{CR_HI}'
+      AND o_custkey BETWEEN {CR_CK[0]} AND {CR_CK[1]}
+    ORDER BY phase
+    """,
+)
+def q_catalog_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-routed reads over a CATALOG table (r11): the fact of a
+    fact+dim catalog is staged date-clustered (4 ntile files),
+    ``maintain_catalog`` annotates per-file o_orderdate stats as a
+    METADATA-ONLY staged commit (compact=False), and
+    ``read_catalog_where`` routes through the catalog record — the read
+    path that makes catalog-manifest stats consultable instead of
+    write-only:
+
+    - r1: a date band -> manifest file skipping (only stat-overlapping
+      staged files open — the oracle replays the ntile clustering);
+    - r2: an un-annotated custkey band -> full scan, still exact;
+    - r3: the AND of both -> intersected candidate lists (here the
+      skipping set, since full_scan contributes no pruning) with the
+      exact conjunction on top.
+
+    Route names, files-scanned counts, and exact aggregates are the
+    hash. The dim rides the same catalog record, so routed fact reads
+    stay mutually consistent with it — the property per-table pointers
+    can't give.
+
+    Scale: at 100 TB the catalog record is one tiny JSON hop and the
+    stats live in the named manifest; a routed read opens the
+    overlapping files of ONE consistent snapshot set, no directory
+    listing, no footer for skipped files."""
+    import datetime
+    import shutil
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    cat = scratch_path("saas_lake_catrouting", sf_dir)
+    shutil.rmtree(cat, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    fact = orders.withColumn("fb", F.ntile(4).over(w))
+    dim = orders.select(
+        F.col("o_custkey").alias("ck"), (F.col("o_custkey") % 5).alias("seg")
+    ).distinct()
+    P.publish_tables(
+        spark,
+        {
+            "fact": fact.repartition(
+                4, (F.col("fb") * CR_TILE_MUL).cast("long")
+            ),
+            "dim": dim,
+        },
+        cat,
+    )
+    P.maintain_catalog(
+        spark, cat, retain=1, compact=False,
+        stats_cols={"fact": ["o_orderdate"]},
+    )
+    lo = datetime.datetime.fromisoformat(CR_LO)
+    hi = datetime.datetime.fromisoformat(CR_HI)
+    d1, rep1 = P.read_catalog_where(
+        spark, cat, "fact", [("o_orderdate", lo, hi)]
+    )
+    d2, rep2 = P.read_catalog_where(
+        spark, cat, "fact", [("o_custkey", *CR_CK)]
+    )
+    d3, rep3 = P.read_catalog_where(
+        spark, cat, "fact", [("o_orderdate", lo, hi), ("o_custkey", *CR_CK)]
+    )
+
+    def phase(df: DataFrame, name: str, rep: dict) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_custkey").cast("long").alias("sum_custkey"),
+        ).select(
+            F.lit(name).alias("phase"),
+            F.lit("+".join(r["route"] for r in rep["routes"])).alias("route"),
+            F.lit(rep["files"]).cast("long").alias("files_scanned"),
+            "*",
+        )
+
+    parts = [
+        phase(d1, "r1_stats", rep1),
+        phase(d2, "r2_full", rep2),
+        phase(d3, "r3_compound", rep3),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("phase")

@@ -2152,6 +2152,15 @@ def read_where_all(
     m = current_manifest(root)
     if m is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
+    return _routed_read(spark, root, m, preds)
+
+
+def _routed_read(
+    spark: SparkSession, root: str, m: dict, preds: list[tuple]
+) -> tuple[DataFrame, dict]:
+    """The compound-routing core over an explicit (root, manifest) pair —
+    shared by read_where_all (pointer tables) and read_catalog_where
+    (catalog tables, which have no per-table pointer)."""
     routes: list[dict] = []
     cand: set[str] | None = None
     for col, lo, hi in preds:
@@ -2192,6 +2201,40 @@ def read_where_all(
         "files": len(picked),
         "files_total": m["n_files"],
     }
+
+
+def read_catalog_where(
+    spark: SparkSession,
+    catalog_root: str,
+    table: str,
+    preds: list[tuple],
+    seq: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Predicate-routed read over a CATALOG table (r11): the same
+    compound routing as read_where_all, resolved through the committed
+    catalog record instead of a per-table pointer — the read path for
+    the per-file stats ``maintain_catalog`` records in staged manifests
+    (without this, those stats are write-only metadata). Catalog-staged
+    snapshots are whole-table, so the available routes are manifest
+    file skipping (stats-annotated columns) and the full scan; every
+    predicate still applies exactly on the pruned superset.
+
+    Scale: routing stays pure metadata — the catalog record names the
+    manifest, the manifest carries the stats, and a 100 TB star-schema
+    fact behind a catalog opens only stat-overlapping files while the
+    dim resolves off the SAME record (mutual consistency preserved)."""
+    rec = catalog_record(catalog_root, seq=seq)
+    if rec is None:
+        raise FileNotFoundError(f"no committed catalog under {catalog_root}")
+    man_name = rec["tables"].get(table)
+    if man_name is None:
+        raise FileNotFoundError(
+            f"table {table!r} not in catalog {catalog_root} (seq "
+            f"{rec.get('seq')})"
+        )
+    table_root = os.path.join(catalog_root, "tables", table)
+    m = _load_manifest(table_root, man_name)
+    return _routed_read(spark, table_root, m, preds)
 
 
 # ---------------------------------------------------------------------------
@@ -2313,20 +2356,32 @@ def read_bucketed(
             f"{root}'s current snapshot was not published with "
             "publish_bucketed; no bucket spec to expose"
         )
-    if m.get("deletes"):
-        raise ValueError(
-            f"{root} carries merge-on-read tombstones; the bucketed scan "
-            "cannot apply them without breaking co-location — publish a "
-            "purged snapshot first"
-        )
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(m["schema"]))
     cols_ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
     )
-    loc = os.path.abspath(os.path.join(root, "data", m["txid"]))
-    name = f"{_ident(view)}_{_ident(m['txid'])}"
+    # the DATA txid dir comes from the file list, NOT m["txid"]: a
+    # metadata commit (publish_deletes / publish_stats) advances the
+    # manifest txid while the data files stay in the bucketed publish's
+    # original dir
+    dirs = {os.path.dirname(f) for f in m["files"]}
+    if len(dirs) != 1:
+        raise ValueError(
+            f"{root}'s bucketed snapshot spans {len(dirs)} data dirs; "
+            "the bucketed catalog entry needs exactly one"
+        )
+    (data_rel,) = dirs
+    loc = os.path.abspath(os.path.join(root, data_rel))
+    # the entry name must be unique per (TABLE ROOT, data txid), not just
+    # per (view, txid): two roots sharing a basename (test fixtures,
+    # staging vs prod clones) would otherwise alias one catalog entry at
+    # a stale location
+    import hashlib
+
+    tag = hashlib.sha1(os.path.abspath(root).encode()).hexdigest()[:8]
+    name = f"{_ident(view)}_{tag}_{_ident(os.path.basename(data_rel))}"
     sort_ddl = ", ".join(f"`{c}`" for c in spec["sort"])
     if spark.catalog.tableExists(name):
         # same txid re-read: the entry is valid, but the files may have
@@ -2339,7 +2394,28 @@ def read_bucketed(
             f"CLUSTERED BY (`{spec['col']}`) SORTED BY ({sort_ddl}) "
             f"INTO {int(spec['n'])} BUCKETS LOCATION '{loc}'"
         )
-    return spark.table(name)
+    df = spark.table(name)
+    # merge-on-read tombstones apply ON TOP of the bucketed scan as an
+    # EXPLICITLY broadcast anti-join: a broadcast join preserves the
+    # streamed side's partitioning AND ordering, so a downstream
+    # same-spec join still runs with zero Exchanges/Sorts (plan-pinned
+    # in tests) — whereas the plain read path's unhinted anti-join
+    # (_apply_deletes) would shuffle under a disabled-broadcast regime
+    # and silently forfeit the co-location this reader exists for.
+    # Tombstones are bounded by the publish_deletes contract (GDPR-key
+    # grain, purged by OPTIMIZE); a set too large to broadcast should be
+    # purged, not streamed.
+    dels = m.get("deletes") or []
+    if dels:
+        keys = (
+            spark.read.parquet(*[os.path.join(root, f) for f in dels])
+            .select(m["delete_key"])
+            .distinct()
+        )
+        df = df.join(
+            F.broadcast(keys), on=m["delete_key"], how="left_anti"
+        ).select(*df.columns)
+    return df
 
 
 def maintain_catalog(

@@ -270,6 +270,10 @@ WINDOW_PRIORITY += [
     # increments through the foreachBatch body with a crash + replay;
     # the cadence's maintain_table packs every month to one file
     "q_stream_lake_maint",
+    # predicate routing over CATALOG tables (ROADMAP_r12 #2 pulled
+    # forward): read_catalog_where consults the stats maintain_catalog
+    # records — skipping + full-scan + compound routes in the hash
+    "q_catalog_routing",
 ]
 
 

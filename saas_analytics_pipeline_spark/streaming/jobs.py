@@ -1217,3 +1217,91 @@ def run_lake_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# crash seams of the per-batch catalog body, in order
+CAT_AFTER_COMMIT = "after_catalog_commit"
+CAT_AFTER_MAINTAIN = "after_catalog_maintain"
+
+
+def catalog_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    catalog_root: str,
+    derive_tables,
+    marker_dir: str,
+    maintain_every: int = 3,
+    stats_cols: dict[str, list[str]] | None = None,
+    retain: int = 1,
+    crash_hook=None,
+) -> None:
+    """One micro-batch of the streaming CATALOG-pair loop (ROADMAP_r12
+    #6 pulled forward): ``derive_tables(batch_df) -> {name: frame}``
+    builds the batch's consistent table set (e.g. fact + refreshed dim),
+    ``publish_tables`` commits the whole set with ONE pointer swap under
+    txid ``b<id>`` (replay-idempotent: committed records skip, staged
+    orphans reclaim, vacuumed txids hit the applied ledger), and every
+    ``maintain_every``-th batch runs ``maintain_catalog`` — compaction +
+    stats staged across tables and made visible by a single swap of
+    their own. A crash ANYWHERE leaves readers on a consistent committed
+    set; the replay converges. Marker last, fast-skip only."""
+    import os
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    marker = os.path.join(marker_dir, str(batch_id))
+    if os.path.exists(marker) or batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    P.publish_tables(
+        spark, derive_tables(batch_df), catalog_root, txid=f"b{batch_id}"
+    )
+    if crash_hook:
+        crash_hook(CAT_AFTER_COMMIT)
+    if maintain_every and batch_id % maintain_every == maintain_every - 1:
+        P.maintain_catalog(
+            spark, catalog_root, retain=retain, stats_cols=stats_cols
+        )
+        if crash_hook:
+            crash_hook(CAT_AFTER_MAINTAIN)
+    open(marker, "w").close()
+
+
+def run_catalog_maintenance(
+    increments: DataFrame,
+    catalog_root: str,
+    derive_tables,
+    checkpoint: str,
+    maintain_every: int = 3,
+    stats_cols: dict[str, list[str]] | None = None,
+    retain: int = 1,
+) -> StreamingQuery:
+    """The streaming star-schema loop: each micro-batch derives a
+    consistent {fact, dim, ...} set and commits it atomically through
+    the catalog pointer, with catalog-unit maintenance folded into the
+    same cadence — one writer owns ingest AND maintenance, so they never
+    race, and no reader ever joins a new fact to an old dim. Crash
+    matrix in tests/test_streaming.py (catalog_apply_batch seams)."""
+    import os
+
+    marker_dir = os.path.join(checkpoint, "applied_batches")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        catalog_apply_batch(
+            batch_df,
+            batch_id,
+            catalog_root,
+            derive_tables,
+            marker_dir,
+            maintain_every=maintain_every,
+            stats_cols=stats_cols,
+            retain=retain,
+        )
+
+    return (
+        increments.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

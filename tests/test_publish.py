@@ -1487,17 +1487,53 @@ def test_read_bucketed_requires_spec(spark, root):
         P.read_bucketed(spark, root, "nospec")
 
 
-def test_read_bucketed_refuses_tombstoned_snapshot(spark, root):
+def test_read_bucketed_applies_tombstones_and_keeps_colocation(spark, root):
+    """Merge-on-read tombstones apply on top of the bucketed scan via a
+    broadcast anti-join — deleted keys vanish, and because a broadcast
+    join preserves the streamed side's partitioning and ordering, a
+    downstream same-spec join still runs with zero Exchanges and Sorts."""
+    root2 = root + "_b"
     P.publish_bucketed(spark, _frame(spark, 1), root, "k", 4, "tx1")
+    P.publish_bucketed(spark, _frame(spark, 2), root2, "k", 4, "tx1")
     P.publish_deletes(
         spark, spark.range(3).select(F.col("id").alias("k")), root, "k"
     )
-    with pytest.raises(ValueError, match="tombstones"):
-        P.read_bucketed(spark, root, "tomb_" + os.path.basename(root))
-    # the plain reader still applies them
-    assert {r["k"] for r in P.read_current(spark, root).collect()} == set(
-        range(3, 100)
-    )
+    ta = P.read_bucketed(spark, root, "tomb_a_" + os.path.basename(root))
+    assert {r["k"] for r in ta.collect()} == set(range(3, 100))
+    tb = P.read_bucketed(spark, root2, "tomb_b_" + os.path.basename(root))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # the anti-join side must still broadcast: scope the threshold
+        # override to the fact-fact SMJ only by re-reading under it
+        ta2 = P.read_bucketed(spark, root, "tomb_a_" + os.path.basename(root))
+        joined = ta2.join(tb, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        smj = plan[plan.index("SortMergeJoin"):]
+        # both fact scans stay bucketed, the SMJ runs sort-free on the
+        # buckets' own order, and the ONLY hash exchange left is the
+        # tombstone key-set's internal distinct UNDER its
+        # BroadcastExchange — metadata-grain, not fact-sized
+        assert smj.count("Bucketed: true") == 2, smj
+        assert "Sort " not in smj, smj
+        assert smj.count("Exchange hashpartitioning") == 1, smj
+        assert smj.index("BroadcastExchange") < smj.index(
+            "Exchange hashpartitioning"
+        ), smj
+        got = {(r["k"]): (r["v"], tuple()) for r in joined.collect()}
+        assert set(got) == set(range(3, 100))
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 # ---------------------------------------------------------------------------
@@ -1614,3 +1650,38 @@ def test_maintain_catalog_refuses_to_clobber_concurrent_commit(
     assert _snap(P.read_catalog_table(spark, cat, "fact")) == _snap(
         _fact(spark, 9)
     )
+
+
+def test_read_catalog_where_routes_and_guards(spark, cat, backend):
+    """read_catalog_where: skipping route over maintain_catalog's
+    recorded stats, full-scan fallback, compound intersection, and the
+    loud unknown-table guard."""
+    fact = spark.range(160).select(
+        (F.col("id") / 40).cast("int").alias("band"),
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+    )
+    P.publish_tables(
+        spark,
+        {"fact": fact.repartition(4, (F.col("band") * 17).cast("long"))},
+        cat, backend=backend,
+    )
+    P.maintain_catalog(
+        spark, cat, retain=1, compact=False,
+        stats_cols={"fact": ["k"]}, backend=backend,
+    )
+    df, rep = P.read_catalog_where(spark, cat, "fact", [("k", 40, 79)])
+    assert rep["routes"][0]["route"] == "file_skipping"
+    assert rep["files"] == 1 and rep["files_total"] == 4
+    assert {r["k"] for r in df.collect()} == set(range(40, 80))
+    # compound: stats column AND an un-annotated column
+    df2, rep2 = P.read_catalog_where(
+        spark, cat, "fact", [("k", 40, 79), ("v", 0, 500)]
+    )
+    assert [r["route"] for r in rep2["routes"]] == [
+        "file_skipping", "full_scan",
+    ]
+    assert rep2["files"] == 1
+    assert {r["k"] for r in df2.collect()} == set(range(40, 51))
+    with pytest.raises(FileNotFoundError, match="not in catalog"):
+        P.read_catalog_where(spark, cat, "nope", [("k", 0, 1)])

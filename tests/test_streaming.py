@@ -1019,3 +1019,96 @@ def test_lake_maintenance_crash_replay_idempotent(spark, tmp_path):
     for m in (mr, mc):
         assert all(len(fs) == 1 for fs in m["partitions"].values()), m
         assert set(m["stats_cols"]) == {"k"}
+
+
+def test_catalog_maintenance_loop_consistent_and_crash_idempotent(
+    spark, tmp_path
+):
+    """The streaming catalog-pair loop (catalog_apply_batch): every
+    batch commits {fact, dim} as one pointer swap; crashes after the
+    commit and after the maintenance replay to the no-crash state; the
+    final fact equals the LAST batch's set beside ITS dim, and the
+    maintenance cadence compacted the pair."""
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F2
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+    from saas_analytics_pipeline_spark.streaming.jobs import (
+        CAT_AFTER_COMMIT,
+        CAT_AFTER_MAINTAIN,
+        catalog_apply_batch,
+    )
+
+    def batch(tag: int):
+        return spark.range(40).select(
+            F2.col("id").alias("k"),
+            (F2.col("id") * 10 + tag).alias("amount"),
+        ).repartition(4)
+
+    def derive(df):
+        return {
+            "fact": df,
+            "dim": df.select(
+                F2.col("k").alias("ck"), (F2.col("k") % 3).alias("tier")
+            ).repartition(3),
+        }
+
+    class Boom(RuntimeError):
+        pass
+
+    def die_at(barrier):
+        def hook(b):
+            if b == barrier:
+                raise Boom(b)
+
+        return hook
+
+    def run(cat, marker_dir, crashes):
+        os.makedirs(marker_dir, exist_ok=True)
+        for i in range(3):
+            kw = dict(
+                maintain_every=3, stats_cols={"fact": ["k"]}, retain=1
+            )
+            if i in crashes:
+                with _pytest.raises(Boom):
+                    catalog_apply_batch(
+                        batch(i), i, cat, derive, marker_dir,
+                        crash_hook=die_at(crashes[i]), **kw,
+                    )
+            catalog_apply_batch(batch(i), i, cat, derive, marker_dir, **kw)
+            catalog_apply_batch(batch(i), i, cat, derive, marker_dir, **kw)
+
+    ref = str(tmp_path / "cat_ref")
+    run(ref, str(tmp_path / "cat_ref_m"), {})
+    cr = str(tmp_path / "cat_crash")
+    run(
+        cr,
+        str(tmp_path / "cat_crash_m"),
+        {1: CAT_AFTER_COMMIT, 2: CAT_AFTER_MAINTAIN},
+    )
+    for cat in (ref, cr):
+        got = sorted(
+            tuple(r)
+            for r in P.read_catalog_table(spark, cat, "fact").collect()
+        )
+        assert got == sorted(tuple(r) for r in batch(2).collect())
+        # the pair resolves off ONE record generation
+        rec = P.catalog_record(cat)
+        assert len(set(rec["tables"].values())) == 1
+        # batch-2's maintenance compacted both tables and annotated fact
+        mf = P._load_manifest(
+            os.path.join(cat, "tables", "fact"), rec["tables"]["fact"]
+        )
+        md = P._load_manifest(
+            os.path.join(cat, "tables", "dim"), rec["tables"]["dim"]
+        )
+        assert mf["n_files"] == 1 and md["n_files"] == 1
+        assert set(mf["stats_cols"]) == {"k"} and len(mf["stats"]) == 1
+    assert sorted(
+        tuple(r) for r in P.read_catalog_table(spark, cr, "fact").collect()
+    ) == sorted(
+        tuple(r) for r in P.read_catalog_table(spark, ref, "fact").collect()
+    )
