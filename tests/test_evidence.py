@@ -41,6 +41,36 @@ def test_scale_lint_swept_the_whole_catalog():
     assert unjustified == 0
 
 
+def test_catalog_doc_covers_the_whole_catalog():
+    """docs/CATALOG.md's header count must equal the registered catalog
+    (rerun tools/catalog_doc.py after adding keys) — same ratchet as the
+    scale-lint check; tools/evidence_check.py runs both as a pre-commit
+    hook so the r10/r11 evidence-stamp drift can't recur silently."""
+    from saas_analytics_pipeline_spark import qcatalog
+
+    qcatalog.load_all()
+    text = (DOCS / "CATALOG.md").read_text()
+    m = re.search(r"(\d+) registered queries;", text)
+    assert m, "CATALOG.md missing its summary line"
+    assert int(m.group(1)) == len(qcatalog.QUERIES), (
+        "CATALOG.md count lags the catalog — rerun tools/catalog_doc.py"
+    )
+
+
+def test_evidence_check_tool_agrees():
+    """tools/evidence_check.py (the pre-commit hook body) must exit 0 on
+    the committed tree, so a green suite implies the hook passes too."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, str(DOCS.parent / "tools" / "evidence_check.py")],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stderr
+
+
 def test_probe_record_is_complete_and_green():
     """docs/PROBES.json must contain every probe in tools/run_probes.py's
     suite (eight as of r06), none errored, and the lsh probe must carry
