@@ -1127,8 +1127,15 @@ def _file_stats(
     files, in ONE scan: group by input_file_name, so a task reading many
     small files still yields one row per file and a large file split
     across tasks merges partials. Returns {relpath: {col: [min, max]}};
-    min/max ignore nulls (Spark semantics) — an all-null or empty file
-    simply has no entry and skippers treat it conservatively."""
+    min/max ignore nulls (Spark semantics) — an all-null column records
+    the explicit ``[null, null]`` sentinel (its group row carries null
+    aggregates), and a ZERO-ROW file, which produces no group row at
+    all, gets the same sentinel filled in below: without it such files
+    count as "missing stats" forever and every maintain_catalog run
+    stages a new commit chasing them, contradicting its documented
+    second-run-commits-nothing idempotency (ADVICE r11). Readers treat
+    ``min is null`` as cannot-match-a-range, which is exact for both
+    cases."""
     from urllib.parse import unquote, urlparse
 
     if not files:
@@ -1153,6 +1160,8 @@ def _file_stats(
             ]
             for c in cols
         }
+    for f in files:
+        out.setdefault(f, {c: [None, None] for c in cols})
     return out
 
 
@@ -2087,8 +2096,16 @@ def _partitions_in_range(m: dict, lo, hi) -> list[str]:
     compare would order '10' < '9'). A key the bound's domain can't parse
     (mixed-provenance table, numeric bounds over a stray string key) is
     kept CONSERVATIVELY — the exact predicate filters it — instead of
-    failing the whole read (ADVICE r10)."""
-    numeric = isinstance(lo, (int, float)) and not isinstance(lo, bool)
+    failing the whole read (ADVICE r10). ``Decimal`` bounds are numeric
+    too (compared via float): their str form would compare
+    lexicographically — key '10.5' < bound '9.5' — silently EXCLUDING
+    matching partitions, the same bug class _stats_val fixed for file
+    stats (ADVICE r11)."""
+    import decimal
+
+    numeric = isinstance(
+        lo, (int, float, decimal.Decimal)
+    ) and not isinstance(lo, bool)
     if numeric:
         qlo, qhi = float(lo), float(hi)
 
@@ -2126,7 +2143,14 @@ def _files_for_stats_range(m: dict, col: str, lo, hi) -> list[str]:
         fmin, fmax = s
         if fmin is None:
             continue
-        if not (fmax < qlo or fmin > qhi):
+        try:
+            if not (fmax < qlo or fmin > qhi):
+                picked.append(f)
+        except TypeError:
+            # Pre-r11 manifests recorded Decimal stats as strings; the
+            # float-typed bounds can't order against them. Degrade to a
+            # conservative scan of the file (stats-less behavior) instead
+            # of crashing every legacy/time-travel read (ADVICE r11).
             picked.append(f)
     return picked
 
@@ -2374,13 +2398,20 @@ def read_bucketed(
         )
     (data_rel,) = dirs
     loc = os.path.abspath(os.path.join(root, data_rel))
-    # the entry name must be unique per (TABLE ROOT, data txid), not just
-    # per (view, txid): two roots sharing a basename (test fixtures,
-    # staging vs prod clones) would otherwise alias one catalog entry at
-    # a stale location
+    # the entry name must be unique per (TABLE ROOT, bucket spec, schema,
+    # data txid), not just per (view, txid): two roots sharing a basename
+    # (test fixtures, staging vs prod clones) would otherwise alias one
+    # catalog entry at a stale location, and an rmtree+republish at the
+    # SAME root+txid with a different bucket spec or schema would reuse
+    # stale CLUSTERED BY / column DDL — a trusted-but-wrong bucket spec
+    # yields silently incorrect zero-Exchange joins (ADVICE r11)
     import hashlib
 
-    tag = hashlib.sha1(os.path.abspath(root).encode()).hexdigest()[:8]
+    tag = hashlib.sha1(
+        json.dumps(
+            [os.path.abspath(root), spec, m["schema"]], sort_keys=True
+        ).encode()
+    ).hexdigest()[:12]
     name = f"{_ident(view)}_{tag}_{_ident(os.path.basename(data_rel))}"
     sort_ddl = ", ".join(f"`{c}`" for c in spec["sort"])
     if spark.catalog.tableExists(name):
@@ -2464,7 +2495,16 @@ def maintain_catalog(
         for tname in sorted(base_tables):
             troot = os.path.join(catalog_root, "tables", tname)
             m = _load_manifest(troot, base_tables[tname])
-            cols = (stats_cols or {}).get(tname) or []
+            # stats to carry = requested cols UNION previously recorded
+            # stats_cols: compaction rewrites the file set, so a table
+            # annotated by an earlier run but absent from this run's
+            # stats_cols would otherwise silently lose its register and
+            # degrade read_catalog_where routing to full scans
+            # (ADVICE r11)
+            cols = sorted(
+                set((stats_cols or {}).get(tname) or [])
+                | set(m.get("stats_cols") or [])
+            )
             old_stats = m.get("stats") or {}
             missing = [
                 f

@@ -1685,3 +1685,121 @@ def test_read_catalog_where_routes_and_guards(spark, cat, backend):
     assert {r["k"] for r in df2.collect()} == set(range(40, 51))
     with pytest.raises(FileNotFoundError, match="not in catalog"):
         P.read_catalog_where(spark, cat, "nope", [("k", 0, 1)])
+
+
+# ---------------------------------------------------------------------------
+# r12: ADVICE hardening — decimal bounds, legacy stats, respec, stats carry
+# ---------------------------------------------------------------------------
+
+
+def test_partitions_in_range_decimal_bounds_compare_numerically():
+    """Decimal query bounds must parse partition keys numerically
+    (ADVICE r11 medium): lexicographic compare orders key '10.5' below
+    bound '9.5' and silently drops matching partitions."""
+    from decimal import Decimal
+
+    m = {"partitions": {"9.5": ["f1"], "10.5": ["f2"], "2.0": ["f3"]}}
+    got = P._partitions_in_range(m, Decimal("9.0"), Decimal("11.0"))
+    assert sorted(got) == ["10.5", "9.5"]
+    # an unparseable stray key is kept conservatively, not crashed on
+    m2 = {"partitions": {"9.5": ["f1"], "stray": ["f2"]}}
+    got2 = P._partitions_in_range(m2, Decimal("9.0"), Decimal("11.0"))
+    assert sorted(got2) == ["9.5", "stray"]
+
+
+def test_legacy_string_stats_degrade_to_conservative_scan():
+    """Pre-r11 manifests recorded Decimal stats as strings; float-typed
+    bounds must not crash the skipper on them (ADVICE r11) — the file
+    degrades to a conservative scan, exactly like a stats-less file."""
+    m = {
+        "files": ["legacy", "typed_in", "typed_out", "bare"],
+        "stats": {
+            "legacy": {"v": ["100.0", "200.0"]},  # str-recorded (pre-r11)
+            "typed_in": {"v": [50.0, 60.0]},
+            "typed_out": {"v": [900.0, 950.0]},
+        },
+    }
+    got = P._files_for_stats_range(m, "v", 40.0, 70.0)
+    # legacy kept conservatively, typed stats still skip exactly
+    assert sorted(got) == ["bare", "legacy", "typed_in"]
+
+
+def test_read_bucketed_entry_tracks_respec_at_same_txid(spark, root):
+    """An rmtree+republish at the SAME root+txid with a different schema
+    and bucket count must not reuse the stale catalog entry's CLUSTERED
+    BY / column DDL (ADVICE r11): the entry name now hashes the bucket
+    spec and schema JSON, so the respec binds a fresh entry."""
+    import shutil
+
+    P.publish_bucketed(spark, _frame(spark, 1), root, "k", 4, "tx1")
+    view = "respec_" + os.path.basename(root)
+    got1 = P.read_bucketed(spark, root, view)
+    assert sorted(got1.columns) == ["k", "v"] and got1.count() == 100
+    shutil.rmtree(root)
+    wider = _frame(spark, 2).withColumn("extra", F.col("k") * 2)
+    P.publish_bucketed(spark, wider, root, "k", 2, "tx1")
+    got2 = P.read_bucketed(spark, root, view)
+    assert sorted(got2.columns) == ["extra", "k", "v"]
+    assert _snap(got2) == _snap(wider)
+
+
+def test_maintain_catalog_compaction_carries_prior_stats_register(
+    spark, cat, backend
+):
+    """Compacting a table absent from this run's stats_cols must carry —
+    and recompute over the new file set — its previously recorded
+    stats_cols instead of silently dropping the register and degrading
+    read_catalog_where to full scans (ADVICE r11)."""
+    P.publish_tables(
+        spark, {"fact": _frag(spark, 1)}, cat, backend=backend
+    )
+    # run 1: annotate only (no compaction) — 4 files, stats_cols=[k]
+    P.maintain_catalog(
+        spark, cat, retain=5, compact=False,
+        stats_cols={"fact": ["k"]}, backend=backend,
+    )
+    rec1 = P.catalog_record(cat)
+    troot = os.path.join(cat, "tables", "fact")
+    m1 = P._load_manifest(troot, rec1["tables"]["fact"])
+    assert m1["stats_cols"] == ["k"] and m1["n_files"] == 4
+    # run 2: compact WITHOUT requesting stats — the register must carry
+    report = P.maintain_catalog(spark, cat, retain=5, backend=backend)
+    assert report["compacted"] == ["fact"]
+    rec2 = P.catalog_record(cat)
+    m2 = P._load_manifest(troot, rec2["tables"]["fact"])
+    assert m2["n_files"] == 1
+    assert m2["stats_cols"] == ["k"]
+    assert set(m2["stats"]) == set(m2["files"])
+    # and the routing the register exists for still works
+    df, rep = P.read_catalog_where(spark, cat, "fact", [("k", 0, 5)])
+    assert rep["routes"][0]["route"] == "file_skipping"
+    assert {r["k"] for r in df.collect()} == set(range(6))
+
+
+def test_maintain_catalog_drains_zero_row_files(spark, cat, backend):
+    """A zero-row file yields no min/max group row; without the explicit
+    [null, null] sentinel it counts as missing-stats forever and every
+    maintenance run stages a fresh commit — churning seq/vacuum against
+    the documented second-run-commits-nothing idempotency (ADVICE r11)."""
+    empty = spark.createDataFrame([], "k long, amount long").coalesce(1)
+    P.publish_tables(
+        spark, {"fact": _fact(spark, 1), "void": empty}, cat,
+        backend=backend,
+    )
+    P.maintain_catalog(
+        spark, cat, retain=5, stats_cols={"void": ["k"]}, backend=backend
+    )
+    rec1 = P.catalog_record(cat)
+    troot = os.path.join(cat, "tables", "void")
+    m = P._load_manifest(troot, rec1["tables"]["void"])
+    assert m["stats_cols"] == ["k"]
+    assert all(v["k"] == [None, None] for v in m["stats"].values())
+    # idempotent now: the sentinel drains the missing list
+    report2 = P.maintain_catalog(
+        spark, cat, retain=5, stats_cols={"void": ["k"]}, backend=backend
+    )
+    assert report2["compacted"] == [] and report2["stats_annotated"] == []
+    assert P.catalog_record(cat) == rec1
+    # a range read over the sentinel file skips it exactly (no rows match)
+    df, rep = P.read_catalog_where(spark, cat, "void", [("k", 0, 10)])
+    assert rep["files"] == 0 and df.count() == 0
