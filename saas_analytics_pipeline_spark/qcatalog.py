@@ -398,6 +398,26 @@ REVERIFY.update(
 )
 
 
+# r12 upgrades. Scope note: the r12 ADVICE fixes to publish.py (decimal
+# partition bounds, legacy string-stats fallback, bucket-entry respec
+# hash, stats carry on compaction, null-stats sentinel) are all gated to
+# inputs NO certified key produces — decimal partition keys, pre-r11
+# manifests, same-txid respecs, catalog tables with prior stats_cols,
+# zero-row files — each covered by a dedicated pytest across both commit
+# backends, so they do not re-floor the manifest-key family the way the
+# r11 rewiring did. Only keys whose own bodies/oracles changed re-floor:
+REVERIFY.update(
+    {
+        # r12 derives the fragmented file counts from the
+        # ceil(n/ceil(n_dim/3)) closed form (shared maxRecordsPerFile
+        # cap over one write task per table) instead of repartition(4)/
+        # repartition(3) literals (VERDICT r11 #7) — the hashed
+        # n_files_fact/n_files_dim values changed
+        "q_catalog_maintain": "r11",
+    }
+)
+
+
 def _scan_correctness() -> dict[str, str]:
     """Fold driver-verified keys from every CORRECTNESS_r*.json next to the
     repo root into DRIVER_VERIFIED: hash_match=true is a green row;
