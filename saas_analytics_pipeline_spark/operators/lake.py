@@ -2522,14 +2522,24 @@ _BUCKET_MANIFEST_CONFS = {
 }
 
 
-def bucket_manifest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The certified frame: both fact sides published through the
+def bucket_manifest_phases(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The certified frames: both fact sides published through the
     manifest protocol with a recorded bucket spec (publish_bucketed),
-    read back through the spec (read_bucketed), joined + rolled up.
-    Plan-pinned in tests/test_plans.py: zero Exchanges AND zero Sorts
-    below the SortMergeJoin — the q_bucket_join plan, through the
-    protocol (VERDICT r10 #4: 'a table published through the protocol
-    loses its bucket metadata')."""
+    read back through the spec (read_bucketed), joined + rolled up —
+    then (r12, VERDICT r11 #8) ``publish_deletes`` tombstones every
+    10th orderkey and the SAME read path re-reads: the tombstones apply
+    as an explicitly-broadcast anti-join ON TOP of the bucketed scan,
+    so the fact-fact join STAYS co-located. Plan-pinned in
+    tests/test_plans.py: zero Exchanges and zero Sorts below the
+    SortMergeJoin in BOTH phases (the tombstone key-set's internal
+    distinct lives under its BroadcastExchange — metadata-grain, not
+    fact-sized).
+
+    Returns (p1_all, p2_tombstoned); both stay valid frames — MOR
+    deletes add tombstone files, they never touch the data dir p1
+    scans."""
     import shutil
 
     from saas_analytics_pipeline_spark.plans import publish as P
@@ -2549,59 +2559,94 @@ def bucket_manifest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     P.publish_bucketed(spark, items, ri, "o_orderkey", 16, "tx1")
     to = P.read_bucketed(spark, ro, f"bm_orders_{tag}")
     ti = P.read_bucketed(spark, ri, f"bm_items_{tag}")
-    return (
-        to.join(ti, "o_orderkey")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count("*").alias("n_items"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_qty"),
+
+    def rollup(o: DataFrame, phase: str) -> DataFrame:
+        return (
+            o.join(ti, "o_orderkey")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.countDistinct("o_orderkey").alias("n_orders"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_qty"),
+            )
+            .select(F.lit(phase).alias("phase"), "*")
         )
-        .orderBy("o_orderpriority")
+
+    p1 = rollup(to, "p1_all")
+    P.publish_deletes(
+        spark,
+        orders.where((F.col("o_orderkey") % 10) == 0).select("o_orderkey"),
+        ro,
+        "o_orderkey",
     )
+    p2 = rollup(
+        P.read_bucketed(spark, ro, f"bm_orders_{tag}"), "p2_tombstoned"
+    )
+    return p1, p2
 
 
 @query(
     "q_bucket_manifest",
     oracle="""
-    SELECT o_orderpriority,
+    WITH j AS (
+        SELECT o_orderpriority, o_orderkey, l_quantity
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    )
+    SELECT 'p1_all' AS phase, o_orderpriority,
            COUNT(*) AS n_items,
            COUNT(DISTINCT o_orderkey) AS n_orders,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                AS total_qty
-    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    FROM j GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'p2_tombstoned', o_orderpriority,
+           COUNT(*), COUNT(DISTINCT o_orderkey),
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+    FROM j WHERE o_orderkey % 10 <> 0 GROUP BY o_orderpriority
+    ORDER BY phase, o_orderpriority
     """,
 )
 def q_bucket_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed MANIFEST tables as a keyed result-identity certificate
-    (r11, VERDICT r10 #4): ``publish_bucketed`` records (bucket col, n,
-    sort) in the manifest at commit time; ``read_bucketed`` re-exposes
-    the committed snapshot through a metadata-only catalog entry, so
-    the orderkey fact-fact join runs with ZERO Exchanges and ZERO Sorts
-    below the SortMergeJoin (plan pinned in tests/test_plans.py) — the
-    q_bucket_join amortization, now surviving the publish protocol's
-    atomicity/time-travel/vacuum layer instead of being lost at publish.
-    The hash-green oracle row certifies the bucketed-through-manifest
-    plan is semantically transparent: bit-identical rollup to the plain
-    SQL join, duplicate-key fan-out included.
+    (r11, VERDICT r10 #4; tombstone phase r12, VERDICT r11 #8):
+    ``publish_bucketed`` records (bucket col, n, sort) in the manifest
+    at commit time; ``read_bucketed`` re-exposes the committed snapshot
+    through a metadata-only catalog entry, so the orderkey fact-fact
+    join runs with ZERO Exchanges and ZERO Sorts below the
+    SortMergeJoin (plan pinned in tests/test_plans.py) — the
+    q_bucket_join amortization, surviving the publish protocol's
+    atomicity/time-travel/vacuum layer.
+
+    Two hashed phases certify semantic transparency:
+
+    - p1_all: bit-identical rollup to the plain SQL join, duplicate-key
+      fan-out included;
+    - p2_tombstoned: after ``publish_deletes`` tombstones every 10th
+      orderkey, the SAME bucketed read path drops exactly those keys
+      (the merge-on-read anti-join applies as an explicit broadcast ON
+      TOP of the bucketed scan, so co-location survives — plan-pinned).
 
     Conf scoping: broadcast disabled (the 100 TB fact-fact regime) and
     bucketed-scan output ordering reported (sound: one sorted file per
-    bucket by construction) while the frame materializes; eager
+    bucket by construction) while the frames materialize; eager
     localCheckpoint; confs restored — the q_bucket_join discipline.
 
     Scale: the bucket shuffle is paid ONCE at publish; every subsequent
     same-spec join — including joins across SEPARATELY-published tables
-    — reads co-located pre-sorted buckets through their manifests."""
+    — reads co-located pre-sorted buckets through their manifests, and
+    GDPR-grain deletes cost O(keys) tombstone metadata, never a
+    rewrite."""
     prev = {k: spark.conf.get(k, None) for k in _BUCKET_MANIFEST_CONFS}
     for k, v in _BUCKET_MANIFEST_CONFS.items():
         spark.conf.set(k, v)
     try:
-        return bucket_manifest_frame(spark, sf_dir).localCheckpoint(
-            eager=True
+        p1, p2 = bucket_manifest_phases(spark, sf_dir)
+        return (
+            p1.unionByName(p2)
+            .orderBy("phase", "o_orderpriority")
+            .localCheckpoint(eager=True)
         )
     finally:
         for k, v in prev.items():

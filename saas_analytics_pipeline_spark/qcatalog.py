@@ -414,6 +414,11 @@ REVERIFY.update(
         # repartition(3) literals (VERDICT r11 #7) — the hashed
         # n_files_fact/n_files_dim values changed
         "q_catalog_maintain": "r11",
+        # r12 folds the tombstoned bucketed read into the certificate
+        # (VERDICT r11 #8): a second hashed phase re-reads through
+        # read_bucketed after publish_deletes tombstones every 10th
+        # orderkey — new schema (phase column) and new rows
+        "q_bucket_manifest": "r11",
     }
 )
 

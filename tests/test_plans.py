@@ -905,34 +905,50 @@ def test_apply_cdc_snapshot_survivors_via_broadcast_anti(spark, sf_dir):
     assert "SortMergeJoin LeftAnti" not in plan
 
 
-def test_bucket_manifest_frame_joins_with_zero_exchange_and_sort(
+def test_bucket_manifest_frames_join_with_zero_exchange_and_sort(
     spark, sf_dir
 ):
-    """q_bucket_manifest's frame (r11): both sides published through the
-    manifest protocol with a recorded bucket spec, read back through
-    read_bucketed — the SortMergeJoin subtree must contain NO Exchange
-    and NO Sort (one sorted file per bucket by construction, so the
-    scan's reported ordering is trusted)."""
+    """q_bucket_manifest's frames (r11; tombstone phase r12): both sides
+    published through the manifest protocol with a recorded bucket spec,
+    read back through read_bucketed — the SortMergeJoin subtree must
+    contain NO shuffle Exchange and NO Sort in BOTH phases (one sorted
+    file per bucket by construction, so the scan's reported ordering is
+    trusted); the tombstoned phase's only additions are the broadcast
+    anti-join and its metadata-grain key-set distinct, which lives
+    UNDER the BroadcastExchange, never on the fact stream."""
     from saas_analytics_pipeline_spark.operators.lake import (
         _BUCKET_MANIFEST_CONFS,
-        bucket_manifest_frame,
+        bucket_manifest_phases,
     )
 
     prev = {k: spark.conf.get(k, None) for k in _BUCKET_MANIFEST_CONFS}
     try:
         for k, v in _BUCKET_MANIFEST_CONFS.items():
             spark.conf.set(k, v)
-        df = bucket_manifest_frame(spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin" in plan
-        assert plan.count("Bucketed: true") == 2
-        # the two aggregate exchanges above the join only (partial->final
-        # hash + the orderBy range); the join inputs contribute ZERO
-        assert plan.count("Exchange") == 2, plan
-        # and zero Sorts anywhere below the aggregate: the SMJ runs on
-        # the buckets' own sort order
-        smj = plan[plan.index("SortMergeJoin"):]
+        p1, p2 = bucket_manifest_phases(spark, sf_dir)
+
+        plan1 = p1._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan1
+        assert plan1.count("Bucketed: true") == 2
+        # the aggregate's own partial->final hash exchange only; the
+        # join inputs contribute ZERO
+        assert plan1.count("Exchange") == 1, plan1
+        smj = plan1[plan1.index("SortMergeJoin"):]
         assert "Sort " not in smj, smj
+
+        plan2 = p2._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan2
+        assert plan2.count("Bucketed: true") == 2
+        # toString renders the join type after the key lists
+        assert "LeftAnti, BuildRight" in plan2, plan2
+        smj2 = plan2[plan2.index("SortMergeJoin"):]
+        assert "Sort " not in smj2, smj2
+        # exactly one hash exchange below the SMJ — the tombstone
+        # key-set's distinct — and it sits under its BroadcastExchange
+        assert smj2.count("Exchange hashpartitioning") == 1, smj2
+        assert smj2.index("BroadcastExchange") < smj2.index(
+            "Exchange hashpartitioning"
+        ), smj2
     finally:
         for k, v in prev.items():
             if v is None:
