@@ -129,6 +129,11 @@ HEADLINE_R11 = [
     "q_catalog_maintain",
     "q_stream_lake_maint",
 ]
+HEADLINE_R12 = [
+    # predicate routing over CATALOG tables (landed late in r11 without a
+    # bench row — VERDICT r11 #4)
+    "q_catalog_routing",
+]
 
 HEADLINE = (
     HEADLINE_CORE
@@ -139,6 +144,7 @@ HEADLINE = (
     + HEADLINE_R09
     + HEADLINE_R10
     + HEADLINE_R11
+    + HEADLINE_R12
 )
 
 

@@ -85,6 +85,7 @@ def test_probe_record_is_complete_and_green():
         "ann_fold_probe",  # r09: arrivals-compaction equality + cost
         "skipping_probe",  # r10: file skipping / MOR overhead / OPTIMIZE
         "lake_maint_probe",  # r11: maintenance cost follows the increment
+        "catalog_maint_probe",  # r12: catalog cadence restages dirty tables only
     }
     missing = expected - set(probes)
     assert not missing, f"probes missing from docs/PROBES.json: {missing}"

@@ -38,6 +38,7 @@ PROBES: list[tuple[str, list[str]]] = [
     ("ann_fold_probe", []),
     ("skipping_probe", []),
     ("lake_maint_probe", []),
+    ("catalog_maint_probe", []),
 ]
 
 
