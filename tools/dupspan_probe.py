@@ -98,6 +98,7 @@ def main() -> None:
                 if orphans.count() > 0:
                     nesting_ok = False
         out["points"].append({"point": tag, "rows": rows})
+    out["boilerplate"] = _boilerplate_section(spark)
     out["nesting_invariant_holds"] = nesting_ok
     out["verdict"] = (
         "index size ~flat in w (window count is n_tokens-w+1); detection "
@@ -107,8 +108,126 @@ def main() -> None:
         else "NESTING VIOLATION - wider-window span not inside narrower coverage"
     )
     print(json.dumps(out))
-    if not nesting_ok:
+    if not nesting_ok or out["boilerplate"]["failures"]:
         sys.exit(1)
+
+
+def _boilerplate_section(spark) -> dict:
+    """The hot-hash ceiling claim (VERDICT r11 #3): on a synthesis where
+    ONE shared block sits in 20% of docs (a licence header — its windows'
+    doc frequency is ~0.2 * n_docs, the skew that serializes the default
+    path's per-hash window sort at 100 TB), the ``max_window_df`` path
+
+    - returns EXACTLY the spans the window path returns under the same
+      df filter (both directions of exceptAll empty — the gate), for
+      both dup_span_intervals and foreign_dup_spans;
+    - runs through map-side-combinable aggregates + semi-join, so no
+      task owns the hot hash's occurrence list (wall seconds recorded
+      for the capped vs uncapped run as evidence, not gated — local[32]
+      timings are noisy).
+    """
+    import time as _time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from saas_analytics_pipeline_spark.operators.dedup import (
+        RUN_W,
+        doc_window_positions,
+        dup_span_intervals,
+        foreign_dup_spans,
+        span_islands,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    K = 64
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    block = " ".join(f"licetok{i}" for i in range(3 * RUN_W))
+    boiler = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(block + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    ).localCheckpoint(eager=True)
+    n_docs = boiler.count()
+    failures: list[str] = []
+    sec: dict[str, float] = {}
+
+    def timed(tag: str, df):
+        t0 = _time.monotonic()
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("span_tokens"), F.lit(0)).alias("covered"),
+        ).collect()[0]
+        sec[tag] = round(_time.monotonic() - t0, 3)
+        return int(row["n"]), int(row["covered"])
+
+    n_uncapped, cov_uncapped = timed(
+        "uncapped_sec", dup_span_intervals(boiler)
+    )
+    capped = dup_span_intervals(boiler, max_window_df=K)
+    n_capped, cov_capped = timed("capped_sec", capped)
+    if cov_capped >= cov_uncapped:
+        failures.append(
+            "cap did not drop the boilerplate block's covered tokens"
+        )
+
+    # equivalence gate: the window path under the SAME df filter
+    wins = doc_window_positions(boiler)
+    w_h = Window.partitionBy("h")
+    w_hd = Window.partitionBy("h").orderBy("doc_id")
+    ranked = wins.withColumn("dr", F.dense_rank().over(w_hd)).withColumn(
+        "nd", F.max("dr").over(w_h)
+    )
+    ref = span_islands(
+        ranked.where((F.col("nd") >= 2) & (F.col("nd") <= K)).select(
+            "doc_id", "pos"
+        )
+    )
+    if capped.exceptAll(ref).count() or ref.exceptAll(capped).count():
+        failures.append("dup_span_intervals capped != window path at K")
+
+    f_capped = foreign_dup_spans(boiler, max_window_df=K)
+    ref_f = span_islands(
+        ranked.withColumn("owner", F.min("doc_id").over(w_h))
+        .where(
+            (F.col("nd") >= 2)
+            & (F.col("nd") <= K)
+            & (F.col("doc_id") != F.col("owner"))
+        )
+        .select("doc_id", "pos")
+    ).select("doc_id", "island", "span_start", "span_end")
+    if f_capped.exceptAll(ref_f).count() or ref_f.exceptAll(f_capped).count():
+        failures.append("foreign_dup_spans capped != window path at K")
+
+    hot_df = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .agg(F.max("nd"))
+        .collect()[0][0]
+    )
+    return {
+        "n_docs": n_docs,
+        "boiler_share": 0.2,
+        "hot_window_df": int(hot_df),
+        "max_window_df": K,
+        "spans_uncapped": n_uncapped,
+        "spans_capped": n_capped,
+        "covered_uncapped": cov_uncapped,
+        "covered_capped": cov_capped,
+        **sec,
+        "note": (
+            "equivalence gated; wall secs recorded honestly — at probe "
+            "scale (hot df ~1e3) the capped path's second tokenize pass "
+            "dominates, while the per-hash window sort it removes grows "
+            "with df and serializes ONE task at production df (1e6+); "
+            "the cap is the 100 TB switch, not a small-scale win"
+        ),
+        "failures": failures,
+    }
 
 
 if __name__ == "__main__":
