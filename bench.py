@@ -133,6 +133,8 @@ HEADLINE_R12 = [
     # predicate routing over CATALOG tables (landed late in r11 without a
     # bench row — VERDICT r11 #4)
     "q_catalog_routing",
+    # bucketed partitioned fact-fact join through the publish protocol
+    "q_bucket_partitioned",
 ]
 
 HEADLINE = (

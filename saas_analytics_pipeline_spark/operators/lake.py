@@ -2657,6 +2657,170 @@ def q_bucket_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bucketed PARTITIONED tables, keyed (r12, VERDICT r11 #5): date
+# partitions + bucket-by-key co-location through the publish protocol,
+# surviving incremental partition overwrites
+# ---------------------------------------------------------------------------
+
+
+def bucket_partitioned_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The certified frames: two month-partitioned order facts (1996 and
+    1997), each published bucket-by-custkey WITHIN its month partitions
+    (``publish_partition_overwrite(bucket_col=...)``), read back through
+    ``read_bucketed_partitioned`` and joined per customer. Returns
+    (p1_initial, p2_revised): p2 re-reads after ONE month (199606) is
+    incrementally overwritten with doubled prices — the daily-ingest
+    flow that used to forfeit co-location under the whole-snapshot
+    bucketed publish. Plan-pinned in tests/test_plans.py: zero shuffle
+    Exchanges below the SortMergeJoin in both phases (per-bucket Sorts
+    are partition-local and stay)."""
+    import shutil
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    tag = sf_tag(sf_dir)
+    ra = scratch_path("saas_lake_bktp_96", sf_dir)
+    rb = scratch_path("saas_lake_bktp_97", sf_dir)
+    for r in (ra, rb):
+        shutil.rmtree(r, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+    def year_slice(y: int) -> DataFrame:
+        return orders.where(F.year("o_orderdate") == y).withColumn(
+            "mk", F.year("o_orderdate") * 100 + F.month("o_orderdate")
+        )
+
+    a, b = year_slice(1996), year_slice(1997)
+    P.publish_partition_overwrite(
+        spark, a, ra, "mk", bucket_col="o_custkey", n_buckets=8
+    )
+    P.publish_partition_overwrite(
+        spark, b, rb, "mk", bucket_col="o_custkey", n_buckets=8
+    )
+
+    def rollup(phase: str) -> DataFrame:
+        n_parts = len(P.current_manifest(ra)["partitions"])
+        seq = int(P.current_manifest(ra)["seq"])
+        ta = P.read_bucketed_partitioned(spark, ra, f"bp96_{tag}")
+        tb = P.read_bucketed_partitioned(spark, rb, f"bp97_{tag}")
+
+        def per_cust(t: DataFrame, out: str) -> DataFrame:
+            return t.groupBy("o_custkey").agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(out)
+            )
+
+        return (
+            per_cust(ta, "rev96")
+            .join(per_cust(tb, "rev97"), "o_custkey")
+            .groupBy((F.col("o_custkey") % 7).alias("cg"))
+            .agg(
+                F.count("*").alias("n_cust"),
+                F.sum("rev96").cast("double").alias("rev96"),
+                F.sum("rev97").cast("double").alias("rev97"),
+            )
+            .select(
+                F.lit(phase).alias("phase"),
+                F.lit(n_parts).cast("long").alias("n_partitions_96"),
+                F.lit(seq).cast("long").alias("seq_96"),
+                "*",
+            )
+        )
+
+    p1 = rollup("p1_initial")
+    revised = a.where(F.col("mk") == 199606).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    P.publish_partition_overwrite(
+        spark, revised, ra, "mk", bucket_col="o_custkey", n_buckets=8
+    )
+    p2 = rollup("p2_revised")
+    return p1, p2
+
+
+@query(
+    "q_bucket_partitioned",
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS pr,
+               year(o_orderdate) * 100 + month(o_orderdate) AS mk
+        FROM orders WHERE year(o_orderdate) = 1996
+    ),
+    b AS (
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS pr
+        FROM orders WHERE year(o_orderdate) = 1997
+    ),
+    np AS (SELECT COUNT(DISTINCT mk) AS n FROM a),
+    r96 AS (SELECT o_custkey, SUM(pr) AS rev96 FROM a GROUP BY o_custkey),
+    r96x AS (
+        SELECT o_custkey,
+               SUM(CASE WHEN mk = 199606 THEN pr * 2 ELSE pr END) AS rev96
+        FROM a GROUP BY o_custkey
+    ),
+    r97 AS (SELECT o_custkey, SUM(pr) AS rev97 FROM b GROUP BY o_custkey)
+    SELECT 'p1_initial' AS phase,
+           (SELECT CAST(n AS BIGINT) FROM np) AS n_partitions_96,
+           CAST(1 AS BIGINT) AS seq_96,
+           o_custkey % 7 AS cg, COUNT(*) AS n_cust,
+           CAST(SUM(rev96) AS DOUBLE) AS rev96,
+           CAST(SUM(rev97) AS DOUBLE) AS rev97
+    FROM r96 JOIN r97 USING (o_custkey) GROUP BY o_custkey % 7
+    UNION ALL
+    SELECT 'p2_revised', (SELECT CAST(n AS BIGINT) FROM np), 2,
+           o_custkey % 7, COUNT(*),
+           CAST(SUM(rev96) AS DOUBLE), CAST(SUM(rev97) AS DOUBLE)
+    FROM r96x JOIN r97 USING (o_custkey) GROUP BY o_custkey % 7
+    ORDER BY phase, cg
+    """,
+)
+def q_bucket_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed PARTITIONED tables certified (r12, VERDICT r11 #5): the
+    100 TB fact-fact story — two month-partitioned order facts bucketed
+    by o_custkey through the publish protocol, joined per customer with
+    zero shuffle Exchanges below the SortMergeJoin across ALL partitions
+    (plan-pinned in tests/test_plans.py); partition dirs stay
+    independently overwritable:
+
+    - p1_initial: the per-customer-group rollup of the 1996 x 1997 join,
+      bit-identical to the plain SQL join, plus the partition count and
+      commit seq of the 1996 fact;
+    - p2_revised: after ONE month (199606) is incrementally overwritten
+      with doubled prices — the overwrite touches only that partition
+      (carried months keep their manifest entries byte-identical,
+      pinned in tests/test_publish.py), seq advances by one, and the
+      SAME co-located read path returns the revised rollup.
+
+    Scale: the bucket shuffle is paid once per INCREMENT at write (the
+    increment repartitions by the bucket hash, one file per
+    (partition, bucket)); every subsequent same-spec join — across the
+    full history of daily overwrites — reads co-located buckets with
+    per-bucket partition-local Sorts and no Exchange. This closes the
+    gap the whole-snapshot q_bucket_manifest left: a date-partitioned
+    fact no longer loses co-location (ROADMAP_r12 #3).
+
+    Ref: the reference leans on BigQuery clustering within partitioned
+    tables (README.md:90-91); this is the explicit lake-side twin."""
+    conf = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, "-1")  # the 100 TB fact-fact regime
+    try:
+        p1, p2 = bucket_partitioned_frames(spark, sf_dir)
+        return (
+            p1.unionByName(p2)
+            .orderBy("phase", "cg")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+
+
+# ---------------------------------------------------------------------------
 # Predicate-routed reads, keyed (r11, VERDICT r10 #3): one entry point
 # that picks — and for compound predicates INTERSECTS — the manifest-side
 # pruning mechanisms, certified with route + files-scanned in the hash

@@ -276,6 +276,19 @@ WINDOW_PRIORITY += [
     "q_catalog_routing",
 ]
 
+# Round-12 window additions (same 3-mode certification bar: DuckDB
+# oracle + selfcheck --pandas and --vanilla at sf0.001 AND sf0.01 before
+# entering). Kept to TWO new keys + two REVERIFY floors so the 50-slot
+# window clears the entire 46-key r05 staleness tail (VERDICT r11 #2).
+WINDOW_PRIORITY += [
+    # bucketed PARTITIONED tables (VERDICT r11 #5): month-partitioned
+    # facts bucket-by-custkey through publish_partition_overwrite; the
+    # fact-fact join is zero-Exchange across ALL partitions and an
+    # incremental one-month overwrite keeps co-location — join rollup,
+    # partition count, and commit seq in the hash
+    "q_bucket_partitioned",
+]
+
 
 # Keys whose check was UPGRADED after their last driver row (e.g. a
 # rows-only query that gained a real SQL oracle), mapped to the LAST round

@@ -955,3 +955,29 @@ def test_bucket_manifest_frames_join_with_zero_exchange_and_sort(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucket_partitioned_frames_join_with_zero_exchange(spark, sf_dir):
+    """q_bucket_partitioned's frames (r12): month-partitioned facts
+    bucketed by custkey through the publish protocol — the per-customer
+    join must run with ZERO shuffle Exchanges below (and above: the
+    bucketed partitioning satisfies the aggregates too) in BOTH phases,
+    incremental overwrite included; per-bucket Sorts are partition-local
+    and allowed (one file per bucket per month — SPARK-28216 ordering is
+    not trusted across files)."""
+    from saas_analytics_pipeline_spark.operators.lake import (
+        bucket_partitioned_frames,
+    )
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p1, p2 = bucket_partitioned_frames(spark, sf_dir)
+        for df in (p1, p2):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert plan.count("Bucketed: true") == 2, plan
+            smj = plan[plan.index("SortMergeJoin"):]
+            assert "Exchange hashpartitioning" not in smj, smj
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)

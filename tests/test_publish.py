@@ -1803,3 +1803,124 @@ def test_maintain_catalog_drains_zero_row_files(spark, cat, backend):
     # a range read over the sentinel file skips it exactly (no rows match)
     df, rep = P.read_catalog_where(spark, cat, "void", [("k", 0, 10)])
     assert rep["files"] == 0 and df.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r12: bucketed PARTITIONED tables (VERDICT r11 #5)
+# ---------------------------------------------------------------------------
+
+
+def _monthly(spark, year: int, tag: int = 0):
+    # 24 keys x 3 months, deterministic month key and amount
+    return spark.range(72).select(
+        (F.col("id") % 24).alias("k"),
+        (F.lit(year) * 100 + (F.col("id") % 3) + 1).alias("mk"),
+        (F.col("id") * 10 + tag).alias("v"),
+    )
+
+
+def test_bucketed_partitioned_roundtrip_and_incremental_overwrite(
+    spark, root, backend
+):
+    a = _monthly(spark, 1996)
+    P.publish_partition_overwrite(
+        spark, a, root, "mk", bucket_col="k", n_buckets=4, backend=backend
+    )
+    m = P.current_manifest(root)
+    assert m["bucket"] == {"col": "k", "n": 4, "sort": ["k"]}
+    assert set(m["partitions"]) == {"199601", "199602", "199603"}
+    got = P.read_bucketed_partitioned(spark, root, "rtp_" + os.path.basename(root))
+    assert _snap(got.drop("_p")) == _snap(a)
+    # overwrite ONE month bucketed; others carry by reference
+    inc = a.where(F.col("mk") == 199602).withColumn("v", F.col("v") + 1000)
+    P.publish_partition_overwrite(
+        spark, inc, root, "mk", bucket_col="k", n_buckets=4, backend=backend
+    )
+    m2 = P.current_manifest(root)
+    assert m2["partitions"]["199601"] == m["partitions"]["199601"]
+    assert m2["partitions"]["199602"] != m["partitions"]["199602"]
+    got2 = P.read_bucketed_partitioned(
+        spark, root, "rtp_" + os.path.basename(root)
+    )
+    exp = a.withColumn(
+        "v",
+        F.when(F.col("mk") == 199602, F.col("v") + 1000).otherwise(F.col("v")),
+    )
+    assert _snap(got2.drop("_p")) == _snap(exp)
+
+
+def test_bucketed_partitioned_join_zero_exchange_across_partitions(
+    spark, root
+):
+    """The 100 TB fact-fact story: two date-partitioned facts bucketed
+    by the same key join with ZERO shuffle Exchanges below the SMJ
+    across ALL partitions — incremental overwrites included."""
+    root2 = root + "_b"
+    P.publish_partition_overwrite(
+        spark, _monthly(spark, 1996), root, "mk", bucket_col="k", n_buckets=4
+    )
+    P.publish_partition_overwrite(
+        spark, _monthly(spark, 1997, tag=5), root2, "mk",
+        bucket_col="k", n_buckets=4,
+    )
+    # an incremental overwrite must not break co-location
+    P.publish_partition_overwrite(
+        spark,
+        _monthly(spark, 1996).where(F.col("mk") == 199601),
+        root, "mk", bucket_col="k", n_buckets=4,
+    )
+    ta = P.read_bucketed_partitioned(spark, root, "zx_a_" + os.path.basename(root))
+    tb = P.read_bucketed_partitioned(spark, root2, "zx_b_" + os.path.basename(root))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ga = ta.groupBy("k").agg(F.sum("v").alias("s96"))
+        gb = tb.groupBy("k").agg(F.sum("v").alias("s97"))
+        j = ga.join(gb, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        got = {r["k"]: (r["s96"], r["s97"]) for r in j.collect()}
+        assert len(got) == 24
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_bucketed_partitioned_spec_is_a_table_invariant(spark, root):
+    a = _monthly(spark, 1996)
+    P.publish_partition_overwrite(
+        spark, a, root, "mk", bucket_col="k", n_buckets=4
+    )
+    inc = a.where(F.col("mk") == 199601)
+    with pytest.raises(ValueError, match="table invariant"):
+        P.publish_partition_overwrite(
+            spark, inc, root, "mk", bucket_col="k", n_buckets=8
+        )
+    with pytest.raises(ValueError, match="table invariant"):
+        P.publish_partition_overwrite(spark, inc, root, "mk")
+    # and an unbucketed lineage refuses a bucketed overwrite
+    root2 = root + "_plain"
+    P.publish_partition_overwrite(spark, a, root2, "mk")
+    with pytest.raises(ValueError, match="table invariant"):
+        P.publish_partition_overwrite(
+            spark, inc, root2, "mk", bucket_col="k", n_buckets=4
+        )
+
+
+def test_bucketed_partitioned_prunes_and_applies_tombstones(spark, root):
+    a = _monthly(spark, 1996)
+    P.publish_partition_overwrite(
+        spark, a, root, "mk", bucket_col="k", n_buckets=4
+    )
+    P.publish_deletes(
+        spark, spark.range(3).select(F.col("id").alias("k")), root, "k"
+    )
+    t = P.read_bucketed_partitioned(spark, root, "pt_" + os.path.basename(root))
+    assert {r["k"] for r in t.collect()} == set(range(3, 24))
+    pruned = t.where(F.col("_p") == "199602")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(_p" in plan, plan
+    assert _snap(pruned.drop("_p")) == _snap(
+        a.where((F.col("mk") == 199602) & (F.col("k") >= 3))
+    )
