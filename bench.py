@@ -135,6 +135,8 @@ HEADLINE_R12 = [
     "q_catalog_routing",
     # bucketed partitioned fact-fact join through the publish protocol
     "q_bucket_partitioned",
+    # file-scoped deletion vectors: GDPR delete -> resubscribe -> optimize
+    "q_delete_vectors",
 ]
 
 HEADLINE = (

@@ -2821,6 +2821,157 @@ def q_bucket_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# File-scoped deletion vectors, keyed (r12, VERDICT r11 #6): the
+# GDPR-then-resubscribe flow commits unconditionally — no optimize-first
+# ---------------------------------------------------------------------------
+
+DV_MOD = 29  # victim custkeys: o_custkey % DV_MOD == 0
+
+
+@query(
+    "q_delete_vectors",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS pr,
+               year(o_orderdate) * 100 + month(o_orderdate) AS mk
+        FROM orders WHERE year(o_orderdate) = 1996
+    ),
+    victims AS (SELECT DISTINCT o_custkey FROM o
+                WHERE o_custkey % {DV_MOD} = 0),
+    june_v AS (SELECT DISTINCT o_custkey FROM o
+               WHERE mk = 199606 AND o_custkey % {DV_MOD} = 0),
+    stale_v AS (SELECT DISTINCT o_custkey FROM o
+                WHERE mk <> 199606
+                  AND o_custkey IN (SELECT o_custkey FROM june_v)),
+    p1 AS (SELECT COUNT(*) AS n_rows, CAST(SUM(pr) AS DOUBLE) AS revenue
+           FROM o WHERE o_custkey NOT IN (SELECT o_custkey FROM victims)),
+    p2rows AS (
+        SELECT CASE WHEN mk = 199606
+                     AND o_custkey IN (SELECT o_custkey FROM victims)
+                    THEN pr * 2 ELSE pr END AS pr
+        FROM o
+        WHERE mk = 199606
+           OR o_custkey NOT IN (SELECT o_custkey FROM victims)
+    ),
+    p2 AS (SELECT COUNT(*) AS n_rows, CAST(SUM(pr) AS DOUBLE) AS revenue
+           FROM p2rows),
+    regs AS (
+        SELECT CAST((SELECT COUNT(*) FROM victims)
+                    - (SELECT COUNT(*) FROM june_v) AS BIGINT) AS g2,
+               CAST(CASE WHEN EXISTS (SELECT 1 FROM stale_v)
+                    THEN 1 ELSE 0 END AS BIGINT) AS s2
+    )
+    SELECT 'p1_gdpr' AS phase, n_rows, revenue,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM victims) AS n_global_keys,
+           CAST(0 AS BIGINT) AS n_scoped_groups
+    FROM p1
+    UNION ALL
+    SELECT 'p2_resubscribe', n_rows, revenue,
+           (SELECT g2 FROM regs), (SELECT s2 FROM regs)
+    FROM p2
+    UNION ALL
+    SELECT 'p3_optimized', n_rows, revenue, 0, 0 FROM p2
+    ORDER BY phase
+    """,
+)
+def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-scoped deletion vectors certified (r12, VERDICT r11 #6): the
+    GDPR-then-resubscribe flow over a month-partitioned 1996 orders
+    fact, keyed by o_custkey:
+
+    - p1_gdpr: ``publish_deletes`` tombstones every victim customer
+      (o_custkey % {DV_MOD} == 0) — their rows vanish everywhere,
+      O(keys) metadata, no rewrite;
+    - p2_resubscribe: month 199606 is overwritten with its original
+      rows, victims' June prices DOUBLED (provenance proof: the visible
+      victim rows must come from the NEW file, which only the doubled
+      price shows). Pre-r12 this overwrite failed loudly because stale
+      victim copies survive in carried months; now the re-inserted keys
+      downgrade to a FILE-SCOPED tombstone over those carried files —
+      the commit is unconditional, fresh June rows are visible, stale
+      copies in other months stay hidden, and victims WITHOUT June
+      orders remain in the global register (both register sizes are
+      hashed against the oracle's replay of the same set algebra);
+    - p3_optimized: ``optimize_table`` purges file-aware — the scoped
+      rows drop from their files while the re-inserted live rows
+      survive the rewrite; both registers empty, readback identical.
+
+    Scale: deletes stay O(keys) at commit; the scoped downgrade costs
+    one stats-narrowed candidate scan at overwrite time (tombstone-
+    grain, never table-grain); readers pay one broadcast key-join plus
+    one broadcast scope-file join per scoped group, and only on tables
+    that actually carry one. This closes ROADMAP_r12 #4: CDC/GDPR
+    resubscribe flows never see the optimize-first refusal.
+
+    Ref: Delta deletion vectors / Iceberg positional deletes; the
+    reference's BigQuery DML rewrites whole partitions (README.md:82) —
+    this is the lake-side O(keys) equivalent."""
+    import shutil
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    root = scratch_path("saas_lake_dv", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    o96 = orders.where(F.year("o_orderdate") == 1996).withColumn(
+        "mk", F.year("o_orderdate") * 100 + F.month("o_orderdate")
+    )
+    P.publish_partition_overwrite(spark, o96, root, "mk")
+    victims = (
+        o96.where(F.col("o_custkey") % DV_MOD == 0)
+        .select("o_custkey")
+        .distinct()
+    )
+    P.publish_deletes(spark, victims, root, "o_custkey")
+
+    def phase(tag: str) -> DataFrame:
+        m = P.current_manifest(root)
+        dels = m.get("deletes") or []
+        n_glob = (
+            spark.read.parquet(*[os.path.join(root, f) for f in dels])
+            .select("o_custkey")
+            .distinct()
+            .count()
+            if dels
+            else 0
+        )
+        return (
+            P.read_current(spark, root)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+            .select(
+                F.lit(tag).alias("phase"),
+                "*",
+                F.lit(n_glob).cast("long").alias("n_global_keys"),
+                F.lit(len(m.get("scoped_deletes") or []))
+                .cast("long")
+                .alias("n_scoped_groups"),
+            )
+        )
+
+    p1 = phase("p1_gdpr")
+    june = o96.where(F.col("mk") == 199606)
+    resub = june.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_custkey") % DV_MOD == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    P.publish_partition_overwrite(spark, resub, root, "mk")
+    p2 = phase("p2_resubscribe")
+    P.optimize_table(spark, root)
+    p3 = phase("p3_optimized")
+    return p1.unionByName(p2).unionByName(p3).orderBy("phase")
+
+
+# ---------------------------------------------------------------------------
 # Predicate-routed reads, keyed (r11, VERDICT r10 #3): one entry point
 # that picks — and for compound predicates INTERSECTS — the manifest-side
 # pruning mechanisms, certified with route + files-scanned in the hash

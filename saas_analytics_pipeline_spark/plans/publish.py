@@ -403,9 +403,11 @@ def _reclaim_orphan_data(root: str, txid: str, prev: dict | None) -> None:
     data_dir = os.path.join(root, "data", txid)
     if not os.path.isdir(data_dir):
         return
-    referenced = {
-        f.split(os.sep)[1] for f in (prev or {}).get("files", [])
-    } | {f.split(os.sep)[1] for f in (prev or {}).get("deletes", [])}
+    referenced = (
+        {f.split(os.sep)[1] for f in (prev or {}).get("files", [])}
+        | {f.split(os.sep)[1] for f in (prev or {}).get("deletes", [])}
+        | {f.split(os.sep)[1] for f in _scoped_tomb_files(prev)}
+    )
     if txid in referenced:
         raise ConcurrentPublishError(
             f"refusing to reclaim data/{txid} under {root}: the committed "
@@ -519,7 +521,77 @@ def _carried_metadata(prev: dict | None, live_files: set[str]) -> dict:
     if prev.get("deletes"):
         out["deletes"] = prev["deletes"]
         out["delete_key"] = prev["delete_key"]
+    if prev.get("scoped_deletes"):
+        out["scoped_deletes"] = prev["scoped_deletes"]
+        out["delete_key"] = prev["delete_key"]
     return out
+
+
+def _scoped_tomb_files(m: dict | None) -> list[str]:
+    """Every FILE-SCOPED tombstone file the manifest references (r12
+    deletion vectors): used by the vacuum/reclaim keep-sets — the scope
+    DATA files are ordinary manifest files (already kept), but the
+    scoped key files live only here."""
+    return [
+        t for g in (m or {}).get("scoped_deletes") or [] for t in g["tombs"]
+    ]
+
+
+def _apply_scoped_deletes(
+    spark: SparkSession, root: str, m: dict, df: DataFrame
+) -> DataFrame:
+    """Apply FILE-SCOPED tombstones (r12, VERDICT r11 #6): each group
+    masks its keys ONLY in rows read from its recorded file set — the
+    deletion-vector semantics that make re-inserting a tombstoned key
+    unconditionally correct. A scoped group exists only when an
+    overwrite re-inserted tombstoned keys while stale physical copies
+    survived in carried files (see ``_reconcile_tombstones``); the
+    re-inserted rows live in files OUTSIDE the scope and pass through,
+    the stale copies inside it stay hidden.
+
+    Mechanics: row provenance via ``input_file_name`` (URI-decoded to
+    the absolute path), one broadcast key-set join + one broadcast
+    scope-file join per group — both metadata-/key-grain, never
+    data-sized; a row drops only when BOTH match. Manifests without
+    scoped groups never reach this function (the common path is the
+    plain global anti-join, byte-identical to pre-r12)."""
+    groups = m.get("scoped_deletes") or []
+    if not groups:
+        return df
+    key = m["delete_key"]
+    out_cols = df.columns
+    # input_file_name yields a percent-encoded file: URI; normalize to
+    # the absolute path so it compares to os.path-built scope entries
+    df = df.withColumn(
+        "_sd_path",
+        F.url_decode(
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+        ),
+    )
+    for g in groups:
+        keys = (
+            spark.read.parquet(*[os.path.join(root, t) for t in g["tombs"]])
+            .select(key)
+            .distinct()
+            .withColumn("_sd_key_hit", F.lit(1))
+        )
+        scope = spark.createDataFrame(
+            [(os.path.abspath(os.path.join(root, f)),) for f in g["files"]],
+            "_sd_scope string",
+        )
+        df = (
+            df.join(F.broadcast(keys), on=key, how="left")
+            .join(
+                F.broadcast(scope),
+                df["_sd_path"] == scope["_sd_scope"],
+                "left",
+            )
+            .where(
+                F.col("_sd_key_hit").isNull() | F.col("_sd_scope").isNull()
+            )
+            .drop("_sd_key_hit", "_sd_scope")
+        )
+    return df.select(*out_cols)
 
 
 def _reconcile_tombstones(
@@ -537,39 +609,75 @@ def _reconcile_tombstones(
     re-inserts (the CDC / GDPR-then-resubscribe flow). At overwrite
     commit time:
 
-    - tombstone keys the increment RE-WRITES leave the tombstone set,
-      so the new rows are visible the moment the overwrite commits;
-    - ...unless a CARRIED (untouched) file still physically holds one
-      of those keys — dropping its tombstone would resurrect that stale
-      copy, so the overwrite fails LOUDLY instead (run optimize_table
-      to purge first, then re-insert). The carried-file check narrows
-      by the table's own file stats when the key column is annotated.
+    - tombstone keys the increment RE-WRITES leave the global tombstone
+      set, so the new rows are visible the moment the overwrite commits;
+    - when a CARRIED (untouched) file still physically holds one of
+      those keys, the re-inserted keys become a FILE-SCOPED tombstone
+      over the stats-narrowed candidate carried files (r12 deletion
+      vectors, VERDICT r11 #6) — the stale copies stay hidden, the
+      fresh rows (written OUTSIDE the scope) are visible, and the
+      overwrite commits unconditionally. Pre-r12 this case failed
+      loudly demanding optimize-first; the scoped set is a SUPERSET of
+      the stale-holding files (masking a key absent from a scope file
+      is a no-op), never includes this increment's files, and
+      ``optimize_table`` purges it like any tombstone.
 
-    Returns None when the carried tombstones apply verbatim (the common
+    Existing scoped groups prune to still-carried files (an overwrite
+    replacing a scope file's partition retires its entries) and carry.
+
+    Returns None when every tombstone applies verbatim (the common
     no-intersection case — decided by one tombstone-grain semi-join),
-    else the replacement ``deletes`` metadata ({} drops them entirely).
-    All extra jobs here are tombstone-grain, never data-grain."""
+    else the replacement deletes/scoped_deletes metadata ({} drops
+    everything). All extra jobs here are tombstone-grain, never
+    data-grain."""
     dels = (prev or {}).get("deletes") or []
-    if not dels:
+    scoped_prev = (prev or {}).get("scoped_deletes") or []
+    if not dels and not scoped_prev:
         return None
     key = prev["delete_key"]
-    if key not in df.columns:
-        return None  # the increment can't re-insert a key it doesn't carry
-    tomb = (
-        spark.read.parquet(*[os.path.join(root, f) for f in dels])
-        .select(key)
-        .distinct()
-    )
-    inc_keys = df.select(key).distinct()
-    hits = tomb.join(inc_keys, on=key, how="left_semi")
-    if hits.limit(1).count() == 0:
-        return None
-    carried = [
+    carried_set = {
         f
         for v, fs in (prev.get("partitions") or {}).items()
         if v not in touched
         for f in fs
+    }
+    scoped = [
+        g
+        for g in (
+            {"tombs": g["tombs"], "files": [f for f in g["files"] if f in carried_set]}
+            for g in scoped_prev
+        )
+        if g["files"]
     ]
+
+    def meta(deletes: list[str] | None) -> dict:
+        out: dict = {}
+        if deletes:
+            out["deletes"] = deletes
+        if scoped:
+            out["scoped_deletes"] = scoped
+        if out:
+            out["delete_key"] = key
+        return out
+
+    if key not in df.columns:
+        # the increment can't re-insert a key it doesn't carry; only the
+        # scope pruning may have changed anything
+        return None if scoped == scoped_prev else meta(dels)
+    hits_empty = True
+    if dels:
+        tomb = (
+            spark.read.parquet(*[os.path.join(root, f) for f in dels])
+            .select(key)
+            .distinct()
+        )
+        inc_keys = df.select(key).distinct()
+        hits = tomb.join(inc_keys, on=key, how="left_semi")
+        hits_empty = hits.limit(1).count() == 0
+    if hits_empty:
+        return None if scoped == scoped_prev else meta(dels)
+    carried = sorted(carried_set)
+    scope_files: list[str] = []
     if carried:
         b = hits.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
         stats = prev.get("stats") or {}
@@ -591,16 +699,28 @@ def _reconcile_tombstones(
                 .count()
             )
             if stale:
-                raise ValueError(
-                    f"overwrite under {root} re-inserts tombstoned "
-                    f"{key!r} values that still exist physically in "
-                    "untouched partitions; dropping their tombstones "
-                    "would resurrect those stale rows — run "
-                    "optimize_table to purge first, then re-insert"
-                )
+                scope_files = cand
+    if scope_files:
+        # the re-inserted keys stay tombstoned, but only over the carried
+        # candidate files — the deletion-vector downgrade from global
+        scoped_dir = os.path.join(data_dir, "_tombstones_scoped")
+        hits.coalesce(1).write.mode("overwrite").parquet(scoped_dir)
+        _fsync_tree(scoped_dir)
+        scoped.append(
+            {
+                "tombs": [
+                    os.path.join(
+                        "data", derived_txid, "_tombstones_scoped", f
+                    )
+                    for f in sorted(os.listdir(scoped_dir))
+                    if f.startswith("part-") and f.endswith(".parquet")
+                ],
+                "files": scope_files,
+            }
+        )
     remaining = tomb.join(inc_keys, on=key, how="left_anti")
     if remaining.limit(1).count() == 0:
-        return {}  # every tombstoned key was re-inserted: drop them all
+        return meta(None)  # every tombstoned key re-inserted (or scoped)
     tomb_dir = os.path.join(data_dir, "_tombstones")
     remaining.coalesce(1).write.mode("overwrite").parquet(tomb_dir)
     _fsync_tree(tomb_dir)
@@ -609,7 +729,7 @@ def _reconcile_tombstones(
         for f in sorted(os.listdir(tomb_dir))
         if f.startswith("part-") and f.endswith(".parquet")
     ]
-    return {"deletes": new_dels, "delete_key": key}
+    return meta(new_dels)
 
 
 def _publish_locked(
@@ -970,6 +1090,7 @@ def publish_partition_overwrite(
             if tomb_meta is not None:
                 manifest.pop("deletes", None)
                 manifest.pop("delete_key", None)
+                manifest.pop("scoped_deletes", None)
                 manifest.update(tomb_meta)
             if prev is None or "schema" in prev:
                 # evolve the schema record: carried files may predate the
@@ -1023,7 +1144,13 @@ def _apply_deletes(spark: SparkSession, root: str, m: dict, df: DataFrame) -> Da
     any) against ``df``. No broadcast hint on purpose — the tombstone
     parquet sizes are known to the planner, so a GDPR-scale key set
     broadcasts and a pathological one degrades to a shuffle join instead
-    of blowing the driver."""
+    of blowing the driver. File-scoped tombstones (r12 deletion vectors)
+    apply FIRST, directly on the scan output — ``input_file_name`` must
+    bind before any exchange the unhinted global anti-join might insert
+    (after a shuffle it returns '' and scoped masking would silently
+    no-op, resurrecting the stale copies it exists to hide); manifests
+    without scoped groups take the pre-r12 path unchanged."""
+    df = _apply_scoped_deletes(spark, root, m, df)
     dels = m.get("deletes") or []
     if not dels:
         return df
@@ -1273,7 +1400,7 @@ def publish_stats(
             }
             for k in (
                 "partition_col", "partitions", "deletes", "delete_key",
-                "schema", "bucket",
+                "scoped_deletes", "schema", "bucket",
             ):
                 if k in prev:
                     manifest[k] = prev[k]
@@ -1355,7 +1482,9 @@ def publish_deletes(
                 f"no committed snapshot under {root}; publish data before "
                 "publishing deletes"
             )
-        if prev.get("deletes") and prev.get("delete_key") != key_col:
+        if (
+            prev.get("deletes") or prev.get("scoped_deletes")
+        ) and prev.get("delete_key") != key_col:
             raise ValueError(
                 f"table {root} already carries tombstones keyed by "
                 f"{prev.get('delete_key')!r}; one delete key per table"
@@ -1409,7 +1538,7 @@ def publish_deletes(
             }
             for k in (
                 "partition_col", "partitions", "stats", "stats_cols",
-                "schema", "bucket",
+                "scoped_deletes", "schema", "bucket",
             ):
                 if k in prev:
                     manifest[k] = prev[k]
@@ -1426,7 +1555,9 @@ def publish_deletes(
                     raise
                 prev_name, etag = backend.read_pointer(root)
                 prev = _load_manifest(root, prev_name)
-                if prev.get("deletes") and prev.get("delete_key") != key_col:
+                if (
+                    prev.get("deletes") or prev.get("scoped_deletes")
+                ) and prev.get("delete_key") != key_col:
                     raise ValueError(
                         f"concurrent commit under {root} switched the "
                         f"delete key to {prev.get('delete_key')!r}"
@@ -1489,6 +1620,20 @@ def optimize_table(
         else:
             rewrite = {v for v, fs in parts.items() if len(fs) > 1}
         tombstones = list(prev.get("deletes") or [])
+        scoped = list(prev.get("scoped_deletes") or [])
+        if scoped:
+            # scoped tombstones (r12 deletion vectors) purge here: every
+            # partition holding a scope file rewrites, with the masks
+            # applied FILE-aware below — a key anti-join alone would
+            # delete the re-inserted LIVE copies these scopes exist to
+            # protect
+            file_part = {f: v for v, fs in parts.items() for f in fs}
+            rewrite |= {
+                file_part[f]
+                for g in scoped
+                for f in g["files"]
+                if f in file_part
+            }
         keys = None
         if tombstones:
             key_col = prev["delete_key"]
@@ -1529,7 +1674,7 @@ def optimize_table(
                     .collect()
                 )
                 rewrite |= {r["_v"] for r in hit}
-        if not rewrite and not tombstones:
+        if not rewrite and not tombstones and not scoped:
             return prev_name  # nothing fragmented, nothing tombstoned
         # unique under CAS backends: two concurrent OPTIMIZEs over
         # disjoint fragmented partitions must not share a manifest name —
@@ -1547,6 +1692,16 @@ def optimize_table(
         rw_files = [f for v in sorted(rewrite) for f in parts[v]]
         if rw_files:
             df = _read_files(spark, root, prev, rw_files)
+            if scoped:
+                # file-aware scoped purge BEFORE any join (input_file_name
+                # binds on the scan): stale copies in scope files drop,
+                # re-inserted live rows in other files survive the rewrite
+                df = _apply_scoped_deletes(
+                    spark,
+                    root,
+                    {"scoped_deletes": scoped, "delete_key": prev["delete_key"]},
+                    df,
+                )
             if keys is not None:
                 # keep the file column order: rewritten files must stay
                 # schema-identical to carried ones
@@ -1592,6 +1747,7 @@ def optimize_table(
         )
         base_partitions = {v: parts.get(v) for v in rewrite}
         base_deletes = tombstones
+        base_scoped = scoped
         for attempt in range(_CAS_RETRIES + 1):
             merged = dict((prev or {}).get("partitions") or {})
             for v in rewrite:
@@ -1637,7 +1793,11 @@ def optimize_table(
                     if (prev or {}).get("partitions", {}).get(v)
                     != base_partitions[v]
                 ]
-                if drifted or (prev or {}).get("deletes", []) != base_deletes:
+                if (
+                    drifted
+                    or (prev or {}).get("deletes", []) != base_deletes
+                    or (prev or {}).get("scoped_deletes", []) != base_scoped
+                ):
                     raise ConcurrentPublishError(
                         f"OPTIMIZE under {root} lost the commit race and "
                         f"its inputs drifted (partitions {sorted(drifted)!r}"
@@ -1696,6 +1856,7 @@ def vacuum(root: str, retain: int = 1) -> list[str]:
             keep.update(f.split(os.sep)[1] for f in m.get("files", []))
             # merge-on-read tombstone files are carried by reference too
             keep.update(f.split(os.sep)[1] for f in m.get("deletes", []))
+            keep.update(f.split(os.sep)[1] for f in _scoped_tomb_files(m))
         keep_manifests = {_manifest_name(m["txid"]) for m in chain}
         # the FULL committed lineage (no retain bound): anything on it
         # that is about to lose its manifest goes to the applied ledger
@@ -2044,6 +2205,9 @@ def vacuum_catalog(catalog_root: str, retain: int = 1) -> list[str]:
                 )
                 keep_txids[tname].update(
                     f.split(os.sep)[1] for f in m.get("deletes", [])
+                )
+                keep_txids[tname].update(
+                    f.split(os.sep)[1] for f in _scoped_tomb_files(m)
                 )
         # ledger committed catalog txids about to lose their record
         committed: dict[str, int] = {}
@@ -2500,6 +2664,8 @@ def read_bucketed(
     # Tombstones are bounded by the publish_deletes contract (GDPR-key
     # grain, purged by OPTIMIZE); a set too large to broadcast should be
     # purged, not streamed.
+    # scoped tombstones first: input_file_name must bind on the scan
+    df = _apply_scoped_deletes(spark, root, m, df)
     dels = m.get("deletes") or []
     if dels:
         keys = (
@@ -2593,6 +2759,8 @@ def read_bucketed_partitioned(
                 f"LOCATION '{loc}'"
             )
     df = spark.table(name)
+    # scoped tombstones first: input_file_name must bind on the scan
+    df = _apply_scoped_deletes(spark, root, m, df)
     dels = m.get("deletes") or []
     if dels:
         keys = (

@@ -287,6 +287,12 @@ WINDOW_PRIORITY += [
     # incremental one-month overwrite keeps co-location — join rollup,
     # partition count, and commit seq in the hash
     "q_bucket_partitioned",
+    # file-scoped deletion vectors (VERDICT r11 #6): the GDPR-then-
+    # resubscribe overwrite commits unconditionally — re-inserted keys
+    # downgrade to a file-scoped tombstone over the stale-holding
+    # carried files; register sizes + provenance-proving doubled prices
+    # in the hash; optimize purges file-aware
+    "q_delete_vectors",
 ]
 
 
@@ -418,7 +424,16 @@ REVERIFY.update(
 # manifests, same-txid respecs, catalog tables with prior stats_cols,
 # zero-row files — each covered by a dedicated pytest across both commit
 # backends, so they do not re-floor the manifest-key family the way the
-# r11 rewiring did. Only keys whose own bodies/oracles changed re-floor:
+# r11 rewiring did. Likewise the r12 bucketed-partitioned and
+# deletion-vector surfaces: publish_partition_overwrite's bucket branch
+# and the scoped-tombstone downgrade only activate for bucket_col
+# publishes and manifests carrying scoped_deletes (none exist in any
+# certified key's lineage — the old stale-copy case RAISED, so no green
+# row ever exercised it); every reader's new scoped hook is an early
+# return on the manifests certified keys produce. Each new path carries
+# its own keyed certificate (q_bucket_partitioned, q_delete_vectors)
+# plus pytest coverage across both backends. Only keys whose own
+# bodies/oracles changed re-floor:
 REVERIFY.update(
     {
         # r12 derives the fragmented file counts from the

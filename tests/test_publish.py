@@ -1289,27 +1289,70 @@ def test_overwrite_reinserting_deleted_key_makes_it_visible(spark, root):
     ).collect()} == {0, 1, 10}
 
 
-def test_overwrite_reinsert_with_stale_copy_fails_loudly(spark, root):
-    """If a re-inserted key still physically exists in an UNTOUCHED
-    partition, dropping its tombstone would resurrect the stale copy —
-    the overwrite must refuse (purge via optimize_table first)."""
+def test_overwrite_reinsert_with_stale_copy_commits_scoped(spark, root):
+    """r12 deletion vectors (VERDICT r11 #6): a re-inserted key whose
+    stale copy still physically exists in an UNTOUCHED partition used to
+    fail loudly demanding optimize-first; now the re-inserted key stays
+    tombstoned FILE-SCOPED over the stale-holding carried files — the
+    overwrite commits unconditionally, the fresh row is visible, the
+    stale copy stays hidden, and optimize_table purges the scope without
+    touching the live row."""
     d1, d2 = "2024-01-01", "2024-01-02"
     # k=2 lives in BOTH days
     P.publish_partition_overwrite(
         spark, _udays(spark, 1, {d1: [0, 2], d2: [2, 10]}), root, "dt"
     )
     P.publish_deletes(spark, spark.createDataFrame([(2,)], "k int"), root, "k")
-    with pytest.raises(ValueError, match="resurrect"):
-        P.publish_partition_overwrite(
-            spark, _udays(spark, 9, {d1: [0, 2]}), root, "dt"
-        )
-    # after the purge the re-insert succeeds
-    P.optimize_table(spark, root)
     P.publish_partition_overwrite(
         spark, _udays(spark, 9, {d1: [0, 2]}), root, "dt"
     )
+    m = P.current_manifest(root)
+    assert "deletes" not in m  # the only tombstoned key was re-inserted
+    assert len(m["scoped_deletes"]) == 1
+    # the scope covers only CARRIED files (day 2), never the increment's
+    scope = m["scoped_deletes"][0]["files"]
+    assert scope and all(f in set(m["partitions"][d2]) for f in scope)
     got = {r["k"]: r["v"] for r in P.read_current(spark, root).collect()}
-    assert got == {0: 9, 2: 29, 10: 101}
+    assert got == {0: 9, 2: 29, 10: 101}  # new k=2 visible, stale hidden
+    # snapshot isolation: the pre-overwrite snapshot still hides k=2
+    with open(os.path.join(root, "manifests", m["parent"])) as f:
+        import json as _json
+
+        prev = _json.load(f)
+    assert {
+        r["k"] for r in P.read_snapshot(spark, root, txid=prev["txid"]).collect()
+    } == {0, 10}
+    # OPTIMIZE purges the stale copy file-aware: the live k=2 survives
+    P.optimize_table(spark, root)
+    m2 = P.current_manifest(root)
+    assert "scoped_deletes" not in m2 and "deletes" not in m2
+    got2 = {r["k"]: r["v"] for r in P.read_current(spark, root).collect()}
+    assert got2 == {0: 9, 2: 29, 10: 101}
+
+
+def test_scoped_tombstone_prunes_when_its_partition_is_overwritten(
+    spark, root
+):
+    """A later overwrite REPLACING the partition that held the stale
+    copy retires the scoped group's entries (the physical copy is gone),
+    and the register drops once empty."""
+    d1, d2 = "2024-01-01", "2024-01-02"
+    P.publish_partition_overwrite(
+        spark, _udays(spark, 1, {d1: [0, 2], d2: [2, 10]}), root, "dt"
+    )
+    P.publish_deletes(spark, spark.createDataFrame([(2,)], "k int"), root, "k")
+    P.publish_partition_overwrite(
+        spark, _udays(spark, 9, {d1: [0, 2]}), root, "dt"
+    )
+    assert P.current_manifest(root)["scoped_deletes"]
+    # rewrite day 2 WITHOUT k=2: the stale copy's file dies with it
+    P.publish_partition_overwrite(
+        spark, _udays(spark, 7, {d2: [10, 11]}), root, "dt"
+    )
+    m = P.current_manifest(root)
+    assert "scoped_deletes" not in m and "deletes" not in m
+    got = {r["k"]: r["v"] for r in P.read_current(spark, root).collect()}
+    assert got == {0: 9, 2: 29, 10: 107, 11: 117}
 
 
 def test_reinserting_every_tombstoned_key_drops_the_register(spark, root):
