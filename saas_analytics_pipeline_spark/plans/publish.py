@@ -1613,6 +1613,16 @@ def optimize_table(
             )
         pc = prev["partition_col"]
         parts: dict[str, list[str]] = prev["partitions"]
+        if prev.get("bucket"):
+            raise ValueError(
+                f"{root} is a bucketed partitioned table; OPTIMIZE's "
+                "rewrite path is not bucket-aware yet — rewriting through "
+                "the plain writer would silently destroy the recorded "
+                "co-location AND strand future bucketed increments on the "
+                "spec invariant. Rewrite months via "
+                "publish_partition_overwrite with the recorded spec until "
+                "the bucket-aware OPTIMIZE lands (docs/ROADMAP_r13.md #2)"
+            )
         # a requested re-cluster rewrites EVERY partition (the point is
         # the new sort order); plain OPTIMIZE only the fragmented ones
         if cluster_by:

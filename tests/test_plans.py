@@ -981,3 +981,28 @@ def test_bucket_partitioned_frames_join_with_zero_exchange(spark, sf_dir):
             assert "Exchange hashpartitioning" not in smj, smj
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_dup_span_capped_path_has_no_per_hash_window_sort(spark, sf_dir):
+    """The max_window_df hot-hash ceiling (r12, VERDICT r11 #3) must
+    stay on the map-side-combinable aggregate path: no window function
+    partitioned by the hash (the per-h sort that serializes one task on
+    a boilerplate hash at scale), a partial_count(distinct) before the
+    hash exchange, and the survivors joined back without the text
+    re-shuffling."""
+    from saas_analytics_pipeline_spark.operators.dedup import (
+        dup_span_intervals,
+        foreign_dup_spans,
+    )
+    from saas_analytics_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for frame in (
+        dup_span_intervals(docs, max_window_df=64),
+        foreign_dup_spans(docs, max_window_df=64),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        # the island windows partition by doc_id — the ONLY windows
+        # allowed; none may partition by the hash h
+        assert "windowspecdefinition(h" not in plan.replace(" ", ""), plan
+        assert "partial_count(distinct" in plan, plan

@@ -1967,3 +1967,148 @@ def test_bucketed_partitioned_prunes_and_applies_tombstones(spark, root):
     assert _snap(pruned.drop("_p")) == _snap(
         a.where((F.col("mk") == 199602) & (F.col("k") >= 3))
     )
+
+
+def test_bucketed_partitioned_crash_leaves_previous_state(spark, root):
+    """The bucketed overwrite path hits the same crash barriers as the
+    plain one: a writer dying after data or after manifest leaves every
+    reader on the complete previous snapshot; a fresh retry converges."""
+    a = _monthly(spark, 1996)
+    P.publish_partition_overwrite(
+        spark, a, root, "mk", bucket_col="k", n_buckets=4
+    )
+    before = _snap(
+        P.read_bucketed_partitioned(
+            spark, root, "cr_" + os.path.basename(root)
+        ).drop("_p")
+    )
+    inc = a.where(F.col("mk") == 199602).withColumn("v", F.col("v") + 1000)
+    for barrier in (P.AFTER_DATA, P.AFTER_MANIFEST):
+        with pytest.raises(Boom):
+            P.publish_partition_overwrite(
+                spark, inc, root, "mk", bucket_col="k", n_buckets=4,
+                crash_hook=_crash_at(barrier),
+            )
+        assert _snap(
+            P.read_bucketed_partitioned(
+                spark, root, "cr_" + os.path.basename(root)
+            ).drop("_p")
+        ) == before
+    P.publish_partition_overwrite(
+        spark, inc, root, "mk", bucket_col="k", n_buckets=4
+    )
+    exp = a.withColumn(
+        "v",
+        F.when(F.col("mk") == 199602, F.col("v") + 1000).otherwise(F.col("v")),
+    )
+    assert _snap(
+        P.read_bucketed_partitioned(
+            spark, root, "cr_" + os.path.basename(root)
+        ).drop("_p")
+    ) == _snap(exp)
+
+
+def test_bucketed_partitioned_disjoint_cas_writers_both_commit(
+    spark, root, backend, monkeypatch
+):
+    """Two CAS writers overwriting DISJOINT months of a bucketed
+    partitioned table both commit (the loser re-merges), and the merged
+    table still reads correctly through the bucketed entry."""
+    if backend is P.LOCAL:
+        pytest.skip("the fence serializes whole publishes on local")
+    a = _monthly(spark, 1996)
+    P.publish_partition_overwrite(
+        spark, a, root, "mk", bucket_col="k", n_buckets=4, backend=backend
+    )
+    inc1 = a.where(F.col("mk") == 199601).withColumn("v", F.col("v") + 1000)
+    inc2 = a.where(F.col("mk") == 199603).withColumn("v", F.col("v") + 2000)
+    state = {"raced": False}
+    real_commit = P.ConditionalPutBackend.commit_pointer
+
+    def commit_with_race(self, r, name, etag):
+        if not state["raced"]:
+            state["raced"] = True
+            P.publish_partition_overwrite(
+                spark, inc2, root, "mk", bucket_col="k", n_buckets=4,
+                txid="w2", backend=P.CONDITIONAL_PUT,
+            )
+        return real_commit(self, r, name, etag)
+
+    monkeypatch.setattr(
+        P.ConditionalPutBackend, "commit_pointer", commit_with_race
+    )
+    P.publish_partition_overwrite(
+        spark, inc1, root, "mk", bucket_col="k", n_buckets=4, txid="w1",
+        backend=backend,
+    )
+    monkeypatch.undo()
+    exp = a.withColumn(
+        "v",
+        F.when(F.col("mk") == 199601, F.col("v") + 1000)
+        .when(F.col("mk") == 199603, F.col("v") + 2000)
+        .otherwise(F.col("v")),
+    )
+    got = P.read_bucketed_partitioned(
+        spark, root, "cas_" + os.path.basename(root)
+    )
+    assert _snap(got.drop("_p")) == _snap(exp)
+
+
+def test_bucketed_partitioned_reader_applies_scoped_tombstones(spark, root):
+    """Deletion vectors compose with the bucketed partitioned reader:
+    after a GDPR delete and a resubscribe overwrite, the scoped group
+    hides the stale copy in the carried month while the fresh row (and
+    the co-located scan) survive."""
+    # k=7 lives in months 1 and 2 (id 7 -> mk 199602, id 31 -> mk 199602?
+    # construct explicitly: two months, key 7 in both)
+    rows = [(7, 199601, 10), (7, 199602, 20), (8, 199601, 30), (9, 199602, 40)]
+    df = spark.createDataFrame(rows, "k long, mk long, v long")
+    P.publish_partition_overwrite(
+        spark, df, root, "mk", bucket_col="k", n_buckets=2
+    )
+    P.publish_deletes(
+        spark, spark.createDataFrame([(7,)], "k long"), root, "k"
+    )
+    # resubscribe k=7 in month 1 with a new value; month 2's stale copy
+    # must stay hidden
+    inc = spark.createDataFrame(
+        [(7, 199601, 99), (8, 199601, 30)], "k long, mk long, v long"
+    )
+    P.publish_partition_overwrite(
+        spark, inc, root, "mk", bucket_col="k", n_buckets=2
+    )
+    m = P.current_manifest(root)
+    assert m.get("scoped_deletes"), m
+    got = P.read_bucketed_partitioned(
+        spark, root, "sc_" + os.path.basename(root)
+    )
+    assert {(r["k"], r["v"]) for r in got.collect()} == {
+        (7, 99), (8, 30), (9, 40),
+    }
+    # co-location survives the scoped anti-joins: a key aggregate on top
+    # consumes the bucketed distribution with NO exchange below it (the
+    # plain read would report "Bucketed: false (disabled)" here because
+    # nothing NEEDS the bucketing — the aggregate makes it load-bearing)
+    agg = got.groupBy("k").agg(F.sum("v").alias("s"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    # the ONLY hash exchange is the tombstone key-set's distinct, and it
+    # sits UNDER its BroadcastExchange — the fact stream itself feeds
+    # the aggregate shuffle-free off the bucketed scan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.index("BroadcastExchange") < plan.index(
+        "Exchange hashpartitioning"
+    ), plan
+
+
+def test_optimize_refuses_bucketed_partitioned_lineage(spark, root):
+    """OPTIMIZE's rewrite is not bucket-aware yet: on a bucketed
+    partitioned lineage it must refuse loudly (silently rewriting
+    through the plain writer would destroy the recorded co-location and
+    strand future bucketed increments on the spec invariant) —
+    docs/ROADMAP_r13.md #2 tracks the bucket-aware rewrite."""
+    P.publish_partition_overwrite(
+        spark, _monthly(spark, 1996), root, "mk", bucket_col="k", n_buckets=4
+    )
+    with pytest.raises(ValueError, match="bucket-aware"):
+        P.optimize_table(spark, root)
