@@ -1613,22 +1613,24 @@ def optimize_table(
             )
         pc = prev["partition_col"]
         parts: dict[str, list[str]] = prev["partitions"]
-        if prev.get("bucket"):
+        bucket_spec = prev.get("bucket")
+        if bucket_spec and cluster_by:
             raise ValueError(
-                f"{root} is a bucketed partitioned table; OPTIMIZE's "
-                "rewrite path is not bucket-aware yet — rewriting through "
-                "the plain writer would silently destroy the recorded "
-                "co-location AND strand future bucketed increments on the "
-                "spec invariant. Rewrite months via "
-                "publish_partition_overwrite with the recorded spec until "
-                "the bucket-aware OPTIMIZE lands (docs/ROADMAP_r13.md #2)"
+                f"{root} is a bucketed partitioned table; its sort order "
+                "is the recorded bucket spec's SORTED BY — re-clustering "
+                "would break the trusted-spec reader. Republish to change "
+                "the spec"
             )
         # a requested re-cluster rewrites EVERY partition (the point is
-        # the new sort order); plain OPTIMIZE only the fragmented ones
+        # the new sort order); plain OPTIMIZE only the fragmented ones.
+        # A bucketed partition is PACKED at one file per bucket — the
+        # len>1 rule would mark every bucketed partition fragmented and
+        # break idempotency
+        packed = bucket_spec["n"] if bucket_spec else 1
         if cluster_by:
             rewrite = set(parts)
         else:
-            rewrite = {v for v, fs in parts.items() if len(fs) > 1}
+            rewrite = {v for v, fs in parts.items() if len(fs) > packed}
         tombstones = list(prev.get("deletes") or [])
         scoped = list(prev.get("scoped_deletes") or [])
         if scoped:
@@ -1718,17 +1720,42 @@ def optimize_table(
                 df = df.join(
                     keys, on=prev["delete_key"], how="left_anti"
                 ).select(*df.columns)
-            (
-                df.withColumn("_p", F.col(pc).cast("string"))
-                .repartition(F.col("_p"))
-                # OPTIMIZE-ZORDER-lite: cluster rewritten rows so parquet
-                # row-group min/max tighten on the sort keys (and file
-                # stats narrow) — one in-task sort, no extra shuffle
-                .sortWithinPartitions("_p", *(cluster_by or []))
-                .write.partitionBy("_p")
-                .mode("error")
-                .parquet(data_dir)
-            )
+            if bucket_spec is None:
+                (
+                    df.withColumn("_p", F.col(pc).cast("string"))
+                    .repartition(F.col("_p"))
+                    # OPTIMIZE-ZORDER-lite: cluster rewritten rows so
+                    # parquet row-group min/max tighten on the sort keys
+                    # (and file stats narrow) — one in-task sort, no
+                    # extra shuffle
+                    .sortWithinPartitions("_p", *(cluster_by or []))
+                    .write.partitionBy("_p")
+                    .mode("error")
+                    .parquet(data_dir)
+                )
+            else:
+                # bucket-aware rewrite (r12): rewritten partitions go back
+                # through Spark's bucketed writer under the RECORDED spec,
+                # so tombstone purges and compaction never cost the
+                # co-location the spec promises readers
+                tmp = "_opt_bktp_{}_{}".format(
+                    _ident(os.path.basename(root)), _ident(derived_txid)
+                )
+                spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
+                (
+                    df.withColumn("_p", F.col(pc).cast("string"))
+                    .repartition(
+                        bucket_spec["n"], F.col(bucket_spec["col"])
+                    )
+                    .write.mode("error")
+                    .partitionBy("_p")
+                    .bucketBy(bucket_spec["n"], bucket_spec["col"])
+                    .sortBy(*bucket_spec["sort"])
+                    .format("parquet")
+                    .option("path", data_dir)
+                    .saveAsTable(tmp)
+                )
+                spark.sql(f"DROP TABLE `{tmp}`")
             _fsync_tree(data_dir)
             for d in sorted(os.listdir(data_dir)):
                 if not d.startswith("_p="):
@@ -1782,6 +1809,8 @@ def optimize_table(
                 carried.update(fresh_stats)
                 manifest["stats"] = carried
                 manifest["stats_cols"] = stats_cols
+            if bucket_spec is not None:
+                manifest["bucket"] = bucket_spec
             if "schema" in prev:
                 manifest["schema"] = prev["schema"]
             _fsync_write(man_path, json.dumps(manifest, sort_keys=True))

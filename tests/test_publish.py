@@ -2101,14 +2101,74 @@ def test_bucketed_partitioned_reader_applies_scoped_tombstones(spark, root):
     ), plan
 
 
-def test_optimize_refuses_bucketed_partitioned_lineage(spark, root):
-    """OPTIMIZE's rewrite is not bucket-aware yet: on a bucketed
-    partitioned lineage it must refuse loudly (silently rewriting
-    through the plain writer would destroy the recorded co-location and
-    strand future bucketed increments on the spec invariant) —
-    docs/ROADMAP_r13.md #2 tracks the bucket-aware rewrite."""
-    P.publish_partition_overwrite(
-        spark, _monthly(spark, 1996), root, "mk", bucket_col="k", n_buckets=4
+def test_optimize_bucketed_partitioned_purges_and_keeps_colocation(
+    spark, root
+):
+    """Bucket-aware OPTIMIZE (r12): on a bucketed partitioned lineage,
+    tombstone purges rewrite the affected partitions through the
+    bucketed writer under the RECORDED spec — registers drop, values
+    stay exact, the spec survives, the read path stays co-located, a
+    bucketed increment still lands afterwards, and a second OPTIMIZE is
+    a no-op (one file per bucket counts as packed). Re-clustering a
+    bucketed table refuses loudly (the spec owns the sort order)."""
+    # every key lives in BOTH months, so a resubscribe leaves a stale
+    # copy in the carried month (the scoped-register case)
+    a = spark.createDataFrame(
+        [(k, mk, k * 100 + mk % 100) for k in range(10)
+         for mk in (199601, 199602)],
+        "k long, mk long, v long",
     )
-    with pytest.raises(ValueError, match="bucket-aware"):
-        P.optimize_table(spark, root)
+    P.publish_partition_overwrite(
+        spark, a, root, "mk", bucket_col="k", n_buckets=4
+    )
+    with pytest.raises(ValueError, match="SORTED BY"):
+        P.optimize_table(spark, root, cluster_by=["v"])
+    # idempotency baseline: a packed bucketed table is a no-op
+    before = P.current_manifest(root)
+    assert P.optimize_table(spark, root) == P._manifest_name(before["txid"])
+    # GDPR delete + resubscribe -> global AND scoped registers
+    P.publish_deletes(
+        spark, spark.createDataFrame([(3,), (5,)], "k long"), root, "k"
+    )
+    inc = (
+        a.where((F.col("mk") == 199601) & (F.col("k") != 5))
+        .withColumn(
+            "v",
+            F.when(F.col("k") == 3, F.lit(7777).cast("long")).otherwise(
+                F.col("v")
+            ),
+        )
+    )
+    P.publish_partition_overwrite(
+        spark, inc, root, "mk", bucket_col="k", n_buckets=4
+    )
+    m = P.current_manifest(root)
+    assert m.get("scoped_deletes") and m.get("deletes"), m
+    P.optimize_table(spark, root)
+    m2 = P.current_manifest(root)
+    assert "deletes" not in m2 and "scoped_deletes" not in m2
+    assert m2["bucket"] == {"col": "k", "n": 4, "sort": ["k"]}
+    got = P.read_bucketed_partitioned(
+        spark, root, "opt_" + os.path.basename(root)
+    )
+    want = {
+        (k, mk, 7777 if (k, mk) == (3, 199601) else k * 100 + mk % 100)
+        for k in range(10)
+        for mk in (199601, 199602)
+        if k != 5 and not (k == 3 and mk == 199602)
+    }
+    assert {(r["k"], r["mk"], r["v"]) for r in got.collect()} == want
+    # co-location survives the purge: key aggregate with zero exchanges
+    agg = got.groupBy("k").agg(F.sum("v").alias("s"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    # a bucketed increment still lands on the optimized lineage
+    P.publish_partition_overwrite(
+        spark,
+        a.where(F.col("mk") == 199602),
+        root, "mk", bucket_col="k", n_buckets=4,
+    )
+    # and a second OPTIMIZE commits nothing
+    m3 = P.current_manifest(root)
+    assert P.optimize_table(spark, root) == P._manifest_name(m3["txid"])
