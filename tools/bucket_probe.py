@@ -110,6 +110,52 @@ def main() -> None:
             spark.table("bp_orders"), spark.table("bp_lineitem")
         )
     )
+
+    # r12: bucketed PARTITIONED tables through the publish protocol —
+    # the same A/B on a per-customer fact-fact join across month
+    # partitions (publish_partition_overwrite(bucket_col=...) +
+    # read_bucketed_partitioned), the daily-ingest layout that used to
+    # forfeit co-location
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    of = spark.read.parquet(str(SF3 / "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+    def year_slice(y):
+        return of.where(F.year("o_orderdate") == y).withColumn(
+            "mk", F.year("o_orderdate") * 100 + F.month("o_orderdate")
+        )
+
+    a, b = year_slice(1996), year_slice(1997)
+    ra, rb = str(WH / "bktp_a"), str(WH / "bktp_b")
+    t0 = time.perf_counter()
+    P.publish_partition_overwrite(
+        spark, a, ra, "mk", bucket_col="o_custkey", n_buckets=32
+    )
+    P.publish_partition_overwrite(
+        spark, b, rb, "mk", bucket_col="o_custkey", n_buckets=32
+    )
+    part_write_cost = round(time.perf_counter() - t0, 3)
+
+    def cust_join(left, right):
+        def rev(t, out):
+            return t.groupBy("o_custkey").agg(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).alias(out)
+            )
+
+        return rev(left, "r96").join(rev(right, "r97"), "o_custkey")
+
+    plain_part = timed(lambda: cust_join(a, b))
+    bucketed_part = timed(
+        lambda: cust_join(
+            P.read_bucketed_partitioned(spark, ra, "probe_bktp_a"),
+            P.read_bucketed_partitioned(spark, rb, "probe_bktp_b"),
+        )
+    )
+
     print(
         json.dumps(
             {
@@ -117,6 +163,14 @@ def main() -> None:
                 "bucketed": bucketed,
                 "bucket_write_sec": write_cost,
                 "speedup": round(plain["min_sec"] / bucketed["min_sec"], 2),
+                "partitioned": {
+                    "plain": plain_part,
+                    "bucketed": bucketed_part,
+                    "publish_write_sec": part_write_cost,
+                    "speedup": round(
+                        plain_part["min_sec"] / bucketed_part["min_sec"], 2
+                    ),
+                },
             }
         )
     )
