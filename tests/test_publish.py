@@ -2172,3 +2172,38 @@ def test_optimize_bucketed_partitioned_purges_and_keeps_colocation(
     # and a second OPTIMIZE commits nothing
     m3 = P.current_manifest(root)
     assert P.optimize_table(spark, root) == P._manifest_name(m3["txid"])
+
+
+def test_scoped_tombstones_apply_on_routed_and_snapshot_reads(spark, root):
+    """Deletion vectors must hold on EVERY read path: the predicate-
+    routed read (partition route over the scope file's month), time
+    travel to the scoped manifest after a later commit, and a read after
+    vacuum (the scoped key files are retained like any tombstone)."""
+    d1, d2 = "2024-01-01", "2024-01-02"
+    P.publish_partition_overwrite(
+        spark, _udays(spark, 1, {d1: [0, 2], d2: [2, 10]}), root, "dt"
+    )
+    P.publish_deletes(spark, spark.createDataFrame([(2,)], "k int"), root, "k")
+    P.publish_partition_overwrite(
+        spark, _udays(spark, 9, {d1: [0, 2]}), root, "dt"
+    )
+    scoped_m = P.current_manifest(root)
+    assert scoped_m.get("scoped_deletes")
+    # routed read over the UNTOUCHED day: the stale k=2 copy must stay
+    # hidden even though the route opens exactly its file
+    df, rep = P.read_where(spark, root, "dt", d2, d2)
+    assert rep["route"] == "partition_pruning"
+    assert {(r["k"], r["v"]) for r in df.collect()} == {(10, 101)}
+    # a later commit, then time travel BACK to the scoped manifest
+    P.publish_partition_overwrite(
+        spark, _udays(spark, 5, {d1: [0, 2]}), root, "dt"
+    )
+    back = P.read_snapshot(spark, root, txid=scoped_m["txid"])
+    assert {r["k"]: r["v"] for r in back.collect()} == {0: 9, 2: 29, 10: 101}
+    # vacuum keeps the scoped key files alive for retained snapshots
+    P.vacuum(root, retain=1)
+    back2 = P.read_snapshot(spark, root, txid=scoped_m["txid"])
+    assert {r["k"]: r["v"] for r in back2.collect()} == {0: 9, 2: 29, 10: 101}
+    assert {r["k"]: r["v"] for r in P.read_current(spark, root).collect()} == {
+        0: 5, 2: 25, 10: 101,
+    }
