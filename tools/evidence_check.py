@@ -58,6 +58,34 @@ def check() -> int:
             f"catalog has {n} — run: python tools/catalog_doc.py"
         )
 
+    # the bench-headline-coupled records: these are the ones that went
+    # red mid-round in r12 when the headline grew (importing bench is
+    # cheap — no SparkSession)
+    import json
+
+    import bench
+
+    plans = (ROOT / "docs" / "PLANS.md").read_text()
+    plan_keys = set(re.findall(r"^## (q_\w+)$", plans, re.M))
+    missing = [k for k in bench.HEADLINE if k not in plan_keys]
+    if missing:
+        errs.append(
+            f"docs/PLANS.md lacks headline plans {missing} — run: "
+            "python tools/plan_audit.py"
+        )
+    try:
+        slopes = json.loads(
+            (ROOT / "docs" / "BENCH_SF1.json").read_text()
+        )["scaling_exponent"]
+    except (OSError, ValueError, KeyError):
+        slopes = {}
+    missing = [k for k in bench.HEADLINE if k not in slopes]
+    if missing:
+        errs.append(
+            f"docs/BENCH_SF1.json lacks headline slopes {missing} — run: "
+            "python tools/bench_scaling.py (slow; see its docstring)"
+        )
+
     for e in errs:
         print(f"evidence_check: {e}", file=sys.stderr)
     if errs:
