@@ -2021,34 +2021,63 @@ def _catalog_name(txid: str) -> str:
 
 
 def _stage_table_snapshot(
-    spark: SparkSession, table_root: str, df: DataFrame, txid: str
+    spark: SparkSession,
+    table_root: str,
+    df: DataFrame,
+    txid: str,
+    bucket: dict | None = None,
 ) -> str:
     """Write one table's snapshot dir + manifest WITHOUT any pointer
     swap (the catalog commit is the visibility event). The manifest
-    carries no seq/parent of its own — catalog records version the SET."""
+    carries no seq/parent of its own — catalog records version the SET.
+    With ``bucket`` = {col, n[, sort]} the snapshot writes through
+    Spark's bucketed writer and records the spec (r12): a staged
+    snapshot is whole-table, so the spec needs no cross-commit
+    invariant — each stage is self-consistent."""
     data_dir = os.path.join(table_root, "data", txid)
     man_dir = os.path.join(table_root, "manifests")
     os.makedirs(man_dir, exist_ok=True)
     if os.path.isdir(data_dir):  # crashed orphan from a previous attempt
         shutil.rmtree(data_dir)
-    df.write.mode("error").parquet(data_dir)
+    spec = None
+    if bucket is None:
+        df.write.mode("error").parquet(data_dir)
+    else:
+        spec = {
+            "col": bucket["col"],
+            "n": int(bucket["n"]),
+            "sort": list(bucket.get("sort") or [bucket["col"]]),
+        }
+        tmp = "_stage_bkt_{}_{}".format(
+            _ident(os.path.basename(table_root)), _ident(txid)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
+        (
+            df.repartition(spec["n"], F.col(spec["col"]))
+            .write.mode("error")
+            .bucketBy(spec["n"], spec["col"])
+            .sortBy(*spec["sort"])
+            .format("parquet")
+            .option("path", data_dir)
+            .saveAsTable(tmp)
+        )
+        spark.sql(f"DROP TABLE `{tmp}`")  # external: the files stay
     _fsync_tree(data_dir)
     files = sorted(
         f for f in os.listdir(data_dir)
         if f.startswith("part-") and f.endswith(".parquet")
     )
     name = _manifest_name(txid)
+    manifest = {
+        "txid": txid,
+        "files": [os.path.join("data", txid, f) for f in files],
+        "n_files": len(files),
+        "schema": _nullable_schema_json(df.schema),
+    }
+    if spec is not None:
+        manifest["bucket"] = spec
     _fsync_write(
-        os.path.join(man_dir, name),
-        json.dumps(
-            {
-                "txid": txid,
-                "files": [os.path.join("data", txid, f) for f in files],
-                "n_files": len(files),
-                "schema": _nullable_schema_json(df.schema),
-            },
-            sort_keys=True,
-        ),
+        os.path.join(man_dir, name), json.dumps(manifest, sort_keys=True)
     )
     return name
 
@@ -2060,6 +2089,7 @@ def publish_tables(
     txid: str | None = None,
     crash_hook: Callable[[str], None] | None = None,
     backend=LOCAL,
+    buckets: dict[str, dict] | None = None,
 ) -> str:
     """Publish several tables as ONE atomic commit: every frame is
     staged (snapshot dir + manifest, durable but invisible), then the
@@ -2078,6 +2108,11 @@ def publish_tables(
     point). Conflict policy matches publish_snapshot: a CAS loser
     re-derives its catalog record against the winner's (its staged
     table snapshots are already written and untouched) and retries.
+
+    ``buckets`` maps table name -> {col, n[, sort]}: those frames stage
+    through Spark's bucketed writer with the spec recorded, and
+    ``read_catalog_bucketed`` re-exposes them co-located (r12) — a star
+    schema keeps one-swap consistency AND zero-Exchange fact joins.
 
     Scale: staging is the data write itself; the commit adds one tiny
     record + one pointer swap regardless of how many tables change."""
@@ -2116,7 +2151,8 @@ def publish_tables(
         for name in sorted(frames):
             table_root = os.path.join(catalog_root, "tables", name)
             staged[name] = _stage_table_snapshot(
-                spark, table_root, frames[name], txid
+                spark, table_root, frames[name], txid,
+                bucket=(buckets or {}).get(name),
             )
             if crash_hook:
                 crash_hook(f"staged:{name}")
@@ -2641,12 +2677,53 @@ def read_bucketed(
     m = current_manifest(root)
     if m is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
-    spec = m.get("bucket")
-    if not spec:
+    if not m.get("bucket"):
         raise ValueError(
             f"{root}'s current snapshot was not published with "
             "publish_bucketed; no bucket spec to expose"
         )
+    return _read_bucketed_from(spark, root, m, view)
+
+
+def read_catalog_bucketed(
+    spark: SparkSession,
+    catalog_root: str,
+    table: str,
+    view: str,
+    seq: int | None = None,
+) -> DataFrame:
+    """Read a BUCKETED catalog table through the committed catalog
+    record (r12, ROADMAP_r13 #5 pulled forward): visibility comes from
+    the record like read_catalog_table, the scan comes from the staged
+    manifest's bucket spec like read_bucketed — a star schema whose fact
+    is bucketed keeps both the one-swap consistency AND the
+    zero-Exchange co-location."""
+    rec = catalog_record(catalog_root, seq=seq)
+    if rec is None:
+        raise FileNotFoundError(f"no committed catalog under {catalog_root}")
+    man_name = rec["tables"].get(table)
+    if man_name is None:
+        raise FileNotFoundError(
+            f"table {table!r} not in catalog {catalog_root} (seq "
+            f"{rec.get('seq')})"
+        )
+    table_root = os.path.join(catalog_root, "tables", table)
+    m = _load_manifest(table_root, man_name)
+    if not m.get("bucket"):
+        raise ValueError(
+            f"catalog table {table!r} was not staged with a bucket spec; "
+            "publish it via publish_tables(..., buckets={...})"
+        )
+    return _read_bucketed_from(spark, table_root, m, view)
+
+
+def _read_bucketed_from(
+    spark: SparkSession, root: str, m: dict, view: str
+) -> DataFrame:
+    """The bucketed-entry read core over an explicit (root, manifest)
+    pair — shared by read_bucketed (pointer tables) and
+    read_catalog_bucketed (catalog tables)."""
+    spec = m["bucket"]
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(m["schema"]))
@@ -2875,7 +2952,12 @@ def maintain_catalog(
                 for f in m["files"]
                 if any(c not in old_stats.get(f, {}) for c in cols)
             ]
-            needs_compact = compact and m["n_files"] > 1
+            # a bucketed table is PACKED at one file per bucket (r12):
+            # the >1 rule would re-compact it forever AND coalesce(1)
+            # would destroy the recorded co-location
+            spec = m.get("bucket")
+            packed = spec["n"] if spec else 1
+            needs_compact = compact and m["n_files"] > packed
             if not needs_compact and not missing:
                 continue  # healthy: carries by reference
             man_dir = os.path.join(troot, "manifests")
@@ -2883,9 +2965,26 @@ def maintain_catalog(
             if needs_compact:
                 data_dir = os.path.join(troot, "data", txid)
                 _reclaim_orphan_data(troot, txid, m)
-                _read_files(spark, troot, m, m["files"]).coalesce(
-                    1
-                ).write.mode("error").parquet(data_dir)
+                df_t = _read_files(spark, troot, m, m["files"])
+                if spec is None:
+                    df_t.coalesce(1).write.mode("error").parquet(data_dir)
+                else:
+                    # compaction keeps the spec: back through the
+                    # bucketed writer, never coalesce(1)
+                    tmp = "_maint_bkt_{}_{}".format(
+                        _ident(tname), _ident(txid)
+                    )
+                    spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
+                    (
+                        df_t.repartition(spec["n"], F.col(spec["col"]))
+                        .write.mode("error")
+                        .bucketBy(spec["n"], spec["col"])
+                        .sortBy(*spec["sort"])
+                        .format("parquet")
+                        .option("path", data_dir)
+                        .saveAsTable(tmp)
+                    )
+                    spark.sql(f"DROP TABLE `{tmp}`")
                 _fsync_tree(data_dir)
                 files = [
                     os.path.join("data", txid, f)
@@ -2901,6 +3000,8 @@ def maintain_catalog(
                 "n_files": len(files),
                 "schema": m.get("schema"),
             }
+            if spec is not None:
+                new_m["bucket"] = spec
             if cols:
                 stats = {
                     f: dict(old_stats[f]) for f in old_stats if f in set(files)

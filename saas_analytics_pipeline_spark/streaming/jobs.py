@@ -1234,6 +1234,7 @@ def catalog_apply_batch(
     stats_cols: dict[str, list[str]] | None = None,
     retain: int = 1,
     crash_hook=None,
+    buckets: dict[str, dict] | None = None,
 ) -> None:
     """One micro-batch of the streaming CATALOG-pair loop (ROADMAP_r12
     #6 pulled forward): ``derive_tables(batch_df) -> {name: frame}``
@@ -1254,7 +1255,8 @@ def catalog_apply_batch(
         return
     spark = batch_df.sparkSession
     P.publish_tables(
-        spark, derive_tables(batch_df), catalog_root, txid=f"b{batch_id}"
+        spark, derive_tables(batch_df), catalog_root, txid=f"b{batch_id}",
+        buckets=buckets,
     )
     if crash_hook:
         crash_hook(CAT_AFTER_COMMIT)
@@ -1275,6 +1277,7 @@ def run_catalog_maintenance(
     maintain_every: int = 3,
     stats_cols: dict[str, list[str]] | None = None,
     retain: int = 1,
+    buckets: dict[str, dict] | None = None,
 ) -> StreamingQuery:
     """The streaming star-schema loop: each micro-batch derives a
     consistent {fact, dim, ...} set and commits it atomically through
@@ -1297,6 +1300,7 @@ def run_catalog_maintenance(
             maintain_every=maintain_every,
             stats_cols=stats_cols,
             retain=retain,
+            buckets=buckets,
         )
 
     return (

@@ -2207,3 +2207,129 @@ def test_scoped_tombstones_apply_on_routed_and_snapshot_reads(spark, root):
     assert {r["k"]: r["v"] for r in P.read_current(spark, root).collect()} == {
         0: 5, 2: 25, 10: 101,
     }
+
+
+# ---------------------------------------------------------------------------
+# r12: bucketed tables inside the catalog unit (ROADMAP_r13 #5 pulled fwd)
+# ---------------------------------------------------------------------------
+
+
+def test_catalog_bucketed_fact_joins_zero_exchange(spark, cat, backend):
+    """A star schema in the catalog unit keeps BOTH guarantees: one-swap
+    consistency across tables AND zero-Exchange co-location between
+    same-spec bucketed catalog tables."""
+    fact96 = spark.range(80).select(
+        (F.col("id") % 20).alias("ck"), (F.col("id") * 10).alias("v96")
+    )
+    fact97 = spark.range(80).select(
+        (F.col("id") % 20).alias("ck"), (F.col("id") * 10 + 5).alias("v97")
+    )
+    dim = spark.range(20).select(
+        F.col("id").alias("ck"), (F.col("id") % 3).alias("tier")
+    )
+    P.publish_tables(
+        spark,
+        {"f96": fact96, "f97": fact97, "dim": dim},
+        cat,
+        backend=backend,
+        buckets={
+            "f96": {"col": "ck", "n": 4},
+            "f97": {"col": "ck", "n": 4},
+        },
+    )
+    t96 = P.read_catalog_bucketed(spark, cat, "f96", "cb96_" + os.path.basename(cat))
+    t97 = P.read_catalog_bucketed(spark, cat, "f97", "cb97_" + os.path.basename(cat))
+    assert _snap(t96) == _snap(fact96)
+    # the plain reader still works and agrees
+    assert _snap(P.read_catalog_table(spark, cat, "f96")) == _snap(fact96)
+    with pytest.raises(ValueError, match="bucket spec"):
+        P.read_catalog_bucketed(spark, cat, "dim", "cbd")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def rev(t, out, col):
+            return t.groupBy("ck").agg(F.sum(col).alias(out))
+        j = rev(t96, "r96", "v96").join(rev(t97, "r97", "v97"), "ck")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert j.count() == 20
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_maintain_catalog_preserves_bucketed_table(spark, cat, backend):
+    """maintain_catalog must treat a bucketed catalog table as packed
+    (never coalesce(1) away its layout), carry the spec through a stats
+    annotation, and keep the co-located read working afterwards."""
+    fact = spark.range(80).select(
+        (F.col("id") % 20).alias("ck"), (F.col("id") * 10).alias("v")
+    )
+    P.publish_tables(
+        spark,
+        {"fact": fact, "dim": _frag(spark, 2, 3)},
+        cat,
+        backend=backend,
+        buckets={"fact": {"col": "ck", "n": 4}},
+    )
+    report = P.maintain_catalog(
+        spark, cat, retain=5, stats_cols={"fact": ["ck"]}, backend=backend
+    )
+    # the fragmented plain dim compacts; the bucketed fact does NOT
+    assert report["compacted"] == ["dim"]
+    assert report["stats_annotated"] == ["fact"]
+    rec = P.catalog_record(cat)
+    m = P._load_manifest(
+        os.path.join(cat, "tables", "fact"), rec["tables"]["fact"]
+    )
+    assert m["bucket"] == {"col": "ck", "n": 4, "sort": ["ck"]}
+    assert m["stats_cols"] == ["ck"]
+    got = P.read_catalog_bucketed(
+        spark, cat, "fact", "mb_" + os.path.basename(cat)
+    )
+    assert _snap(got) == _snap(fact)
+    # idempotent: nothing left to do
+    report2 = P.maintain_catalog(
+        spark, cat, retain=5, stats_cols={"fact": ["ck"]}, backend=backend
+    )
+    assert report2["compacted"] == [] and report2["stats_annotated"] == []
+
+
+def test_streaming_catalog_loop_carries_bucket_spec(spark, cat, tmp_path):
+    """The streaming star-schema cadence stages bucketed facts when
+    asked: two batches through catalog_apply_batch with a buckets map —
+    the committed fact reads co-located and the replayed batch skips."""
+    from saas_analytics_pipeline_spark.streaming.jobs import (
+        catalog_apply_batch,
+    )
+
+    marker = str(tmp_path / "markers")
+    os.makedirs(marker, exist_ok=True)
+
+    def derive(tag):
+        fact = spark.range(40).select(
+            (F.col("id") % 10).alias("ck"),
+            (F.col("id") * 10 + tag).alias("v"),
+        )
+        dim = spark.range(10).select(
+            F.col("id").alias("ck"), (F.col("id") % 3).alias("tier")
+        )
+        return {"fact": fact, "dim": dim}
+
+    for bid, tag in ((0, 1), (1, 2)):
+        catalog_apply_batch(
+            spark.createDataFrame([(bid,)], "b long"), bid, cat,
+            lambda _df, t=tag: derive(t), marker,
+            maintain_every=0, buckets={"fact": {"col": "ck", "n": 4}},
+        )
+    # replay of batch 1 skips (marker)
+    catalog_apply_batch(
+        spark.createDataFrame([(1,)], "b long"), 1, cat,
+        lambda _df: derive(99), marker,
+        maintain_every=0, buckets={"fact": {"col": "ck", "n": 4}},
+    )
+    got = P.read_catalog_bucketed(
+        spark, cat, "fact", "st_" + os.path.basename(cat)
+    )
+    assert _snap(got) == _snap(derive(2)["fact"])
