@@ -650,12 +650,35 @@ def _reconcile_tombstones(
         if g["files"]
     ]
 
+    def consolidate(groups: list[dict]) -> list[dict]:
+        """Merge scoped groups with IDENTICAL file sets (r12, the safe
+        subset of ROADMAP_r13 #3): (k∈T1 ∧ f∈S) ∨ (k∈T2 ∧ f∈S) is
+        (k∈T1∪T2) ∧ f∈S, so their tomb file lists concatenate — repeated
+        resubscribes against the same carried candidates stop growing
+        the reader's per-group join count. Groups with different scopes
+        must NOT merge (unioning scopes would over-mask legitimate
+        rows)."""
+        by_scope: dict[tuple, dict] = {}
+        for g in groups:
+            k = tuple(sorted(g["files"]))
+            if k in by_scope:
+                by_scope[k]["tombs"] = list(by_scope[k]["tombs"]) + [
+                    t for t in g["tombs"] if t not in by_scope[k]["tombs"]
+                ]
+            else:
+                by_scope[k] = {"tombs": list(g["tombs"]), "files": g["files"]}
+        return list(by_scope.values())
+
+    scoped = consolidate(scoped)
+
     def meta(deletes: list[str] | None) -> dict:
         out: dict = {}
         if deletes:
             out["deletes"] = deletes
         if scoped:
-            out["scoped_deletes"] = scoped
+            # consolidate again: the newly appended group may share its
+            # scope with a carried one
+            out["scoped_deletes"] = consolidate(scoped)
         if out:
             out["delete_key"] = key
         return out

@@ -2333,3 +2333,29 @@ def test_streaming_catalog_loop_carries_bucket_spec(spark, cat, tmp_path):
         spark, cat, "fact", "st_" + os.path.basename(cat)
     )
     assert _snap(got) == _snap(derive(2)["fact"])
+
+
+def test_scoped_groups_with_identical_scopes_consolidate(spark, root):
+    """Repeated resubscribes against the SAME carried candidates must not
+    grow the reader's per-group join count: groups with identical file
+    sets merge (their masks are (k in T1 union T2) and f in S); groups
+    with different scopes stay separate."""
+    d1, d2 = "2024-01-01", "2024-01-02"
+    P.publish_partition_overwrite(
+        spark, _udays(spark, 1, {d1: [0, 2, 3], d2: [2, 3, 10]}), root, "dt"
+    )
+    # two delete+resubscribe cycles against the same untouched day
+    for tag, k in ((9, 2), (8, 3)):
+        P.publish_deletes(
+            spark, spark.createDataFrame([(k,)], "k int"), root, "k"
+        )
+        P.publish_partition_overwrite(
+            spark, _udays(spark, tag, {d1: [0, 2, 3]}), root, "dt"
+        )
+    m = P.current_manifest(root)
+    groups = m["scoped_deletes"]
+    assert len(groups) == 1, groups  # same scope (day 2's file) -> merged
+    assert len(groups[0]["tombs"]) == 2  # both cycles' key files kept
+    got = {r["k"]: r["v"] for r in P.read_current(spark, root).collect()}
+    # last resubscribe wins day 1; both stale copies in day 2 hidden
+    assert got == {0: 8, 2: 28, 3: 38, 10: 101}
