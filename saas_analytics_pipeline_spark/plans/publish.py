@@ -561,11 +561,20 @@ def _apply_scoped_deletes(
     key = m["delete_key"]
     out_cols = df.columns
     # input_file_name yields a percent-encoded file: URI; normalize to
-    # the absolute path so it compares to os.path-built scope entries
+    # the absolute path so it compares to os.path-built scope entries.
+    # url_decode is FORM decoding — it would turn a literal '+' in the
+    # path into a space and silently unmatch the scope (resurrecting the
+    # stale rows this mechanism hides) — so pre-escape '+' to %2B first:
+    # a literal '+' survives either way the URI encoder treated it,
+    # while real spaces still arrive as %20
     df = df.withColumn(
         "_sd_path",
         F.url_decode(
-            F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+            F.regexp_replace(
+                F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+                r"\+",
+                "%2B",
+            )
         ),
     )
     for g in groups:
@@ -694,7 +703,12 @@ def _reconcile_tombstones(
             .select(key)
             .distinct()
         )
-        inc_keys = df.select(key).distinct()
+        # materialize the increment's key set ONCE: hits/remaining drive
+        # ~5 separate actions below (existence probes, min/max, the
+        # stale semi-join, two writes) and each would otherwise re-run
+        # the increment's full lineage — tombstone-grain state, so the
+        # checkpoint is small by the publish_deletes contract
+        inc_keys = df.select(key).distinct().localCheckpoint(eager=True)
         hits = tomb.join(inc_keys, on=key, how="left_semi")
         hits_empty = hits.limit(1).count() == 0
     if hits_empty:
@@ -712,8 +726,15 @@ def _reconcile_tombstones(
             s = stats.get(f, {}).get(key) if have else None
             if s is None:
                 cand.append(f)  # no stats: conservative candidate
-            elif s[0] is not None and not (s[1] < hlo or s[0] > hhi):
-                cand.append(f)
+            elif s[0] is not None:
+                try:
+                    if not (s[1] < hlo or s[0] > hhi):
+                        cand.append(f)
+                except TypeError:
+                    # legacy string-recorded Decimal stats vs float
+                    # bounds: degrade to a conservative candidate, as
+                    # _files_for_stats_range does (ADVICE r11)
+                    cand.append(f)
         if cand:
             stale = (
                 _read_files(spark, root, prev, cand)
@@ -1694,8 +1715,13 @@ def optimize_table(
                     s = stats.get(f, {}).get(key_col) if have else None
                     if s is None:
                         cand.append(f)  # no stats: conservative candidate
-                    elif s[0] is not None and not (s[1] < tlo or s[0] > thi):
-                        cand.append(f)
+                    elif s[0] is not None:
+                        try:
+                            if not (s[1] < tlo or s[0] > thi):
+                                cand.append(f)
+                        except TypeError:
+                            # legacy string stats: conservative candidate
+                            cand.append(f)
             if cand and tlo is not None:
                 # candidates read under the manifest's recorded schema: on
                 # a schema-evolved table whose key column postdates the
@@ -2605,6 +2631,22 @@ def _ident(name: str) -> str:
     return re.sub(r"\W+", "_", name)
 
 
+# entries this process registered per (applicationId, abs root, view):
+# a fresh snapshot/overwrite mints a new hash-tagged entry name, and the
+# superseded one would otherwise pin stale metadata in the session
+# catalog for the process lifetime — drop OUR previous entry only (a
+# name-pattern sweep could hit another view's live entry)
+_BUCKETED_ENTRIES: dict[tuple[str, str, str], str] = {}
+
+
+def _swap_bucketed_entry(spark: SparkSession, root: str, view: str, name: str) -> None:
+    key = (spark.sparkContext.applicationId, os.path.abspath(root), view)
+    old = _BUCKETED_ENTRIES.get(key)
+    if old and old != name:
+        spark.sql(f"DROP TABLE IF EXISTS `{old}`")
+    _BUCKETED_ENTRIES[key] = name
+
+
 def publish_bucketed(
     spark: SparkSession,
     df: DataFrame,
@@ -2792,6 +2834,7 @@ def _read_bucketed_from(
             f"CLUSTERED BY (`{spec['col']}`) SORTED BY ({sort_ddl}) "
             f"INTO {int(spec['n'])} BUCKETS LOCATION '{loc}'"
         )
+    _swap_bucketed_entry(spark, root, view, name)
     df = spark.table(name)
     # merge-on-read tombstones apply ON TOP of the bucketed scan as an
     # EXPLICITLY broadcast anti-join: a broadcast join preserves the
@@ -2891,12 +2934,16 @@ def read_bucketed_partitioned(
             f"INTO {int(spec['n'])} BUCKETS "
             f"LOCATION '{os.path.abspath(root)}/data'"
         )
-        for v, loc in sorted(locations.items()):
-            lit = v.replace("'", "''")
-            spark.sql(
-                f"ALTER TABLE `{name}` ADD PARTITION (`_p`='{lit}') "
-                f"LOCATION '{loc}'"
+        # ONE batched ADD PARTITION: per-partition statements would cost
+        # a catalog round trip per day on a year-partitioned fact
+        clauses = " ".join(
+            "PARTITION (`_p`='{}') LOCATION '{}'".format(
+                v.replace("'", "''"), loc
             )
+            for v, loc in sorted(locations.items())
+        )
+        spark.sql(f"ALTER TABLE `{name}` ADD {clauses}")
+    _swap_bucketed_entry(spark, root, view, name)
     df = spark.table(name)
     # scoped tombstones first: input_file_name must bind on the scan
     df = _apply_scoped_deletes(spark, root, m, df)
