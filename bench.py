@@ -139,6 +139,21 @@ HEADLINE_R12 = [
     "q_delete_vectors",
 ]
 
+HEADLINE_R13 = [
+    # bucketed-partitioned OPTIMIZE: registers purged through the
+    # bucketed writer, co-location preserved (VERDICT r12 #4). NOTE:
+    # the timing covers SEVEN sequential lineage commits (2 publishes,
+    # delete, resubscribe, eager p1, OPTIMIZE rewrite, p2) — expect
+    # several seconds; the cost is the lifecycle, not a plan regression
+    "q_optimize_bucketed",
+    # bucketed partitioned facts + bucketed dim inside the catalog unit,
+    # one-swap commit + zero-Exchange star join (VERDICT r12 #5)
+    "q_catalog_bucketed_partitioned",
+    # catalog-table lifecycle: delete -> resubscribe increment, stats-
+    # narrowed reconcile, both phases through the co-located readers
+    "q_catalog_increment",
+]
+
 HEADLINE = (
     HEADLINE_CORE
     + HEADLINE_TPCH
@@ -149,6 +164,7 @@ HEADLINE = (
     + HEADLINE_R10
     + HEADLINE_R11
     + HEADLINE_R12
+    + HEADLINE_R13
 )
 
 

@@ -81,6 +81,7 @@ import os
 import shutil
 from collections.abc import Callable
 from contextlib import contextmanager
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -560,24 +561,50 @@ def _apply_scoped_deletes(
         return df
     key = m["delete_key"]
     out_cols = df.columns
-    # input_file_name yields a percent-encoded file: URI; normalize to
-    # the absolute path so it compares to os.path-built scope entries.
-    # url_decode is FORM decoding — it would turn a literal '+' in the
-    # path into a space and silently unmatch the scope (resurrecting the
-    # stale rows this mechanism hides) — so pre-escape '+' to %2B first:
-    # a literal '+' survives either way the URI encoder treated it,
-    # while real spaces still arrive as %20
+    # input_file_name yields a percent-encoded file: URI; url_decode is
+    # FORM decoding — it would turn a literal '+' in the path into a
+    # space and silently unmatch the scope (resurrecting the stale rows
+    # this mechanism hides) — so pre-escape '+' to %2B first: a literal
+    # '+' survives either way the URI encoder treated it, while real
+    # spaces still arrive as %20. Provenance compares the MANIFEST-
+    # RELATIVE tail (everything after the last '/data/'): an absolute-
+    # path comparison breaks silently under a symlinked root or any
+    # non-local filesystem scheme — the decoded URI then never equals
+    # the os.path-built scope string and the mask no-ops (ADVICE r12).
+    # The tail is unique within this table (txid dir + partition dir +
+    # part file), and a scan of this root only ever yields this root's
+    # files, so cross-root aliasing is impossible.
+    # split on the RAW (still percent-encoded) URI: a partition VALUE
+    # containing a literal '/data/' arrives encoded (%2F), so the only
+    # '/data/' occurrences in the raw form are real directory
+    # separators; decode after the split
     df = df.withColumn(
         "_sd_path",
         F.url_decode(
             F.regexp_replace(
-                F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+                F.substring_index(F.input_file_name(), "/data/", -1),
                 r"\+",
                 "%2B",
             )
         ),
     )
     for g in groups:
+        # fail loudly when a scope entry no longer exists under the
+        # root: a missing file means the manifest and the data drifted
+        # (bad vacuum, manual surgery) and silently unmatching would
+        # resurrect deleted rows with no error (ADVICE r12)
+        missing = [
+            f
+            for f in g["files"]
+            if not os.path.exists(os.path.join(root, f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"scoped-tombstone group under {root} references "
+                f"missing data files {missing[:3]!r}"
+                f"{' …' if len(missing) > 3 else ''}; refusing to read — "
+                "a silently unmatched scope would resurrect deleted rows"
+            )
         keys = (
             spark.read.parquet(*[os.path.join(root, t) for t in g["tombs"]])
             .select(key)
@@ -585,7 +612,10 @@ def _apply_scoped_deletes(
             .withColumn("_sd_key_hit", F.lit(1))
         )
         scope = spark.createDataFrame(
-            [(os.path.abspath(os.path.join(root, f)),) for f in g["files"]],
+            [
+                (f[len("data/"):] if f.startswith("data/") else f,)
+                for f in g["files"]
+            ],
             "_sd_scope string",
         )
         df = (
@@ -927,7 +957,50 @@ def publish_next(
         return _publish_locked(spark, df, root, txid, crash_hook)
 
 
+# the scoped-group VALVE (r13, VERDICT r12 #7): when an overwrite
+# leaves more than this many scoped-tombstone groups on a root, a
+# scoped-only mini-OPTIMIZE rewrites the scoped files once and clears
+# the groups — each group costs every reader two broadcast joins, so
+# unbounded growth between full OPTIMIZE runs degrades read plans
+# linearly. None disables the valve.
+SCOPED_GROUPS_MAX = 8
+
+
 def publish_partition_overwrite(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    partition_col: str,
+    txid: str | None = None,
+    crash_hook: Callable[[str], None] | None = None,
+    backend=LOCAL,
+    bucket_col: str | None = None,
+    n_buckets: int | None = None,
+    sort_cols: list[str] | None = None,
+    max_scoped_groups: int | None = SCOPED_GROUPS_MAX,
+) -> str:
+    """Partition-granular commit + the scoped-group valve: see
+    _publish_partition_overwrite for the protocol. After the commit,
+    if the root now carries more than ``max_scoped_groups``
+    scoped-tombstone groups, a scoped-only mini-OPTIMIZE
+    (``optimize_table(scoped_only=True)``, its own commit) rewrites
+    exactly the scoped partitions and clears the groups, bounding every
+    reader's anti-join count between full maintenance runs (r13,
+    VERDICT r12 #7). Idempotent across replays: the valve consults the
+    CURRENT pointer, and a post-valve current manifest has zero scoped
+    groups."""
+    name = _publish_partition_overwrite(
+        spark, df, root, partition_col, txid, crash_hook, backend,
+        bucket_col, n_buckets, sort_cols,
+    )
+    if max_scoped_groups is not None:
+        cur = current_manifest(root)
+        if cur and len(cur.get("scoped_deletes") or []) > max_scoped_groups:
+            optimize_table(spark, root, backend=backend, scoped_only=True)
+    return name
+
+
+def _publish_partition_overwrite(
     spark: SparkSession,
     df: DataFrame,
     root: str,
@@ -1615,6 +1688,7 @@ def optimize_table(
     cluster_by: list[str] | None = None,
     backend=LOCAL,
     crash_hook: Callable[[str], None] | None = None,
+    scoped_only: bool = False,
 ) -> str:
     """OPTIMIZE as a commit: bin-pack every fragmented partition (more
     than one file) to a single file and physically purge merge-on-read
@@ -1642,7 +1716,14 @@ def optimize_table(
     rows sorted by the given columns (one in-task sort, no extra
     shuffle), so parquet row-group min/max tighten and the same commit's
     fresh file stats narrow; later predicates on the cluster keys skip
-    at both the manifest (read_skipping) and row-group level."""
+    at both the manifest (read_skipping) and row-group level.
+
+    ``scoped_only``: the scoped-group VALVE's mini-OPTIMIZE (r13,
+    VERDICT r12 #7) — rewrite ONLY the partitions scoped-tombstone
+    groups cover, applying just the file-scoped masks; fragmented
+    partitions are left alone and the GLOBAL register carries untouched
+    (its purge is the full OPTIMIZE's job). Bounded incremental cost:
+    the rewrite set follows the scoped files, never the lake."""
     from urllib.parse import unquote
 
     with _maybe_fence(root, backend):
@@ -1671,12 +1752,21 @@ def optimize_table(
         # len>1 rule would mark every bucketed partition fragmented and
         # break idempotency
         packed = bucket_spec["n"] if bucket_spec else 1
-        if cluster_by:
+        if scoped_only:
+            if cluster_by:
+                raise ValueError(
+                    "scoped_only rewrites just the scoped partitions; "
+                    "re-clustering needs the full OPTIMIZE"
+                )
+            rewrite = set()  # only scoped partitions join below
+        elif cluster_by:
             rewrite = set(parts)
         else:
             rewrite = {v for v, fs in parts.items() if len(fs) > packed}
         tombstones = list(prev.get("deletes") or [])
         scoped = list(prev.get("scoped_deletes") or [])
+        if scoped_only and not scoped:
+            return prev_name  # nothing scoped: the valve has no work
         if scoped:
             # scoped tombstones (r12 deletion vectors) purge here: every
             # partition holding a scope file rewrites, with the masks
@@ -1691,7 +1781,7 @@ def optimize_table(
                 if f in file_part
             }
         keys = None
-        if tombstones:
+        if tombstones and not scoped_only:
             key_col = prev["delete_key"]
             keys = (
                 spark.read.parquet(
@@ -1862,6 +1952,12 @@ def optimize_table(
                 manifest["bucket"] = bucket_spec
             if "schema" in prev:
                 manifest["schema"] = prev["schema"]
+            if scoped_only and tombstones:
+                # the valve purges ONLY the scoped groups; the global
+                # register (and its key) carries — rewritten rows a
+                # global tombstone hides stay hidden by that register
+                manifest["deletes"] = tombstones
+                manifest["delete_key"] = prev["delete_key"]
             _fsync_write(man_path, json.dumps(manifest, sort_keys=True))
             if crash_hook:
                 crash_hook(AFTER_MANIFEST)
@@ -2036,6 +2132,10 @@ def maintain_table(
             publish_stats(spark, root, stats_cols, backend=backend)
         report["stats_annotated_files"] = len(missing)
     report["vacuumed_txids"] = vacuum(root, retain=retain)
+    # parked bucketed entries whose data the vacuum just removed are
+    # safe to drop (any lazy plan over them is already doomed) — keeps
+    # a long-lived service's session catalog bounded (ROADMAP_r14 #6)
+    report["gc_entries"] = gc_bucketed_entries(spark, dangling_only=True)
     return report
 
 
@@ -2075,6 +2175,7 @@ def _stage_table_snapshot(
     df: DataFrame,
     txid: str,
     bucket: dict | None = None,
+    partition_col: str | None = None,
 ) -> str:
     """Write one table's snapshot dir + manifest WITHOUT any pointer
     swap (the catalog commit is the visibility event). The manifest
@@ -2082,29 +2183,88 @@ def _stage_table_snapshot(
     With ``bucket`` = {col, n[, sort]} the snapshot writes through
     Spark's bucketed writer and records the spec (r12): a staged
     snapshot is whole-table, so the spec needs no cross-commit
-    invariant — each stage is self-consistent."""
+    invariant — each stage is self-consistent. With ``partition_col``
+    set the snapshot writes Hive-layout ``_p=<value>`` partition dirs
+    and the manifest records the partition->files map (r13, VERDICT r12
+    #5) — combined with ``bucket``, the staged table is the full
+    daily-ingest layout (date partitions + bucket co-location) living
+    INSIDE the one-swap catalog unit."""
     data_dir = os.path.join(table_root, "data", txid)
     man_dir = os.path.join(table_root, "manifests")
     os.makedirs(man_dir, exist_ok=True)
     if os.path.isdir(data_dir):  # crashed orphan from a previous attempt
         shutil.rmtree(data_dir)
     spec = None
-    if bucket is None:
-        df.write.mode("error").parquet(data_dir)
-    else:
+    if bucket is not None:
         spec = {
             "col": bucket["col"],
             "n": int(bucket["n"]),
             "sort": list(bucket.get("sort") or [bucket["col"]]),
         }
+    _write_table_files(spark, table_root, df, data_dir, txid, partition_col, spec)
+    name = _manifest_name(txid)
+    manifest = {
+        "txid": txid,
+        "schema": _nullable_schema_json(df.schema),
+    }
+    if partition_col is None:
+        files = [
+            os.path.join("data", txid, f)
+            for f in sorted(os.listdir(data_dir))
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+    else:
+        parts = _list_partition_files(data_dir, txid)
+        manifest["partition_col"] = partition_col
+        manifest["partitions"] = parts
+        files = sorted(f for fs in parts.values() for f in fs)
+    manifest["files"] = files
+    manifest["n_files"] = len(files)
+    if spec is not None:
+        manifest["bucket"] = spec
+    _fsync_write(
+        os.path.join(man_dir, name), json.dumps(manifest, sort_keys=True)
+    )
+    return name
+
+
+def _write_table_files(
+    spark: SparkSession,
+    table_root: str,
+    df: DataFrame,
+    data_dir: str,
+    txid: str,
+    partition_col: str | None,
+    spec: dict | None,
+) -> None:
+    """The staged data write shared by whole-table stages
+    (_stage_table_snapshot) and catalog increments
+    (publish_catalog_increments): plain or ``_p``-partitioned, through
+    Spark's bucketed writer when a spec is given (one file per
+    (partition, bucket) via the pre-write repartition)."""
+    out = df
+    if partition_col is not None:
+        out = out.withColumn("_p", F.col(partition_col).cast("string"))
+    if spec is None:
+        w = out.write.mode("error")
+        if partition_col is not None:
+            w = w.partitionBy("_p")
+        w.parquet(data_dir)
+    else:
         tmp = "_stage_bkt_{}_{}".format(
             _ident(os.path.basename(table_root)), _ident(txid)
         )
         spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
-        (
-            df.repartition(spec["n"], F.col(spec["col"]))
+        w = (
+            # one file per bucket (per partition): each task holds
+            # exactly one bucket across every partition it touches
+            out.repartition(spec["n"], F.col(spec["col"]))
             .write.mode("error")
-            .bucketBy(spec["n"], spec["col"])
+        )
+        if partition_col is not None:
+            w = w.partitionBy("_p")
+        (
+            w.bucketBy(spec["n"], spec["col"])
             .sortBy(*spec["sort"])
             .format("parquet")
             .option("path", data_dir)
@@ -2112,23 +2272,21 @@ def _stage_table_snapshot(
         )
         spark.sql(f"DROP TABLE `{tmp}`")  # external: the files stay
     _fsync_tree(data_dir)
-    files = sorted(
-        f for f in os.listdir(data_dir)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
-    name = _manifest_name(txid)
-    manifest = {
-        "txid": txid,
-        "files": [os.path.join("data", txid, f) for f in files],
-        "n_files": len(files),
-        "schema": _nullable_schema_json(df.schema),
-    }
-    if spec is not None:
-        manifest["bucket"] = spec
-    _fsync_write(
-        os.path.join(man_dir, name), json.dumps(manifest, sort_keys=True)
-    )
-    return name
+
+
+def _list_partition_files(data_dir: str, txid: str) -> dict[str, list[str]]:
+    """partition value -> manifest-relative file list for a staged
+    ``_p=<value>`` layout (Hive-unescaped keys, ADVICE r09)."""
+    parts: dict[str, list[str]] = {}
+    for d in sorted(os.listdir(data_dir)):
+        if not d.startswith("_p="):
+            continue
+        parts[unquote(d[3:])] = [
+            os.path.join("data", txid, d, f)
+            for f in sorted(os.listdir(os.path.join(data_dir, d)))
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+    return parts
 
 
 def publish_tables(
@@ -2139,6 +2297,7 @@ def publish_tables(
     crash_hook: Callable[[str], None] | None = None,
     backend=LOCAL,
     buckets: dict[str, dict] | None = None,
+    partitions: dict[str, str] | None = None,
 ) -> str:
     """Publish several tables as ONE atomic commit: every frame is
     staged (snapshot dir + manifest, durable but invisible), then the
@@ -2162,6 +2321,12 @@ def publish_tables(
     through Spark's bucketed writer with the spec recorded, and
     ``read_catalog_bucketed`` re-exposes them co-located (r12) — a star
     schema keeps one-swap consistency AND zero-Exchange fact joins.
+    ``partitions`` maps table name -> partition column (r13, VERDICT
+    r12 #5): those frames stage as ``_p=<value>`` partition dirs with
+    the partition->files map recorded; combined with ``buckets``,
+    ``read_catalog_bucketed_partitioned`` re-exposes the table
+    partitioned AND co-located — the daily-ingest fact layout inside
+    the one-swap catalog unit.
 
     Scale: staging is the data write itself; the commit adds one tiny
     record + one pointer swap regardless of how many tables change."""
@@ -2202,6 +2367,7 @@ def publish_tables(
             staged[name] = _stage_table_snapshot(
                 spark, table_root, frames[name], txid,
                 bucket=(buckets or {}).get(name),
+                partition_col=(partitions or {}).get(name),
             )
             if crash_hook:
                 crash_hook(f"staged:{name}")
@@ -2232,6 +2398,399 @@ def publish_tables(
                 prev_name, etag = backend.read_pointer(catalog_root)
                 prev = _load_manifest(catalog_root, prev_name)
         raise AssertionError("unreachable")
+
+
+def _commit_catalog_record(
+    catalog_root: str,
+    backend,
+    staged: dict[str, str],
+    rec: dict,
+    base_tables: dict[str, str],
+    txid: str,
+    etag,
+    crash_hook: Callable[[str], None] | None = None,
+    what: str = "commit",
+) -> str:
+    """The catalog-pointer CAS loop shared by every catalog-grain
+    writer: merge ``staged`` table manifests over the previous record's
+    map and swap once. A CAS loser retries IFF none of ITS tables
+    drifted under it (another writer committed a newer manifest for the
+    same table) — disjoint-table writers both commit, overlapping ones
+    fail loudly."""
+    man_dir = os.path.join(catalog_root, "manifests")
+    os.makedirs(man_dir, exist_ok=True)
+    cat_name = _catalog_name(txid)
+    for attempt in range(_CAS_RETRIES + 1):
+        tables = dict((rec or {}).get("tables") or {})
+        tables.update(staged)
+        record = {
+            "txid": txid,
+            "tables": tables,
+            "seq": (int(rec.get("seq", 1)) + 1) if rec else 1,
+            "parent": _catalog_name(rec["txid"]) if rec else None,
+        }
+        _fsync_write(
+            os.path.join(man_dir, cat_name),
+            json.dumps(record, sort_keys=True),
+        )
+        if crash_hook:
+            crash_hook(AFTER_MANIFEST)
+        try:
+            backend.commit_pointer(catalog_root, cat_name, etag)
+            return cat_name
+        except CommitConflictError:
+            if attempt == _CAS_RETRIES:
+                raise
+            prev_name, etag = backend.read_pointer(catalog_root)
+            rec = _load_manifest(catalog_root, prev_name)
+            drifted = [
+                t
+                for t in staged
+                if (rec or {}).get("tables", {}).get(t) != base_tables.get(t)
+            ]
+            if drifted:
+                raise ConcurrentPublishError(
+                    f"catalog {what} under {catalog_root} lost the commit "
+                    f"race and tables {sorted(drifted)!r} drifted; "
+                    "refusing to clobber the newer commit — re-run "
+                    "against the current record"
+                ) from None
+    raise AssertionError("unreachable")
+
+
+def publish_catalog_deletes(
+    spark: SparkSession,
+    catalog_root: str,
+    table: str,
+    keys_df: DataFrame,
+    key_col: str,
+    backend=LOCAL,
+) -> str:
+    """Merge-on-read delete for a CATALOG table (r13, ROADMAP_r13 #4):
+    commit the distinct ``key_col`` values as a tombstone appended to
+    the table's staged manifest, made visible by ONE catalog-pointer
+    swap — every catalog reader (read_catalog_table /
+    read_catalog_bucketed[_partitioned] / read_catalog_where) anti-joins
+    the register, so the keys vanish atomically WITH whatever else the
+    record holds; no data file is rewritten. The physical purge is
+    maintain_catalog's compaction (which applies the masks file-aware
+    and drops the registers); until then catalog time travel to a
+    pre-delete seq still shows the keys.
+
+    Same invariants as the pointer-table publish_deletes: one delete
+    key per table; cost O(|keys|) + one record + one swap."""
+    with _maybe_fence(catalog_root, backend):
+        prev_name, etag = backend.read_pointer(catalog_root)
+        rec = _load_manifest(catalog_root, prev_name)
+        if rec is None:
+            raise FileNotFoundError(
+                f"no committed catalog under {catalog_root}"
+            )
+        man_name = rec["tables"].get(table)
+        if man_name is None:
+            raise FileNotFoundError(
+                f"table {table!r} not in catalog {catalog_root}"
+            )
+        troot = os.path.join(catalog_root, "tables", table)
+        prev_m = _load_manifest(troot, man_name)
+        if (
+            prev_m.get("deletes") or prev_m.get("scoped_deletes")
+        ) and prev_m.get("delete_key") != key_col:
+            raise ValueError(
+                f"catalog table {table!r} already carries tombstones "
+                f"keyed by {prev_m.get('delete_key')!r}; one delete key "
+                "per table"
+            )
+        txid = _derive_txid(rec, backend)
+        data_dir = os.path.join(troot, "data", txid)
+        if os.path.isdir(data_dir):  # crashed orphan (never committed)
+            shutil.rmtree(data_dir)
+        (
+            keys_df.select(key_col)
+            .distinct()
+            .coalesce(1)
+            .write.mode("error")
+            .parquet(data_dir)
+        )
+        _fsync_tree(data_dir)
+        tomb = [
+            os.path.join("data", txid, f)
+            for f in sorted(os.listdir(data_dir))
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+        new_m = dict(prev_m)
+        new_m["txid"] = txid
+        new_m["deletes"] = list(prev_m.get("deletes") or []) + tomb
+        new_m["delete_key"] = key_col
+        man_dir = os.path.join(troot, "manifests")
+        os.makedirs(man_dir, exist_ok=True)
+        _fsync_write(
+            os.path.join(man_dir, _manifest_name(txid)),
+            json.dumps(new_m, sort_keys=True),
+        )
+        return _commit_catalog_record(
+            catalog_root,
+            backend,
+            {table: _manifest_name(txid)},
+            rec,
+            {table: man_name},
+            txid,
+            etag,
+            what="delete",
+        )
+
+
+def publish_catalog_increments(
+    spark: SparkSession,
+    catalog_root: str,
+    frames: dict[str, DataFrame],
+    txid: str | None = None,
+    crash_hook: Callable[[str], None] | None = None,
+    backend=LOCAL,
+    max_scoped_groups: int | None = SCOPED_GROUPS_MAX,
+) -> str:
+    """Catalog increments + the scoped-group valve: see
+    _publish_catalog_increments for the protocol. After the commit, any
+    staged table now carrying more than ``max_scoped_groups``
+    scoped-tombstone groups gets a scoped-only purge
+    (``_catalog_scoped_purge``, its own record swap) — the same reader
+    plan-growth bound pointer tables get from
+    publish_partition_overwrite's valve (r13, VERDICT r12 #7)."""
+    name = _publish_catalog_increments(
+        spark, catalog_root, frames, txid, crash_hook, backend
+    )
+    if max_scoped_groups is not None:
+        rec = catalog_record(catalog_root)
+        for t in frames:
+            man_name = (rec or {}).get("tables", {}).get(t)
+            if man_name is None:
+                continue
+            m = _load_manifest(
+                os.path.join(catalog_root, "tables", t), man_name
+            )
+            if len(m.get("scoped_deletes") or []) > max_scoped_groups:
+                _catalog_scoped_purge(spark, catalog_root, t, backend)
+                rec = catalog_record(catalog_root)
+    return name
+
+
+def _publish_catalog_increments(
+    spark: SparkSession,
+    catalog_root: str,
+    frames: dict[str, DataFrame],
+    txid: str | None = None,
+    crash_hook: Callable[[str], None] | None = None,
+    backend=LOCAL,
+) -> str:
+    """Partition-granular increments to CATALOG tables as ONE atomic
+    commit (r13, VERDICT r12 #5/#8): each frame overwrites exactly the
+    partitions present in it on a table previously staged with
+    ``partitions=`` (untouched partitions carry by reference, the
+    recorded bucket spec is inherited — increments write through the
+    bucketed writer), tombstones RECONCILE against each increment with
+    the same stats-narrowed candidate logic as pointer tables
+    (``_reconcile_tombstones`` reads the staged manifest's stats
+    register, which ``maintain_catalog`` maintains — re-inserted keys
+    leave the register or downgrade to file-scoped groups over the
+    stats-narrowed carried candidates), and the whole multi-table set
+    becomes visible with ONE catalog-pointer swap. This is the
+    daily-ingest flow INSIDE the catalog unit: fact increment + dim
+    refresh can never be read torn.
+
+    Replay semantics match publish_tables (explicit ``txid``: committed
+    records skip, the applied ledger recognizes vacuumed replays);
+    conflict policy matches the pointer overwrite (disjoint-table CAS
+    writers both commit, drifted tables fail loudly).
+
+    Scale: the write is the increment's partitions only; reconcile is
+    tombstone-grain with stats-narrowed file candidates; the commit is
+    one record + one swap regardless of table count."""
+    with _maybe_fence(catalog_root, backend):
+        prev_name, etag = backend.read_pointer(catalog_root)
+        rec = _load_manifest(catalog_root, prev_name)
+        if rec is None:
+            raise FileNotFoundError(
+                f"no committed catalog under {catalog_root}; stage the "
+                "tables with publish_tables(..., partitions={...}) first"
+            )
+        if txid is None:
+            txid = _derive_txid(rec, backend)
+            _reclaim_orphan_manifest(catalog_root, backend, _catalog_name(txid))
+        else:
+            if txid in _applied_ledger(catalog_root):
+                return _catalog_name(txid)
+            cat_path = os.path.join(
+                catalog_root, "manifests", _catalog_name(txid)
+            )
+            if os.path.exists(cat_path):
+                with open(cat_path) as f:
+                    mine = json.load(f)
+                _complete_pointer_if_newer(
+                    catalog_root, backend, _catalog_name(txid), mine
+                )
+                return _catalog_name(txid)
+        staged: dict[str, str] = {}
+        base_tables: dict[str, str] = {}
+        for name in sorted(frames):
+            man_name = rec["tables"].get(name)
+            if man_name is None:
+                raise FileNotFoundError(
+                    f"table {name!r} not in catalog {catalog_root}; an "
+                    "increment needs a staged base — publish_tables first"
+                )
+            base_tables[name] = man_name
+            troot = os.path.join(catalog_root, "tables", name)
+            prev_m = _load_manifest(troot, man_name)
+            if "partitions" not in prev_m:
+                raise ValueError(
+                    f"catalog table {name!r} was staged whole-table; "
+                    "partition increments need publish_tables(..., "
+                    "partitions={...})"
+                )
+            df = frames[name]
+            _evolved_schema(prev_m, df)  # type conflicts fail while free
+            pc = prev_m["partition_col"]
+            spec = prev_m.get("bucket")
+            data_dir = os.path.join(troot, "data", txid)
+            if os.path.isdir(data_dir):  # crashed orphan, never visible
+                shutil.rmtree(data_dir)
+            _write_table_files(spark, troot, df, data_dir, txid, pc, spec)
+            touched = _list_partition_files(data_dir, txid)
+            merged = dict(prev_m.get("partitions") or {})
+            merged.update(touched)
+            files_flat = sorted(f for fs in merged.values() for f in fs)
+            new_m = {
+                "txid": txid,
+                "partition_col": pc,
+                "partitions": merged,
+                "files": files_flat,
+                "n_files": len(files_flat),
+            }
+            new_m.update(_carried_metadata(prev_m, set(files_flat)))
+            if spec is not None:
+                new_m["bucket"] = spec
+            # re-inserted keys exit the register (or downgrade to a
+            # file-scoped group over the STATS-NARROWED carried
+            # candidates — the register maintain_catalog records)
+            tomb_meta = _reconcile_tombstones(
+                spark, troot, prev_m, df, txid, data_dir, set(touched)
+            )
+            if tomb_meta is not None:
+                new_m.pop("deletes", None)
+                new_m.pop("delete_key", None)
+                new_m.pop("scoped_deletes", None)
+                new_m.update(tomb_meta)
+            if "schema" in prev_m:
+                new_m["schema"] = _evolved_schema(prev_m, df)
+            man_dir = os.path.join(troot, "manifests")
+            os.makedirs(man_dir, exist_ok=True)
+            _fsync_write(
+                os.path.join(man_dir, _manifest_name(txid)),
+                json.dumps(new_m, sort_keys=True),
+            )
+            staged[name] = _manifest_name(txid)
+            if crash_hook:
+                crash_hook(f"staged:{name}")
+        return _commit_catalog_record(
+            catalog_root,
+            backend,
+            staged,
+            rec,
+            base_tables,
+            txid,
+            etag,
+            crash_hook=crash_hook,
+            what="increment",
+        )
+
+
+def _catalog_scoped_purge(
+    spark: SparkSession, catalog_root: str, table: str, backend=LOCAL
+) -> str | None:
+    """The catalog twin of ``optimize_table(scoped_only=True)`` (r13
+    valve): rewrite ONLY the partitions the table's scoped-tombstone
+    groups cover, applying just the scoped masks — the global register
+    carries untouched — staged like any catalog commit and made visible
+    by one record swap. Returns the committed record name, or None when
+    the table carries no scoped groups."""
+    with _maybe_fence(catalog_root, backend):
+        prev_name, etag = backend.read_pointer(catalog_root)
+        rec = _load_manifest(catalog_root, prev_name)
+        man_name = (rec or {}).get("tables", {}).get(table)
+        if man_name is None:
+            raise FileNotFoundError(
+                f"table {table!r} not in catalog {catalog_root}"
+            )
+        troot = os.path.join(catalog_root, "tables", table)
+        m = _load_manifest(troot, man_name)
+        scoped = list(m.get("scoped_deletes") or [])
+        if not scoped:
+            return None
+        parts = m.get("partitions") or {}
+        file_part = {f: v for v, fs in parts.items() for f in fs}
+        rewrite = {
+            file_part[f]
+            for g in scoped
+            for f in g["files"]
+            if f in file_part
+        }
+        txid = _derive_txid(rec, backend)
+        data_dir = os.path.join(troot, "data", txid)
+        if os.path.isdir(data_dir):  # crashed orphan
+            shutil.rmtree(data_dir)
+        rw_files = [f for v in sorted(rewrite) for f in parts[v]]
+        df = _read_files(spark, troot, m, rw_files)
+        # scoped masks only: stale copies drop, re-inserted live rows
+        # and globally-tombstoned rows (still masked by the carried
+        # register) survive the rewrite
+        df = _apply_scoped_deletes(
+            spark,
+            troot,
+            {"scoped_deletes": scoped, "delete_key": m["delete_key"]},
+            df,
+        )
+        _write_table_files(
+            spark, troot, df, data_dir, txid,
+            m["partition_col"], m.get("bucket"),
+        )
+        new_parts_written = _list_partition_files(data_dir, txid)
+        merged = dict(parts)
+        for v in rewrite:
+            merged.pop(v, None)
+        merged.update(new_parts_written)
+        files_flat = sorted(f for fs in merged.values() for f in fs)
+        new_m = {
+            "txid": txid,
+            "partition_col": m["partition_col"],
+            "partitions": merged,
+            "files": files_flat,
+            "n_files": len(files_flat),
+        }
+        carried = _carried_metadata(m, set(files_flat))
+        carried.pop("scoped_deletes", None)  # the purge's whole point
+        if not carried.get("deletes"):
+            carried.pop("delete_key", None)
+        new_m.update(carried)
+        if m.get("bucket") is not None:
+            new_m["bucket"] = m["bucket"]
+        if "schema" in m:
+            new_m["schema"] = m["schema"]
+        man_dir = os.path.join(troot, "manifests")
+        os.makedirs(man_dir, exist_ok=True)
+        _fsync_write(
+            os.path.join(man_dir, _manifest_name(txid)),
+            json.dumps(new_m, sort_keys=True),
+        )
+        return _commit_catalog_record(
+            catalog_root,
+            backend,
+            {table: _manifest_name(txid)},
+            rec,
+            {table: man_name},
+            txid,
+            etag,
+            what="scoped purge",
+        )
 
 
 def catalog_record(catalog_root: str, seq: int | None = None) -> dict | None:
@@ -2449,16 +3008,29 @@ def _partitions_in_range(m: dict, lo, hi) -> list[str]:
     (mixed-provenance table, numeric bounds over a stray string key) is
     kept CONSERVATIVELY — the exact predicate filters it — instead of
     failing the whole read (ADVICE r10). ``Decimal`` bounds are numeric
-    too (compared via float): their str form would compare
-    lexicographically — key '10.5' < bound '9.5' — silently EXCLUDING
-    matching partitions, the same bug class _stats_val fixed for file
-    stats (ADVICE r11)."""
+    too: their str form would compare lexicographically — key '10.5' <
+    bound '9.5' — silently EXCLUDING matching partitions, the same bug
+    class _stats_val fixed for file stats (ADVICE r11); and they compare
+    EXACTLY as Decimal, never through float — a bound with precision
+    beyond float's 53 bits could round so a boundary partition silently
+    drops out of the routed read (ADVICE r12)."""
     import decimal
 
     numeric = isinstance(
         lo, (int, float, decimal.Decimal)
     ) and not isinstance(lo, bool)
-    if numeric:
+    if isinstance(lo, decimal.Decimal):
+        qlo, qhi = lo, decimal.Decimal(hi) if not isinstance(
+            hi, decimal.Decimal
+        ) else hi
+
+        def _key(v: str):
+            try:
+                return decimal.Decimal(v)
+            except decimal.InvalidOperation as e:
+                raise ValueError(str(e)) from e  # -> conservative keep
+
+    elif numeric:
         qlo, qhi = float(lo), float(hi)
 
         def _key(v: str):
@@ -2632,19 +3204,63 @@ def _ident(name: str) -> str:
 
 
 # entries this process registered per (applicationId, abs root, view):
-# a fresh snapshot/overwrite mints a new hash-tagged entry name, and the
-# superseded one would otherwise pin stale metadata in the session
-# catalog for the process lifetime — drop OUR previous entry only (a
-# name-pattern sweep could hit another view's live entry)
-_BUCKETED_ENTRIES: dict[tuple[str, str, str], str] = {}
+# a fresh snapshot/overwrite mints a new hash-tagged entry name. The
+# superseded one must NOT be dropped eagerly — a lazily-built DataFrame
+# created before the republish still resolves its partitioned file list
+# against the OLD entry at materialization time, and an eager DROP turns
+# that into TABLE_OR_VIEW_NOT_FOUND (VERDICT r12 'what's wrong' #1:
+# q_bucket_partitioned's p1 crashed exactly this way; read_bucketed had
+# the identical latent bug). Entries are metadata-only (external,
+# path-based — no data is owned by the session catalog), so superseded
+# names are PARKED instead (name -> the data locations the entry
+# resolves) and dropped only by gc_bucketed_entries() — either at an
+# explicit barrier (session teardown), or DANGLING-only at maintenance
+# barriers: once the retention vacuum has removed an entry's data
+# files, any lazy plan over it is already doomed, so the drop cannot
+# break a reader the eager drop would not have broken first.
+_BUCKETED_ENTRIES: dict[tuple[str, str, str], tuple[str, list[str]]] = {}
+_SUPERSEDED_ENTRIES: dict[str, list[str]] = {}
 
 
-def _swap_bucketed_entry(spark: SparkSession, root: str, view: str, name: str) -> None:
+def _swap_bucketed_entry(
+    spark: SparkSession,
+    root: str,
+    view: str,
+    name: str,
+    locations: list[str] | None = None,
+) -> None:
     key = (spark.sparkContext.applicationId, os.path.abspath(root), view)
     old = _BUCKETED_ENTRIES.get(key)
-    if old and old != name:
+    if old and old[0] != name:
+        _SUPERSEDED_ENTRIES[old[0]] = old[1]
+    _SUPERSEDED_ENTRIES.pop(name, None)
+    _BUCKETED_ENTRIES[key] = (name, list(locations or []))
+
+
+def gc_bucketed_entries(
+    spark: SparkSession, dangling_only: bool = False
+) -> int:
+    """Drop PARKED (superseded) bucketed catalog entries. With
+    ``dangling_only`` drop just the entries whose recorded data
+    locations no longer all exist (post-vacuum) — safe at ANY time,
+    because a lazy plan over vacuumed files fails regardless; this is
+    what maintain_table/maintain_catalog call after their vacuum step
+    so a long-lived service's session catalog stays bounded. Without
+    it, drop everything parked — call only when no lazy pre-republish
+    DataFrame can still materialize (session teardown / an explicit
+    barrier). Live (current) entries are never touched. Returns the
+    number of entries dropped."""
+    n = 0
+    for old in sorted(_SUPERSEDED_ENTRIES):
+        locs = _SUPERSEDED_ENTRIES[old]
+        if dangling_only and (
+            not locs or all(os.path.exists(p) for p in locs)
+        ):
+            continue  # still viable (or unknown): keep parked
         spark.sql(f"DROP TABLE IF EXISTS `{old}`")
-    _BUCKETED_ENTRIES[key] = name
+        del _SUPERSEDED_ENTRIES[old]
+        n += 1
+    return n
 
 
 def publish_bucketed(
@@ -2834,7 +3450,7 @@ def _read_bucketed_from(
             f"CLUSTERED BY (`{spec['col']}`) SORTED BY ({sort_ddl}) "
             f"INTO {int(spec['n'])} BUCKETS LOCATION '{loc}'"
         )
-    _swap_bucketed_entry(spark, root, view, name)
+    _swap_bucketed_entry(spark, root, view, name, [loc])
     df = spark.table(name)
     # merge-on-read tombstones apply ON TOP of the bucketed scan as an
     # EXPLICITLY broadcast anti-join: a broadcast join preserves the
@@ -2897,6 +3513,52 @@ def read_bucketed_partitioned(
             "table; publish it via publish_partition_overwrite(..., "
             "bucket_col=, n_buckets=)"
         )
+    return _read_bucketed_partitioned_from(spark, root, m, view)
+
+
+def read_catalog_bucketed_partitioned(
+    spark: SparkSession,
+    catalog_root: str,
+    table: str,
+    view: str,
+    seq: int | None = None,
+) -> DataFrame:
+    """Read a bucketed PARTITIONED catalog table through the committed
+    catalog record (r13, VERDICT r12 #5): visibility comes from the
+    record like read_catalog_table, the scan comes from the staged
+    manifest's partition map + bucket spec like read_bucketed_partitioned
+    — the daily-ingest fact layout (date partitions, bucket co-location,
+    partition pruning on ``_p``) with the catalog's one-swap
+    fact-with-dim consistency on top."""
+    rec = catalog_record(catalog_root, seq=seq)
+    if rec is None:
+        raise FileNotFoundError(f"no committed catalog under {catalog_root}")
+    man_name = rec["tables"].get(table)
+    if man_name is None:
+        raise FileNotFoundError(
+            f"table {table!r} not in catalog {catalog_root} (seq "
+            f"{rec.get('seq')})"
+        )
+    table_root = os.path.join(catalog_root, "tables", table)
+    m = _load_manifest(table_root, man_name)
+    if not m.get("bucket") or m.get("partitions") is None:
+        raise ValueError(
+            f"catalog table {table!r} was not staged partitioned+bucketed; "
+            "publish it via publish_tables(..., buckets={...}, "
+            "partitions={...})"
+        )
+    return _read_bucketed_partitioned_from(spark, table_root, m, view)
+
+
+def _read_bucketed_partitioned_from(
+    spark: SparkSession, root: str, m: dict, view: str
+) -> DataFrame:
+    """The partitioned bucketed-entry read core over an explicit
+    (root, manifest) pair — shared by read_bucketed_partitioned
+    (pointer tables) and read_catalog_bucketed_partitioned (catalog
+    tables), mirroring _read_bucketed_from."""
+    spec = m["bucket"]
+    parts = m["partitions"]
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(m["schema"]))
@@ -2943,7 +3605,7 @@ def read_bucketed_partitioned(
             for v, loc in sorted(locations.items())
         )
         spark.sql(f"ALTER TABLE `{name}` ADD {clauses}")
-    _swap_bucketed_entry(spark, root, view, name)
+    _swap_bucketed_entry(spark, root, view, name, sorted(locations.values()))
     df = spark.table(name)
     # scoped tombstones first: input_file_name must bind on the scan
     df = _apply_scoped_deletes(spark, root, m, df)
@@ -3022,22 +3684,46 @@ def maintain_catalog(
                 for f in m["files"]
                 if any(c not in old_stats.get(f, {}) for c in cols)
             ]
-            # a bucketed table is PACKED at one file per bucket (r12):
-            # the >1 rule would re-compact it forever AND coalesce(1)
-            # would destroy the recorded co-location
+            # a bucketed table is PACKED at one file per bucket (r12) —
+            # per PARTITION when the stage recorded a partition map
+            # (r13): the >1 rule would re-compact it forever AND
+            # coalesce(1) would destroy the recorded co-location
             spec = m.get("bucket")
-            packed = spec["n"] if spec else 1
-            needs_compact = compact and m["n_files"] > packed
+            t_parts = m.get("partitions")
+            per_part = spec["n"] if spec else 1
+            packed = per_part * (len(t_parts) if t_parts else 1)
+            # tombstone registers (r13: catalog tables carry them since
+            # publish_catalog_deletes/_increments) are a compaction
+            # trigger — the rewrite applies the masks and purges them
+            has_registers = bool(m.get("deletes") or m.get("scoped_deletes"))
+            needs_compact = compact and (
+                m["n_files"] > packed or has_registers
+            )
             if not needs_compact and not missing:
                 continue  # healthy: carries by reference
             man_dir = os.path.join(troot, "manifests")
             os.makedirs(man_dir, exist_ok=True)
+            new_parts: dict[str, list[str]] | None = None
             if needs_compact:
                 data_dir = os.path.join(troot, "data", txid)
                 _reclaim_orphan_data(troot, txid, m)
                 df_t = _read_files(spark, troot, m, m["files"])
+                if has_registers:
+                    # purge = the committed read semantics applied
+                    # physically (scoped masks bind on this scan, then
+                    # the global anti-join) — registers drop below
+                    df_t = _apply_deletes(spark, troot, m, df_t)
+                if t_parts is not None:
+                    # regenerate the shadow partition column: the real
+                    # column stays inside the files on every read path
+                    df_t = df_t.withColumn(
+                        "_p", F.col(m["partition_col"]).cast("string")
+                    )
                 if spec is None:
-                    df_t.coalesce(1).write.mode("error").parquet(data_dir)
+                    w = df_t.coalesce(1).write.mode("error")
+                    if t_parts is not None:
+                        w = w.partitionBy("_p")
+                    w.parquet(data_dir)
                 else:
                     # compaction keeps the spec: back through the
                     # bucketed writer, never coalesce(1)
@@ -3045,10 +3731,14 @@ def maintain_catalog(
                         _ident(tname), _ident(txid)
                     )
                     spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
-                    (
+                    w = (
                         df_t.repartition(spec["n"], F.col(spec["col"]))
                         .write.mode("error")
-                        .bucketBy(spec["n"], spec["col"])
+                    )
+                    if t_parts is not None:
+                        w = w.partitionBy("_p")
+                    (
+                        w.bucketBy(spec["n"], spec["col"])
                         .sortBy(*spec["sort"])
                         .format("parquet")
                         .option("path", data_dir)
@@ -3056,22 +3746,50 @@ def maintain_catalog(
                     )
                     spark.sql(f"DROP TABLE `{tmp}`")
                 _fsync_tree(data_dir)
-                files = [
-                    os.path.join("data", txid, f)
-                    for f in sorted(os.listdir(data_dir))
-                    if f.startswith("part-") and f.endswith(".parquet")
-                ]
+                if t_parts is None:
+                    files = [
+                        os.path.join("data", txid, f)
+                        for f in sorted(os.listdir(data_dir))
+                        if f.startswith("part-") and f.endswith(".parquet")
+                    ]
+                else:
+                    new_parts = {}
+                    for d in sorted(os.listdir(data_dir)):
+                        if not d.startswith("_p="):
+                            continue
+                        new_parts[unquote(d[3:])] = [
+                            os.path.join("data", txid, d, f)
+                            for f in sorted(
+                                os.listdir(os.path.join(data_dir, d))
+                            )
+                            if f.startswith("part-")
+                            and f.endswith(".parquet")
+                        ]
+                    files = sorted(
+                        f for fs in new_parts.values() for f in fs
+                    )
                 compacted.append(tname)
             else:
                 files = list(m["files"])  # metadata-only stats commit
+                new_parts = t_parts
             new_m = {
                 "txid": txid,
                 "files": files,
                 "n_files": len(files),
                 "schema": m.get("schema"),
             }
+            if t_parts is not None:
+                new_m["partition_col"] = m["partition_col"]
+                new_m["partitions"] = new_parts
             if spec is not None:
                 new_m["bucket"] = spec
+            if not needs_compact:
+                # a metadata-only stats commit must CARRY the tombstone
+                # registers — dropping them here would resurrect deleted
+                # rows on the very next read (r13)
+                for reg in ("deletes", "delete_key", "scoped_deletes"):
+                    if reg in m:
+                        new_m[reg] = m[reg]
             if cols:
                 stats = {
                     f: dict(old_stats[f]) for f in old_stats if f in set(files)
@@ -3140,4 +3858,7 @@ def maintain_catalog(
         "stats_annotated": annotated,
         "committed": committed,
         "vacuumed": vacuum_catalog(catalog_root, retain=retain),
+        # post-vacuum: parked bucketed entries whose data just vanished
+        # are safe to drop (ROADMAP_r14 #6)
+        "gc_entries": gc_bucketed_entries(spark, dangling_only=True),
     }

@@ -295,6 +295,40 @@ WINDOW_PRIORITY += [
     "q_delete_vectors",
 ]
 
+# Round-13 window additions (same 3-mode certification bar: DuckDB
+# oracle + selfcheck --pandas and --vanilla at sf0.001 AND sf0.01 before
+# entering). q_bucket_partitioned stays from the r12 block (its r12
+# driver row errored on the dropped-entry bug, fixed this round — the
+# entry was never removed because WINDOW_PRIORITY keys auto-drop once
+# verified).
+WINDOW_PRIORITY += [
+    # bucketed-partitioned OPTIMIZE (VERDICT r12 #4): GDPR +
+    # resubscribe registers physically purged by rewriting affected
+    # partitions through the bucketed writer under the recorded spec —
+    # phase values bit-identical, register flag and seq in the hash,
+    # post-purge join plan-pinned zero-Exchange
+    "q_optimize_bucketed",
+    # bucketed PARTITIONED facts inside the catalog unit (VERDICT r12
+    # #5): fact+fact+dim staged bucketed (facts also month-partitioned)
+    # and committed by ONE catalog swap; three-way co-located join +
+    # partition-pruned June subtree + catalog seq in the hash;
+    # torn-pair crash test in tests/test_publish.py
+    "q_catalog_bucketed_partitioned",
+    # catalog-table lifecycle (VERDICT r12 #5/#8): publish_catalog_
+    # deletes + publish_catalog_increments — GDPR delete then a
+    # resubscribe increment, both single-swap commits; tombstones
+    # reconcile with stats-narrowed candidates (11x candidate
+    # reduction measured in tools/catalog_reconcile_probe.py); phase
+    # rollups + catalog seq in the hash
+    "q_catalog_increment",
+    # the streaming daily-ingest loop over the partitioned catalog
+    # (catalog_increment_batch): three read-merge-write micro-batch
+    # commits == the one-shot rollup, batching-independence + the
+    # catalog seq in the hash; live foreachBatch path + crash seam in
+    # tests/test_streaming.py
+    "q_stream_catalog_increment",
+]
+
 
 # Keys whose check was UPGRADED after their last driver row (e.g. a
 # rows-only query that gained a real SQL oracle), mapped to the LAST round
@@ -447,6 +481,20 @@ REVERIFY.update(
         # read_bucketed after publish_deletes tombstones every 10th
         # orderkey — new schema (phase column) and new rows
         "q_bucket_manifest": "r11",
+    }
+)
+
+# r13 upgrades (VERDICT r12 'missing' #6): the three permanently
+# rows-only keys gained deterministic-bound oracles (the q_hll_union /
+# q_sketch_error pattern — exact values hash-checked, sketch/learned-
+# index accuracy pinned as computed property flags). Their old
+# err=no_oracle rows counted as verified; re-floor so the window runs
+# each once under the real hash check.
+REVERIFY.update(
+    {
+        "q_approx_distinct": "r12",
+        "q_approx_percentiles": "r12",
+        "q_similarity_ivf": "r12",
     }
 )
 

@@ -1309,3 +1309,179 @@ def run_catalog_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# crash seam of the per-batch catalog-increment body
+CATINC_AFTER_COMMIT = "after_catalog_increment_commit"
+
+
+def catalog_increment_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    catalog_root: str,
+    derive_increments,
+    marker_dir: str,
+    crash_hook=None,
+) -> None:
+    """One micro-batch of the streaming catalog-INCREMENT loop (r13,
+    the partition-granular sibling of catalog_apply_batch):
+    ``derive_increments(batch_df) -> {table: frame}`` builds each
+    table's partition replacement (typically a read-merge-write: the
+    catalog's current rows for the batch's touched partitions UNION the
+    batch), and ``publish_catalog_increments`` commits every table's
+    touched partitions with ONE record swap under txid ``b<id>``.
+    Replay-idempotent by the same argument as the pointer mart loop: a
+    replay either re-merges from the OLD committed record (crash before
+    commit — the derive re-reads pre-commit state) or skips on the
+    committed record / applied ledger (crash after). Marker last,
+    fast-skip only."""
+    import os
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+
+    marker = os.path.join(marker_dir, str(batch_id))
+    if os.path.exists(marker) or batch_df.isEmpty():
+        return
+    P.publish_catalog_increments(
+        batch_df.sparkSession,
+        catalog_root,
+        derive_increments(batch_df),
+        txid=f"b{batch_id}",
+    )
+    if crash_hook:
+        crash_hook(CATINC_AFTER_COMMIT)
+    open(marker, "w").close()
+
+
+def run_catalog_increments(
+    increments: DataFrame,
+    catalog_root: str,
+    derive_increments,
+    checkpoint: str,
+) -> StreamingQuery:
+    """The streaming daily-ingest loop over a partitioned catalog: each
+    micro-batch's partition replacements for ANY number of tables
+    commit atomically through the catalog pointer — a reader can never
+    see a torn fact/dim pair or a half-applied batch. Crash matrix via
+    catalog_increment_batch's seam in tests/test_streaming.py."""
+    import os
+
+    marker_dir = os.path.join(checkpoint, "applied_batches")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        catalog_increment_batch(
+            batch_df, batch_id, catalog_root, derive_increments, marker_dir
+        )
+
+    return (
+        increments.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+@query(
+    "q_stream_catalog_increment",
+    oracle="""
+    SELECT year(o_orderdate) * 100 + month(o_orderdate) AS mk,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total,
+           CAST(4 AS BIGINT) AS seq
+    FROM orders
+    WHERE year(o_orderdate) = 1996 AND month(o_orderdate) <= 6
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_stream_catalog_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed certificate for the streaming catalog-increment loop
+    (catalog_increment_batch — the foreachBatch body of
+    run_catalog_increments, r13): a month-partitioned catalog fact is
+    seeded with January 1996, then February–June arrive as THREE
+    sequential micro-batches (o_orderkey % 3 — every batch touches
+    every remaining month, so each commit exercises the
+    read-merge-write path against the previous record, not append).
+    Each batch merges the catalog's current rows for its touched
+    months with the batch rows and commits the replacements through
+    ``publish_catalog_increments`` with ONE record swap. The final
+    per-month rollup must equal the one-shot GROUP BY over all H1
+    orders — N incremental catalog commits == one batch recompute,
+    independent of batching — and the catalog seq (1 stage + 3
+    increments = 4) is in the hash.
+
+    The LIVE path (foreachBatch + checkpoint + marker fast-skip) stays
+    driven by tests/test_streaming.py, crash seam included; this key
+    certifies the merge-commit composition itself, the
+    q_stream_mart_upsert argument lifted to the catalog unit.
+
+    Scale: per batch, only the touched partitions' current rows are
+    re-read (manifest-routed) and only those partitions write; the
+    commit is one record + one swap no matter how many tables the
+    batch's derive returns — and a crash anywhere leaves readers on
+    the previous consistent record."""
+    import os
+    import shutil
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+    from saas_analytics_pipeline_spark.scratch import scratch_path
+
+    cat = scratch_path("saas_stream_cat_incr", sf_dir)
+    marker_dir = os.path.join(cat, "_markers")
+    shutil.rmtree(cat, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    fact = (
+        orders.where(F.year("o_orderdate") == 1996)
+        .withColumn(
+            "mk", F.year("o_orderdate") * 100 + F.month("o_orderdate")
+        )
+        .where(F.col("mk") <= 199606)
+    )
+    P.publish_tables(
+        spark,
+        {"fact": fact.where(F.col("mk") == 199601)},
+        cat,
+        partitions={"fact": "mk"},
+    )
+    os.makedirs(marker_dir, exist_ok=True)
+    rest = fact.where(F.col("mk") > 199601)
+
+    def derive(batch_df: DataFrame) -> dict:
+        months = [
+            r["mk"] for r in batch_df.select("mk").distinct().collect()
+        ]
+        cur = P.read_catalog_table(spark, cat, "fact").where(
+            F.col("mk").isin(months)
+        )
+        return {"fact": cur.unionByName(batch_df)}
+
+    for i in range(3):
+        catalog_increment_batch(
+            rest.where(F.col("o_orderkey") % 3 == i),
+            i,
+            cat,
+            derive,
+            marker_dir,
+        )
+    rec = P.catalog_record(cat)
+    return (
+        P.read_catalog_table(spark, cat, "fact")
+        .groupBy("mk")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            "mk",
+            "n_orders",
+            "total",
+            F.lit(int(rec["seq"])).cast("long").alias("seq"),
+        )
+        .orderBy("mk")
+        .localCheckpoint(eager=True)
+    )

@@ -1786,6 +1786,42 @@ def test_read_bucketed_entry_tracks_respec_at_same_txid(spark, root):
     assert _snap(got2) == _snap(wider)
 
 
+def test_republish_parks_entry_under_live_lazy_frame(spark, root):
+    """A lazy DataFrame built over read_bucketed must survive a
+    republish of the same root (VERDICT r12 #1): the superseded
+    hash-tagged catalog entry is PARKED, never eagerly dropped, so the
+    frame materializes against the OLD snapshot's files — snapshot
+    isolation — while a fresh read binds the new entry. gc only drops
+    parked (superseded) entries, never the live one."""
+    view = "park_" + os.path.basename(root)
+    P.publish_bucketed(spark, _frame(spark, 1), root, "k", 4, "tx1")
+    lazy = P.read_bucketed(spark, root, view).groupBy().sum("v")
+    old_snap = _frame(spark, 1).groupBy().sum("v").collect()[0][0]
+    # republish different data at the same root → new entry, old parked
+    P.publish_bucketed(
+        spark, _frame(spark, 2).limit(37), root, "k", 4, "tx2"
+    )
+    fresh = P.read_bucketed(spark, root, view)
+    assert fresh.count() == 37
+    # the pre-republish lazy frame still materializes, over OLD data
+    assert lazy.collect()[0][0] == old_snap
+    assert len(P._SUPERSEDED_ENTRIES) >= 1
+    # dangling-only GC keeps a parked entry whose files still exist —
+    # the retained-snapshot reader's lazy frame stays valid
+    assert P.gc_bucketed_entries(spark, dangling_only=True) == 0
+    assert len(P._SUPERSEDED_ENTRIES) >= 1
+    # once the old snapshot's files are gone (vacuum), the parked entry
+    # is doomed anyway and dangling-only GC reclaims it
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(root, "data", "tx1"))
+    assert P.gc_bucketed_entries(spark, dangling_only=True) >= 1
+    dropped = P.gc_bucketed_entries(spark)  # full drop clears the rest
+    assert not P._SUPERSEDED_ENTRIES
+    # the live entry survived gc — a fresh read keeps working
+    assert P.read_bucketed(spark, root, view).count() == 37
+
+
 def test_maintain_catalog_compaction_carries_prior_stats_register(
     spark, cat, backend
 ):
@@ -2101,6 +2137,138 @@ def test_bucketed_partitioned_reader_applies_scoped_tombstones(spark, root):
     ), plan
 
 
+def _scoped_root(spark, root):
+    """Build a root with a live scoped-tombstone group (k=7's stale
+    month-2 copy hidden, fresh month-1 row visible)."""
+    rows = [(7, 199601, 10), (7, 199602, 20), (8, 199601, 30), (9, 199602, 40)]
+    df = spark.createDataFrame(rows, "k long, mk long, v long")
+    P.publish_partition_overwrite(spark, df, root, "mk")
+    P.publish_deletes(
+        spark, spark.createDataFrame([(7,)], "k long"), root, "k"
+    )
+    inc = spark.createDataFrame(
+        [(7, 199601, 99), (8, 199601, 30)], "k long, mk long, v long"
+    )
+    P.publish_partition_overwrite(spark, inc, root, "mk")
+    assert P.current_manifest(root).get("scoped_deletes")
+
+
+def test_scoped_deletes_survive_symlinked_root(spark, root, tmp_path):
+    """Scope provenance matches on the manifest-relative tail, so a
+    reader entering through a SYMLINKED root path still hides the stale
+    copies — an absolute-path comparison would silently unmatch and
+    resurrect deleted rows (ADVICE r12)."""
+    _scoped_root(spark, root)
+    link = str(tmp_path / "lnk" / "table")
+    os.makedirs(os.path.dirname(link), exist_ok=True)
+    os.symlink(root, link)
+    got = P.read_current(spark, link)
+    assert {(r["k"], r["v"]) for r in got.collect()} == {
+        (7, 99), (8, 30), (9, 40),
+    }
+
+
+def test_scoped_deletes_fail_loudly_on_missing_scope_file(spark, root):
+    """A scoped group referencing a data file that no longer exists
+    (manifest/data drift: bad vacuum, manual surgery) must REFUSE the
+    read instead of silently no-oping the mask (ADVICE r12). The guard
+    fires at plan build, before any scan."""
+    _scoped_root(spark, root)
+    m = dict(P.current_manifest(root))
+    m["scoped_deletes"] = [
+        {**m["scoped_deletes"][0], "files": ["data/gone/part-x.parquet"]}
+    ]
+    df = P._read_files(spark, root, m, m["files"])
+    with pytest.raises(FileNotFoundError, match="resurrect"):
+        P._apply_scoped_deletes(spark, root, m, df)
+
+
+def test_scoped_group_valve_caps_reader_plan_growth(spark, root, backend):
+    """The scoped-group VALVE (r13, VERDICT r12 #7): repeated
+    delete-then-resubscribe cycles accumulate scoped-tombstone groups —
+    each costs every reader two broadcast joins — until the count
+    exceeds max_scoped_groups, at which point publish_partition_overwrite
+    triggers a scoped-only mini-OPTIMIZE that rewrites exactly the
+    scoped partitions and clears the groups. The matrix runs 10 cycles
+    under K=3 on both commit backends: group count never exceeds K, the
+    valve verifiably fires, the GLOBAL register carries untouched, and
+    every cycle's read matches the simulated state."""
+    K = 3
+    MKS = tuple(range(1, 9))  # 8 partitions: scopes survive ~7 cycles,
+    # so the count would grow unbounded without the valve
+    state = {}  # (k, mk) -> v
+    rows = [(k, mk, k * 100 + mk) for k in range(10) for mk in MKS]
+    for k, mk, v in rows:
+        state[(k, mk)] = v
+    df = spark.createDataFrame(rows, "k long, mk long, v long")
+    P.publish_partition_overwrite(spark, df, root, "mk", backend=backend)
+    valve_fired = 0
+    for i in range(10):
+        k = i % 10
+        P.publish_deletes(
+            spark, spark.createDataFrame([(k,)], "k long"), root, "k",
+            backend=backend,
+        )
+        for mk in MKS:
+            state.pop((k, mk), None)
+        p = (i % len(MKS)) + 1
+        inc_rows = [
+            (kk, mk, v) for (kk, mk), v in state.items() if mk == p
+        ] + [(k, p, 1000 + i)]
+        state[(k, p)] = 1000 + i
+        before = len(
+            (P.current_manifest(root).get("scoped_deletes")) or []
+        )
+        P.publish_partition_overwrite(
+            spark,
+            spark.createDataFrame(inc_rows, "k long, mk long, v long"),
+            root,
+            "mk",
+            backend=backend,
+            max_scoped_groups=K,
+        )
+        m = P.current_manifest(root)
+        groups = m.get("scoped_deletes") or []
+        assert len(groups) <= K, (i, len(groups))
+        if before >= K and not groups:
+            valve_fired += 1
+        got = {
+            (r["k"], r["mk"]): r["v"]
+            for r in P.read_current(spark, root).collect()
+        }
+        assert got == state, f"cycle {i}"
+    assert valve_fired >= 1  # the valve demonstrably triggered
+
+
+def test_optimize_scoped_only_keeps_global_register(spark, root):
+    """optimize_table(scoped_only=True) purges ONLY the scoped groups:
+    the global register (and delete_key) carries, fragmented unaffected
+    partitions stay unpacked, and the read is value-identical before
+    and after."""
+    _scoped_root(spark, root)
+    # add a global-only tombstone that must SURVIVE the scoped purge
+    P.publish_deletes(
+        spark, spark.createDataFrame([(9,)], "k long"), root, "k"
+    )
+    m0 = P.current_manifest(root)
+    assert m0.get("scoped_deletes") and m0.get("deletes")
+    before = {
+        (r["k"], r["v"]) for r in P.read_current(spark, root).collect()
+    }
+    P.optimize_table(spark, root, scoped_only=True)
+    m1 = P.current_manifest(root)
+    assert not m1.get("scoped_deletes")
+    assert m1.get("deletes") and m1.get("delete_key") == "k"
+    after = {
+        (r["k"], r["v"]) for r in P.read_current(spark, root).collect()
+    }
+    assert after == before == {(7, 99), (8, 30)}
+    # idempotent: no scoped groups left -> no new commit
+    assert P.optimize_table(spark, root, scoped_only=True) == P._manifest_name(
+        m1["txid"]
+    )
+
+
 def test_optimize_bucketed_partitioned_purges_and_keeps_colocation(
     spark, root
 ):
@@ -2294,6 +2462,448 @@ def test_maintain_catalog_preserves_bucketed_table(spark, cat, backend):
         spark, cat, retain=5, stats_cols={"fact": ["ck"]}, backend=backend
     )
     assert report2["compacted"] == [] and report2["stats_annotated"] == []
+
+
+def _bp_fact(spark, tag: int):
+    """60 rows, 3 months (199601-03), key ck 0..19."""
+    return spark.range(60).select(
+        (F.col("id") % 20).alias("ck"),
+        (F.lit(199601) + F.col("id") % 3).alias("mk"),
+        (F.col("id") * 10 + tag).alias(f"v{tag}"),
+    )
+
+
+def test_catalog_bucketed_partitioned_roundtrip_join_and_prune(
+    spark, cat, backend
+):
+    """Bucketed PARTITIONED facts inside the catalog unit (r13, VERDICT
+    r12 #5): publish_tables stages month-partitioned bucketed facts; the
+    reader re-exposes partitioning + co-location, a same-spec join runs
+    with zero shuffle Exchanges below the SortMergeJoin across ALL
+    partitions, and a ``_p`` filter prunes catalog-side."""
+    f96, f97 = _bp_fact(spark, 6), _bp_fact(spark, 7)
+    dim = spark.range(20).select(
+        F.col("id").alias("ck"), (F.col("id") % 3).alias("tier")
+    )
+    P.publish_tables(
+        spark,
+        {"f96": f96, "f97": f97, "dim": dim},
+        cat,
+        backend=backend,
+        buckets={"f96": {"col": "ck", "n": 4}, "f97": {"col": "ck", "n": 4}},
+        partitions={"f96": "mk", "f97": "mk"},
+    )
+    base = os.path.basename(cat)
+    t96 = P.read_catalog_bucketed_partitioned(spark, cat, "f96", "cbp96_" + base)
+    t97 = P.read_catalog_bucketed_partitioned(spark, cat, "f97", "cbp97_" + base)
+    assert _snap(t96.drop("_p")) == _snap(f96)
+    # the plain catalog reader still works and agrees
+    assert _snap(P.read_catalog_table(spark, cat, "f96")) == _snap(f96)
+    # partition map recorded: 3 months, one file per (month, bucket)
+    rec = P.catalog_record(cat)
+    m = P._load_manifest(
+        os.path.join(cat, "tables", "f96"), rec["tables"]["f96"]
+    )
+    assert sorted(m["partitions"]) == ["199601", "199602", "199603"]
+    assert m["n_files"] <= 3 * 4 and m["bucket"]["n"] == 4
+    # unbucketed or unpartitioned tables refuse loudly
+    with pytest.raises(ValueError, match="partitioned\\+bucketed"):
+        P.read_catalog_bucketed_partitioned(spark, cat, "dim", "cbpd")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def rev(t, out, col):
+            return t.groupBy("ck").agg(F.sum(col).alias(out))
+
+        j = rev(t96, "r96", "v6").join(rev(t97, "r97", "v7"), "ck")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2, plan
+        smj = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange hashpartitioning" not in smj, smj
+        assert j.count() == 20
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    # partition pruning on the shadow column reaches the scan
+    pruned = t96.where(F.col("_p") == "199602")
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in pplan and "199602" in pplan, pplan
+    assert pruned.count() == 20
+
+
+def test_catalog_bucketed_partitioned_torn_pair_crash(spark, cat, backend):
+    """A writer crashing after staging ONE of two bucketed-partitioned
+    facts leaves readers on the previous consistent catalog record —
+    never fact96-new with fact97-old (VERDICT r12 #5's torn-pair
+    test)."""
+    f96, f97 = _bp_fact(spark, 6), _bp_fact(spark, 7)
+    kw = dict(
+        backend=backend,
+        buckets={"f96": {"col": "ck", "n": 4}, "f97": {"col": "ck", "n": 4}},
+        partitions={"f96": "mk", "f97": "mk"},
+    )
+    P.publish_tables(spark, {"f96": f96, "f97": f97}, cat, **kw)
+    seq_before = P.catalog_record(cat)["seq"]
+    g96 = f96.withColumn("v6", F.col("v6") + 1000)
+    g97 = f97.withColumn("v7", F.col("v7") + 1000)
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash(stage):
+        if stage == "staged:f96":  # f96 staged, f97 not yet
+            raise Boom(stage)
+
+    with pytest.raises(Boom):
+        P.publish_tables(
+            spark, {"f96": g96, "f97": g97}, cat, crash_hook=crash, **kw
+        )
+    # readers still see the OLD pair, mutually consistent
+    rec = P.catalog_record(cat)
+    assert rec["seq"] == seq_before
+    base = os.path.basename(cat)
+    t96 = P.read_catalog_bucketed_partitioned(spark, cat, "f96", "tp96_" + base)
+    t97 = P.read_catalog_bucketed_partitioned(spark, cat, "f97", "tp97_" + base)
+    assert _snap(t96.drop("_p")) == _snap(f96)
+    assert _snap(t97.drop("_p")) == _snap(f97)
+    # the retry stages anew and commits both
+    P.publish_tables(spark, {"f96": g96, "f97": g97}, cat, **kw)
+    t96b = P.read_catalog_bucketed_partitioned(spark, cat, "f96", "tp96b_" + base)
+    t97b = P.read_catalog_bucketed_partitioned(spark, cat, "f97", "tp97b_" + base)
+    assert _snap(t96b.drop("_p")) == _snap(g96)
+    assert _snap(t97b.drop("_p")) == _snap(g97)
+
+
+def test_maintain_catalog_preserves_bucketed_partitioned_table(
+    spark, cat, backend
+):
+    """maintain_catalog on a bucketed-partitioned catalog table: packed
+    means one file per (partition, bucket) — a healthy table carries by
+    reference; a stats annotation keeps the partition map AND the spec;
+    the co-located partitioned read still works afterwards."""
+    f96 = _bp_fact(spark, 6)
+    P.publish_tables(
+        spark,
+        {"f96": f96, "dim": _frag(spark, 2, 3)},
+        cat,
+        backend=backend,
+        buckets={"f96": {"col": "ck", "n": 4}},
+        partitions={"f96": "mk"},
+    )
+    rec0 = P.catalog_record(cat)
+    out = P.maintain_catalog(
+        spark, cat, stats_cols={"f96": ["ck"]}, backend=backend
+    )
+    assert "dim" in out["compacted"] and "f96" not in out["compacted"]
+    assert "f96" in out["stats_annotated"]
+    rec1 = P.catalog_record(cat)
+    assert rec1["seq"] == rec0["seq"] + 1
+    m = P._load_manifest(
+        os.path.join(cat, "tables", "f96"), rec1["tables"]["f96"]
+    )
+    assert m["bucket"] == {"col": "ck", "n": 4, "sort": ["ck"]}
+    assert sorted(m["partitions"]) == ["199601", "199602", "199603"]
+    assert m.get("stats_cols") == ["ck"]
+    t = P.read_catalog_bucketed_partitioned(
+        spark, cat, "f96", "mnt96_" + os.path.basename(cat)
+    )
+    assert _snap(t.drop("_p")) == _snap(f96)
+    # idempotent: a second run commits nothing
+    out2 = P.maintain_catalog(
+        spark, cat, stats_cols={"f96": ["ck"]}, backend=backend
+    )
+    assert not out2["compacted"] and not out2["stats_annotated"]
+
+
+# ---------------------------------------------------------------------------
+# r13: catalog-table lifecycle — deletes, partition increments, reconcile
+# (VERDICT r12 #5/#8, ROADMAP_r13 #4)
+# ---------------------------------------------------------------------------
+
+
+def test_catalog_deletes_hide_keys_on_every_reader(spark, cat, backend):
+    """publish_catalog_deletes: keys vanish with ONE catalog swap on the
+    plain, routed, and bucketed-partitioned readers; catalog time travel
+    to the pre-delete seq still shows them; one delete key per table."""
+    f = _bp_fact(spark, 6)
+    P.publish_tables(
+        spark, {"f": f}, cat, backend=backend,
+        buckets={"f": {"col": "ck", "n": 4}}, partitions={"f": "mk"},
+    )
+    seq0 = P.catalog_record(cat)["seq"]
+    P.publish_catalog_deletes(
+        spark, cat, "f", spark.createDataFrame([(3,), (5,)], "ck long"),
+        "ck", backend=backend,
+    )
+    rec = P.catalog_record(cat)
+    assert rec["seq"] == seq0 + 1
+    got = P.read_catalog_table(spark, cat, "f")
+    assert got.where(F.col("ck").isin(3, 5)).count() == 0
+    assert got.count() == f.where(~F.col("ck").isin(3, 5)).count()
+    base = os.path.basename(cat)
+    gb = P.read_catalog_bucketed_partitioned(spark, cat, "f", "cd_" + base)
+    assert gb.where(F.col("ck").isin(3, 5)).count() == 0
+    # routed read applies the register too
+    df, rep = P.read_catalog_where(spark, cat, "f", [("mk", 199601, 199601)])
+    assert df.where(F.col("ck").isin(3, 5)).count() == 0
+    # time travel: the pre-delete record still shows the keys
+    old = P.read_catalog_table(spark, cat, "f", seq=seq0)
+    assert old.where(F.col("ck").isin(3, 5)).count() > 0
+    with pytest.raises(ValueError, match="one delete key"):
+        P.publish_catalog_deletes(
+            spark, cat, "f", spark.createDataFrame([(1,)], "v6 long"),
+            "v6", backend=backend,
+        )
+
+
+def test_catalog_increments_overwrite_partitions_atomically(
+    spark, cat, backend
+):
+    """publish_catalog_increments: fact increment + dim refresh commit
+    with ONE swap; untouched partitions carry by reference; a crash
+    after staging one table leaves readers on the old consistent pair;
+    a same-txid replay skips."""
+    f = _bp_fact(spark, 6)
+    dim = spark.range(20).select(
+        F.col("id").alias("ck"), (F.col("id") % 3).alias("tier")
+    )
+    P.publish_tables(
+        spark, {"f": f, "dim": dim}, cat, backend=backend,
+        buckets={"f": {"col": "ck", "n": 4}},
+        partitions={"f": "mk", "dim": "tier"},
+    )
+    inc = spark.createDataFrame(
+        [(k, 199602, 7000 + k) for k in range(20)],
+        "ck long, mk long, v6 long",
+    )
+    dim2 = dim.withColumn("tier", (F.col("tier") + 1) % 3)
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash(stage):
+        if stage == "staged:dim":
+            raise Boom(stage)
+
+    seq1 = P.catalog_record(cat)["seq"]
+    with pytest.raises(Boom):
+        P.publish_catalog_increments(
+            spark, cat, {"f": inc, "dim": dim2}, crash_hook=crash,
+            backend=backend,
+        )
+    # readers still on the OLD pair
+    assert P.catalog_record(cat)["seq"] == seq1
+    assert _snap(P.read_catalog_table(spark, cat, "f")) == _snap(f)
+    # the retry commits both at once
+    P.publish_catalog_increments(
+        spark, cat, {"f": inc, "dim": dim2}, txid="b7", backend=backend
+    )
+    rec = P.catalog_record(cat)
+    assert rec["seq"] == seq1 + 1
+    got = P.read_catalog_table(spark, cat, "f")
+    assert got.where(F.col("mk") == 199602).count() == 20
+    assert {
+        r["v6"] for r in got.where(F.col("mk") == 199602).collect()
+    } == {7000 + k for k in range(20)}
+    # untouched months carried byte-identical (same file entries)
+    m = P._load_manifest(
+        os.path.join(cat, "tables", "f"), rec["tables"]["f"]
+    )
+    assert sorted(m["partitions"]) == ["199601", "199602", "199603"]
+    txid_of = lambda fp: fp.split(os.sep)[1]  # data/<txid>/_p=…/part-…
+    assert all(txid_of(fp) == "b7" for fp in m["partitions"]["199602"])
+    assert all(txid_of(fp) != "b7" for fp in m["partitions"]["199601"])
+    # bucket spec inherited: the increment's month is still co-located
+    assert m["bucket"]["n"] == 4
+    # replay skips (no new commit)
+    P.publish_catalog_increments(
+        spark, cat, {"f": inc, "dim": dim2}, txid="b7", backend=backend
+    )
+    assert P.catalog_record(cat)["seq"] == seq1 + 1
+    # increment on a whole-table-staged table refuses
+    with pytest.raises(ValueError, match="whole-table"):
+        P.publish_tables(
+            spark, {"w": dim}, cat, backend=backend
+        ) and P.publish_catalog_increments(
+            spark, cat, {"w": dim2}, backend=backend
+        )
+
+
+def test_catalog_increment_reconciles_tombstones_stats_narrowed(
+    spark, cat, backend
+):
+    """The daily-ingest GDPR flow INSIDE the catalog: delete keys, then
+    an increment re-inserts one of them — the re-inserted key leaves the
+    register (downgrading to a file-scoped group over the CARRIED
+    candidates when stale copies survive), and when maintain_catalog has
+    annotated the delete key the candidate set is STATS-NARROWED instead
+    of every carried file (ROADMAP_r13 #4 / VERDICT r12 #8)."""
+    # keys clustered by partition so per-file ck stats are narrow:
+    # mk 1: ck 0..9, mk 2: ck 10..19, mk 3: ck 20..29
+    rows = [
+        (ck + 10 * (mk - 1), 199600 + mk, ck) for mk in (1, 2, 3)
+        for ck in range(10)
+    ]
+    f = spark.createDataFrame(rows, "ck long, mk long, v long")
+    P.publish_tables(
+        spark, {"f": f}, cat, backend=backend, partitions={"f": "mk"}
+    )
+    # annotate ck stats through catalog maintenance
+    P.maintain_catalog(
+        spark, cat, stats_cols={"f": ["ck"]}, compact=False,
+        backend=backend,
+    )
+    # GDPR: ck=5 (lives ONLY in month 1) and ck=15 (only month 2)
+    P.publish_catalog_deletes(
+        spark, cat, "f", spark.createDataFrame([(5,), (15,)], "ck long"),
+        "ck", backend=backend,
+    )
+    # resubscribe ck=5 via a month-1 overwrite: month 1 is TOUCHED, so
+    # no stale copy survives anywhere -> ck=5 simply leaves the register
+    inc1 = spark.createDataFrame(
+        [(ck, 199601, ck + 100) for ck in range(10)],
+        "ck long, mk long, v long",
+    )
+    P.publish_catalog_increments(spark, cat, {"f": inc1}, backend=backend)
+    rec = P.catalog_record(cat)
+    m = P._load_manifest(os.path.join(cat, "tables", "f"), rec["tables"]["f"])
+    assert not m.get("scoped_deletes")  # no stale copies -> no group
+    got = P.read_catalog_table(spark, cat, "f")
+    assert got.where(F.col("ck") == 5).count() == 1  # re-inserted
+    assert got.where(F.col("ck") == 15).count() == 0  # still deleted
+    # re-annotate: inc1's fresh month-1 files are stats-less and would
+    # join the candidate set conservatively — the steady-state cadence
+    # (maintain after ingest) keeps the register complete
+    P.maintain_catalog(
+        spark, cat, stats_cols={"f": ["ck"]}, compact=False,
+        backend=backend,
+    )
+    # resubscribe ck=15 via a month-THREE overwrite: month 2's stale
+    # copy survives in a carried file -> file-scoped group, and the
+    # stats narrow its scope to month 2's file only (never month 1's)
+    inc3 = spark.createDataFrame(
+        [(15, 199603, 999)], "ck long, mk long, v long"
+    )
+    P.publish_catalog_increments(spark, cat, {"f": inc3}, backend=backend)
+    rec = P.catalog_record(cat)
+    m = P._load_manifest(os.path.join(cat, "tables", "f"), rec["tables"]["f"])
+    groups = m.get("scoped_deletes") or []
+    assert groups, m
+    scope = {f for g in groups for f in g["files"]}
+    month2 = set(m["partitions"]["199602"])
+    month1 = set(m["partitions"]["199601"])
+    assert scope <= month2 and not (scope & month1), (
+        "stats narrowing failed: scope should cover only month 2's "
+        f"stale-holding file, got {scope}"
+    )
+    got = P.read_catalog_table(spark, cat, "f")
+    # fresh row visible, stale month-2 copy hidden
+    assert {
+        (r["mk"], r["v"])
+        for r in got.where(F.col("ck") == 15).collect()
+    } == {(199603, 999)}
+    # maintain_catalog compaction purges the registers physically
+    out = P.maintain_catalog(
+        spark, cat, stats_cols={"f": ["ck"]}, backend=backend
+    )
+    assert "f" in out["compacted"]
+    rec = P.catalog_record(cat)
+    m = P._load_manifest(os.path.join(cat, "tables", "f"), rec["tables"]["f"])
+    assert not m.get("deletes") and not m.get("scoped_deletes")
+    after = P.read_catalog_table(spark, cat, "f")
+    assert _snap(after) == _snap(got)
+
+
+def test_catalog_scoped_group_valve(spark, cat, backend):
+    """The catalog twin of the scoped-group valve (r13): repeated
+    delete/resubscribe cycles through publish_catalog_increments keep
+    the table's scoped-group count capped at K — a scoped-only purge
+    commits as its own record swap, the global register carries, and
+    every cycle's read matches the simulated state."""
+    K = 2
+    MKS = tuple(range(1, 7))
+    state = {}
+    rows = [(k, 199600 + mk, k * 100 + mk) for k in range(8) for mk in MKS]
+    for k, mk, v in rows:
+        state[(k, mk)] = v
+    P.publish_tables(
+        spark,
+        {"f": spark.createDataFrame(rows, "k long, mk long, v long")},
+        cat,
+        backend=backend,
+        partitions={"f": "mk"},
+    )
+    valve_fired = 0
+    for i in range(7):
+        k = i % 8
+        P.publish_catalog_deletes(
+            spark, cat, "f", spark.createDataFrame([(k,)], "k long"), "k",
+            backend=backend,
+        )
+        for mk in MKS:
+            state.pop((k, 199600 + mk), None)
+        p = 199600 + (i % len(MKS)) + 1
+        inc_rows = [
+            (kk, mk, v) for (kk, mk), v in state.items() if mk == p
+        ] + [(k, p, 5000 + i)]
+        state[(k, p)] = 5000 + i
+        before = len(
+            P._load_manifest(
+                os.path.join(cat, "tables", "f"),
+                P.catalog_record(cat)["tables"]["f"],
+            ).get("scoped_deletes")
+            or []
+        )
+        P.publish_catalog_increments(
+            spark,
+            cat,
+            {"f": spark.createDataFrame(inc_rows, "k long, mk long, v long")},
+            backend=backend,
+            max_scoped_groups=K,
+        )
+        m = P._load_manifest(
+            os.path.join(cat, "tables", "f"),
+            P.catalog_record(cat)["tables"]["f"],
+        )
+        groups = m.get("scoped_deletes") or []
+        assert len(groups) <= K, (i, len(groups))
+        if before >= K and not groups:
+            valve_fired += 1
+        got = {
+            (r["k"], r["mk"]): r["v"]
+            for r in P.read_catalog_table(spark, cat, "f").collect()
+        }
+        assert got == state, f"cycle {i}"
+    assert valve_fired >= 1
+
+
+def test_maintain_catalog_stats_only_carries_registers(spark, cat, backend):
+    """A compact=False stats annotation over a register-carrying catalog
+    table must CARRY the tombstones — dropping them would resurrect
+    deleted rows on the next read (r13)."""
+    f = _bp_fact(spark, 6)
+    P.publish_tables(
+        spark, {"f": f}, cat, backend=backend, partitions={"f": "mk"}
+    )
+    P.publish_catalog_deletes(
+        spark, cat, "f", spark.createDataFrame([(3,)], "ck long"), "ck",
+        backend=backend,
+    )
+    P.maintain_catalog(
+        spark, cat, stats_cols={"f": ["ck"]}, compact=False,
+        backend=backend,
+    )
+    rec = P.catalog_record(cat)
+    m = P._load_manifest(os.path.join(cat, "tables", "f"), rec["tables"]["f"])
+    assert m.get("deletes") and m.get("delete_key") == "ck"
+    assert m.get("stats_cols") == ["ck"]
+    assert (
+        P.read_catalog_table(spark, cat, "f")
+        .where(F.col("ck") == 3)
+        .count()
+        == 0
+    )
 
 
 def test_streaming_catalog_loop_carries_bucket_spec(spark, cat, tmp_path):

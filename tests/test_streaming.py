@@ -1112,3 +1112,83 @@ def test_catalog_maintenance_loop_consistent_and_crash_idempotent(
     ) == sorted(
         tuple(r) for r in P.read_catalog_table(spark, ref, "fact").collect()
     )
+
+
+def test_catalog_increment_loop_merges_and_survives_crash_replay(
+    spark, tmp_path
+):
+    """The streaming catalog-INCREMENT loop (catalog_increment_batch,
+    r13): each batch read-merge-writes its touched partitions and
+    commits with one record swap; a crash after the commit (marker
+    never written) replays to the no-crash state — the explicit b<id>
+    txid makes the re-commit skip instead of double-merging; the final
+    state equals the crash-free run's."""
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F2
+
+    from saas_analytics_pipeline_spark.plans import publish as P
+    from saas_analytics_pipeline_spark.streaming.jobs import (
+        CATINC_AFTER_COMMIT,
+        catalog_increment_batch,
+    )
+
+    def batch(i: int):
+        # every batch touches both months
+        return spark.createDataFrame(
+            [(100 * i + j, 199601 + j % 2, i) for j in range(6)],
+            "k long, mk long, v long",
+        )
+
+    class Boom(RuntimeError):
+        pass
+
+    def hook(b):
+        if b == CATINC_AFTER_COMMIT:
+            raise Boom(b)
+
+    def run(cat, marker_dir, crash_batches):
+        os.makedirs(marker_dir, exist_ok=True)
+        P.publish_tables(
+            spark,
+            {
+                "fact": spark.createDataFrame(
+                    [(1, 199601, -1), (2, 199602, -1)],
+                    "k long, mk long, v long",
+                )
+            },
+            cat,
+            partitions={"fact": "mk"},
+        )
+
+        def derive(df):
+            months = [
+                r["mk"] for r in df.select("mk").distinct().collect()
+            ]
+            cur = P.read_catalog_table(spark, cat, "fact").where(
+                F2.col("mk").isin(months)
+            )
+            return {"fact": cur.unionByName(df)}
+
+        for i in range(3):
+            if i in crash_batches:
+                with _pytest.raises(Boom):
+                    catalog_increment_batch(
+                        batch(i), i, cat, derive, marker_dir,
+                        crash_hook=hook,
+                    )
+            # the replay (and a second, redundant replay)
+            catalog_increment_batch(batch(i), i, cat, derive, marker_dir)
+            catalog_increment_batch(batch(i), i, cat, derive, marker_dir)
+        return sorted(
+            tuple(r)
+            for r in P.read_catalog_table(spark, cat, "fact").collect()
+        )
+
+    ref = run(str(tmp_path / "ref"), str(tmp_path / "ref_m"), set())
+    crashed = run(str(tmp_path / "cr"), str(tmp_path / "cr_m"), {1})
+    assert ref == crashed
+    # the merge accumulated every batch on the seeded rows
+    assert len(ref) == 2 + 18

@@ -39,6 +39,7 @@ PROBES: list[tuple[str, list[str]]] = [
     ("skipping_probe", []),
     ("lake_maint_probe", []),
     ("catalog_maint_probe", []),
+    ("catalog_reconcile_probe", []),
 ]
 
 
