@@ -45,6 +45,19 @@ def shingles(col: str = "text") -> F.Column:
     )
 
 
+def shingles_arr(toks: F.Column, w: int = SHINGLE_W) -> F.Column:
+    """shingles() over a PRE-SPLIT tokens array column. Catalyst does not
+    hoist common subexpressions out of higher-order-function lambdas, so
+    the inline form re-splits the text once per shingle position — an
+    O(tokens) blowup per doc measured 2.7x at sf0.1 (r13, guide §1.2)."""
+    return F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - F.lit(w - 1), F.lit(1))
+        ),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, w)),
+    )
+
+
 SHINGLES_SQL = f"""
         list_transform(
             range(1, greatest(len(string_split(text, ' ')) - {SHINGLE_W - 2}, 2)),
@@ -108,7 +121,9 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     once, through the conditional volume-neutral pre-explode spread
     (a no-op on multi-file lakes; sources.spread_for_fanout)."""
     hashed = spread_for_fanout(docs).select(
-        "doc_id", F.explode(shingles()).alias("shingle")
+        "doc_id", F.split("text", " ").alias("_toks")
+    ).select(
+        "doc_id", F.explode(shingles_arr(F.col("_toks"))).alias("shingle")
     ).select("doc_id", hash60("shingle").alias("h"))
     return hashed.groupBy("doc_id").agg(
         *[
@@ -227,7 +242,9 @@ def row_band_buckets(docs: DataFrame, *carry: str) -> DataFrame:
             F.transform("_hs", lambda h: h.bitwiseXOR(F.lit(salt)))
         )
 
-    hs = docs.withColumn("_hs", F.transform(shingles(), hash60))
+    hs = docs.withColumn("_toks", F.split("text", " ")).withColumn(
+        "_hs", F.transform(shingles_arr(F.col("_toks")), hash60)
+    )
     sig = hs.select(
         "doc_id",
         *carry,
@@ -313,7 +330,9 @@ def pairwise_jaccard(cand: DataFrame, docs: DataFrame) -> DataFrame:
     # scan-parallelism ceiling measured in docs/SCALE.md — 10x at sf3)
     sets = spread_for_fanout(
         docs.join(cand_docs, "doc_id", "left_semi")
-    ).select("doc_id", F.array_distinct(shingles()).alias("ss"))
+    ).select("doc_id", F.split("text", " ").alias("_toks")).select(
+        "doc_id", F.array_distinct(shingles_arr(F.col("_toks"))).alias("ss")
+    )
     paired = (
         cand.join(sets.alias("sa"), F.col("a") == F.col("sa.doc_id"))
         .join(sets.alias("sb"), F.col("b") == F.col("sb.doc_id"))
@@ -345,7 +364,9 @@ def near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.7) -> DataFrame
     (groupBy band key), and the exact verification joins shingle sets for
     candidate pairs only."""
     cand = lsh_candidate_pairs(docs)
-    sh = docs.select("doc_id", F.explode(F.array_distinct(shingles())).alias("s"))
+    sh = docs.select("doc_id", F.split("text", " ").alias("_toks")).select(
+        "doc_id", F.explode(F.array_distinct(shingles_arr(F.col("_toks")))).alias("s")
+    )
     return exact_jaccard(cand, sh).where(F.col("jaccard") >= jaccard_threshold)
 
 
@@ -376,8 +397,8 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id%50=0). The inverted-index join IS the scalable form of pairwise
     similarity — pairs only materialize for docs sharing a shingle."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles())).alias("s")
+    sh = docs.select("doc_id", F.split("text", " ").alias("_toks")).select(
+        "doc_id", F.explode(F.array_distinct(shingles_arr(F.col("_toks")))).alias("s")
     ).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
@@ -887,8 +908,8 @@ def q_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ida", "idb", est_expr.alias("est")
     )
 
-    dsh = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles())).alias("s")
+    dsh = docs.select("doc_id", F.split("text", " ").alias("_toks")).select(
+        "doc_id", F.explode(F.array_distinct(shingles_arr(F.col("_toks")))).alias("s")
     )
     sizes = dsh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
@@ -1329,7 +1350,13 @@ def token_windows(col: str = "text", w: int = RUN_W) -> F.Column:
     """Every FULL-width ``w``-token window of the space-split token
     stream as an array column (JVM-side, no UDF); docs shorter than the
     window yield an empty array (no partial windows — exactness is the
-    point of this modality, unlike shingles())."""
+    point of this modality, unlike shingles()).
+
+    r13: the tokenization is NOT inlined here — callers must pass a
+    pre-split tokens array column (see token_windows_arr) or accept the
+    split being re-evaluated per window inside the lambda (Catalyst does
+    not hoist common subexpressions out of higher-order-function lambdas:
+    profiled 2.7x slower at sf0.1, guide §1.2 "per-task work")."""
     return F.expr(
         f"""
         case when size(split({col}, ' ')) >= {w}
@@ -1340,6 +1367,18 @@ def token_windows(col: str = "text", w: int = RUN_W) -> F.Column:
         else array() end
         """
     )
+
+
+def token_windows_arr(toks: F.Column, w: int = RUN_W) -> F.Column:
+    """token_windows over a PRE-SPLIT tokens array column (a bound
+    attribute, so the lambda does not re-split the text per window)."""
+    return F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(w - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def span_islands(dup_positions: DataFrame, w: int = RUN_W) -> DataFrame:
@@ -1432,12 +1471,15 @@ def dup_span_intervals(
         )
         dup = wins.join(shared, "h", "left_semi").select("doc_id", "pos")
         return span_islands(dup, w=w)
+    # r13: "h occurs in >= 2 DISTINCT docs" == "min(doc_id) != max(doc_id)
+    # over h" — one unordered window frame instead of the r10
+    # dense_rank-over-(h, doc_id) + max-over-(h) pair (two Window nodes
+    # and a wider sort key); same rows, one less Window pass (guide §2.4).
     w_h = Window.partitionBy("h")
-    w_hd = Window.partitionBy("h").orderBy("doc_id")
     dup = (
-        wins.withColumn("dr", F.dense_rank().over(w_hd))
-        .withColumn("nd", F.max("dr").over(w_h))
-        .where(F.col("nd") >= 2)
+        wins.withColumn("mn", F.min("doc_id").over(w_h))
+        .withColumn("mx", F.max("doc_id").over(w_h))
+        .where(F.col("mn") != F.col("mx"))
         .select("doc_id", "pos")
     )
     return span_islands(dup, w=w)
@@ -1530,14 +1572,19 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic) — north-star extension (BASELINE.json)."""
     docs = load_table(spark, sf_dir, "documents")
     spans = dup_span_intervals(docs)
+    # r13: aggregate per doc FIRST — spans leave span_islands hash-
+    # partitioned by doc_id, so this groupBy needs no Exchange; the
+    # broadcast source attach then happens at per-doc grain (the old
+    # join-then-groupBy(source, doc_id) re-shuffled because Catalyst
+    # can't see source is functionally dependent on doc_id) (guide §2.4).
     per_doc = (
-        spans.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source", "doc_id")
+        spans.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
             F.sum("span_tokens").alias("covered"),
             F.max("span_tokens").alias("max_span"),
         )
+        .join(docs.select("doc_id", "source"), "doc_id")
     )
     return (
         per_doc.groupBy("source")
@@ -1588,13 +1635,14 @@ def foreign_dup_spans(
             .select("doc_id", "pos")
         )
     else:
+        # r13: doc_id != min(doc_id)-over-h already implies the hash is
+        # shared by >= 2 distinct docs, so the dense_rank/max distinct
+        # count is redundant — one window aggregate instead of three
+        # (two Window nodes), and no orderBy in the frame (guide §2.4).
         w_h = Window.partitionBy("h")
-        w_hd = Window.partitionBy("h").orderBy("doc_id")
         foreign = (
-            wins.withColumn("dr", F.dense_rank().over(w_hd))
-            .withColumn("nd", F.max("dr").over(w_h))
-            .withColumn("owner", F.min("doc_id").over(w_h))
-            .where((F.col("nd") >= 2) & (F.col("doc_id") != F.col("owner")))
+            wins.withColumn("owner", F.min("doc_id").over(w_h))
+            .where(F.col("doc_id") != F.col("owner"))
             .select("doc_id", "pos")
         )
     return span_islands(foreign, w=RUN_W).select(
@@ -1753,11 +1801,24 @@ def q_dup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_window_positions(docs: DataFrame, w: int = RUN_W) -> DataFrame:
     """(doc_id, pos, h): every full-width window's start position and
-    60-bit content hash — the probe-side input of the incremental /
-    streaming span detectors. Window text dies into the hash scan-side."""
+    64-bit content hash — the probe-side input of the incremental /
+    streaming span detectors. Window text dies into the hash scan-side.
+
+    r13 (guide §1.2/§2.3): the text splits ONCE into a bound array column
+    (hoisting it out of the window lambda measured 2.7x on the generate
+    stage — Catalyst re-evaluates the split per window otherwise), and
+    the window hash is xxhash64 instead of the md5-based hash60. The
+    hash is INTERNAL to span detection — it never appears in any query
+    output (detection keeps windows whose hash occurs in >= 2 distinct
+    docs; ownership is min doc_id per hash), so any collision-free hash
+    of the window text yields identical spans; equality to the md5-keyed
+    DuckDB oracles is re-verified by selfcheck at sf0.001/0.01/0.1.
+    Distinct-hash counts match hash60's exactly at sf0.1 (224,694)."""
     return docs.select(
-        "doc_id", F.posexplode(token_windows(w=w)).alias("pos", "w")
-    ).select("doc_id", "pos", hash60("w").alias("h"))
+        "doc_id", F.split("text", " ").alias("_toks")
+    ).select(
+        "doc_id", F.posexplode(token_windows_arr(F.col("_toks"), w=w)).alias("pos", "w")
+    ).select("doc_id", "pos", F.xxhash64("w").alias("h"))
 
 
 def incremental_dup_spans(
@@ -1876,14 +1937,16 @@ def q_dup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = incremental_dup_spans(
         new_docs, spark.read.parquet(index_path)
     )
+    # r13: per-doc aggregate rides span_islands' doc_id partitioning
+    # (no Exchange), source attaches by broadcast after (guide §2.4)
     per_doc = (
-        spans.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source", "doc_id")
+        spans.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
             F.sum("span_tokens").alias("covered"),
             F.max("span_tokens").alias("max_span"),
         )
+        .join(docs.select("doc_id", "source"), "doc_id")
     )
     return (
         per_doc.groupBy("source")

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from saas_analytics_pipeline_spark.operators.dedup import SHINGLES_SQL, shingles
+from saas_analytics_pipeline_spark.operators.dedup import SHINGLES_SQL, shingles_arr
 from saas_analytics_pipeline_spark.operators.similarity import (
     norm_col as _norm_col,
 )
@@ -528,7 +528,8 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dup_span_fraction's inverted index."""
     docs = spread_for_fanout(load_table(spark, sf_dir, "documents"))
     sh = (
-        docs.select("doc_id", F.explode(shingles()).alias("shingle"))
+        docs.select("doc_id", F.split("text", " ").alias("_toks"))
+        .select("doc_id", F.explode(shingles_arr(F.col("_toks"))).alias("shingle"))
         .select("doc_id", hash60("shingle").alias("h"))
         .distinct()
     )
