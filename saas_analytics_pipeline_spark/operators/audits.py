@@ -30,6 +30,7 @@ from saas_analytics_pipeline_spark.operators.dedup import (
     SHINGLES_SQL,
     _mins_sql,
     minhash_signatures,
+    shingles_arr,
 )
 from saas_analytics_pipeline_spark.functions import hash60_sql
 from saas_analytics_pipeline_spark.qcatalog import query
@@ -267,12 +268,16 @@ def q_minhash_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 10 == 0
     )
     sig = minhash_signatures(docs)
-    sh = docs.select(
+    # r13 (guide §1.2): pre-split text once (the old inline expr re-split
+    # the doc per shingle position inside the lambda) and key the exact-
+    # Jaccard self-join on xxhash64 longs instead of raw shingle strings
+    # (intersection counts are collision-free-identical; the minhash
+    # SIGNATURE side keeps hash60 — its values are oracle-replicated)
+    sh = docs.select("doc_id", F.split("text", " ").alias("_toks")).select(
         "doc_id",
         F.explode(
-            F.expr(
-                "array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - 2, 1)),"
-                " i -> concat_ws(' ', slice(split(text,' '), i, 3))))"
+            F.array_distinct(
+                F.transform(shingles_arr(F.col("_toks")), lambda _s: F.xxhash64(_s))
             )
         ).alias("shingle"),
     )

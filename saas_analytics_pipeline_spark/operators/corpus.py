@@ -118,12 +118,17 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only its own slice, so the total n-gram fan-out is 1x the corpus
     # (filtering an already-exploded shared frame would explode everything
     # twice — once per consumer — since Spark re-executes shared subplans)
+    # r13 (guide §1.2): the n-gram key is INTERNAL (both outputs are
+    # counts of distinct keys), so xxhash64 replaces the md5-derived
+    # hash60 — one JVM hash instruction vs md5+hex+conv per n-gram;
+    # collision-free in practice, so distinct counts match the
+    # string-keyed oracle (re-verified at sf0.001/0.01/0.1).
     def _index(side: DataFrame) -> DataFrame:
         return side.select(
             "doc_id", F.split("text", " ").alias("_toks")
         ).select(
             "doc_id", F.explode(word_ngrams_arr(F.col("_toks"))).alias("g")
-        ).select("doc_id", hash60("g").alias("h"))
+        ).select("doc_id", F.xxhash64("g").alias("h"))
 
     ev = (
         _index(docs.where(F.col("doc_id") % EVAL_MOD == 0))
@@ -595,8 +600,18 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary (Zipf head), so Spark broadcasts it back onto the pair
     stream; the corpus-size scalar is a 1-row broadcast cross join."""
     docs = load_table(spark, sf_dir, "documents")
+    # r13 (guide §2.3): the gram itself never reaches the output (only
+    # per-doc counts do), so it dies scan-side into an 8-byte xxhash64 —
+    # the (doc_id, g) distinct, the DF groupBy and the boiler join-back
+    # all shuffle/compare longs instead of raw bigram strings, and this
+    # subplan is consumed twice (df + join-back), doubling the saving.
     g = docs.select("doc_id", F.split("text", " ").alias("_toks")).select(
-        "doc_id", F.explode(word_ngrams_arr(F.col("_toks"), w=BOILER_W)).alias("g")
+        "doc_id",
+        F.explode(
+            F.transform(
+                word_ngrams_arr(F.col("_toks"), w=BOILER_W), lambda _s: F.xxhash64(_s)
+            )
+        ).alias("g"),
     ).distinct()
     n = docs.agg(F.count("*").alias("n_docs"))
     df = g.groupBy("g").agg(F.count("*").alias("df"))
@@ -888,12 +903,20 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     one big window partition — cap or drop shingles above a
     document-frequency ceiling at scale, same as q_containment."""
     docs = spread_for_fanout(load_table(spark, sf_dir, "documents"))
+    # r13 (guide §2.3): shingle strings die scan-side into xxhash64 longs —
+    # the document-frequency Exchange + window sort key is 8 bytes, not a
+    # ~30-byte 5-gram string (per-doc/per-source counts are collision-
+    # free-identical to the string-keyed oracle; verified at 3 SFs)
     shx = docs.select(
         "doc_id", "source", F.split("text", " ").alias("_toks")
     ).select(
         "doc_id",
         "source",
-        F.explode(F.array_distinct(word_ngrams_arr(F.col("_toks")))).alias("sh"),
+        F.explode(
+            F.array_distinct(
+                F.transform(word_ngrams_arr(F.col("_toks")), lambda _s: F.xxhash64(_s))
+            )
+        ).alias("sh"),
     )
     # document frequency via a window over the shingle key instead of a
     # groupBy + join-back: ONE corpus explode and one exchange (the join
@@ -1116,17 +1139,17 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan like q_dup_span_fraction, never doc x doc, and the corpus is
     scanned/shingled exactly once."""
     docs = load_table(spark, sf_dir, "documents")
-    grams5 = F.expr(
-        """
-        transform(
-            sequence(1, greatest(size(split(text, ' ')) - 4, 1)),
-            i -> concat_ws(' ', slice(split(text, ' '), i, 5))
-        )
-        """
-    )
+    # r13 (guide §1.2): pre-split text ONCE into a bound array — the old
+    # inline expr re-split the doc per gram position inside the lambda —
+    # and key on xxhash64 instead of md5-derived hash60 (the gram hash is
+    # internal: outputs are per-source counts, collision-free-identical)
     grams = (
-        docs.select("source", F.explode(grams5).alias("gram"))
-        .select("source", hash60("gram").alias("g"))
+        docs.select("source", F.split("text", " ").alias("_toks"))
+        .select(
+            "source",
+            F.explode(word_ngrams_arr(F.col("_toks"), w=5)).alias("gram"),
+        )
+        .select("source", F.xxhash64("gram").alias("g"))
         .distinct()
     )
     # count-over-window instead of a spread-table self-join: the corpus is
@@ -1308,11 +1331,15 @@ def q_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("ci"),
     )
     span = F.slice(F.col("toks"), F.col("ci") * SPAN_W + 1, SPAN_W)
+    # r13: the span hash only GROUPS identical spans (winner choice is
+    # min(packed), never the hash value), so xxhash64 replaces the
+    # md5-derived hash60 — rebuilt text is identical under any
+    # collision-free hash (guide §1.2; oracle-verified at 3 SFs)
     hashed = chunked.select(
         "doc_id",
         F.col("ci").cast("int").alias("ci"),
         "n_chunks",
-        hash60(F.array_join(span, " ")).alias("h"),
+        F.xxhash64(F.array_join(span, " ")).alias("h"),
         (F.col("doc_id") * SPAN_PACK + F.col("ci")).alias("packed"),
     )
     winners = hashed.groupBy("h").agg(F.min("packed").alias("mp"))

@@ -543,7 +543,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         n_tokens.alias("n_tokens"),
-        F.md5("text").alias("h"),
+        # r13: the content hash only GROUPS identical texts (keep-first is
+        # min doc_id per group; only counts reach the output), so xxhash64
+        # replaces md5 — the dedup window's shuffle/sort key drops from a
+        # 32-char hex string to 8 bytes (guide §2.3; oracle-verified 3 SFs)
+        F.xxhash64("text").alias("h"),
         tb_h.alias("tb_h"),
         _lang_ok_col().alias("lang_ok"),
         (

@@ -328,10 +328,18 @@ def pairwise_jaccard(cand: DataFrame, docs: DataFrame) -> DataFrame:
     # shingle position is the expensive part, and a few parquet input
     # splits would otherwise serialize it on a handful of cores (the
     # scan-parallelism ceiling measured in docs/SCALE.md — 10x at sf3)
+    # r13 (guide §2.3): shingle STRINGS die scan-side into 8-byte
+    # xxhash64 values — the set arrays that flow through the two pair
+    # joins carry longs, not ~20-byte strings, and array_intersect
+    # compares longs. Collision-free in practice, so |A∩B|/|A|/|B| and
+    # the jaccard are unchanged (pinned vs exact_jaccard in tests).
     sets = spread_for_fanout(
         docs.join(cand_docs, "doc_id", "left_semi")
     ).select("doc_id", F.split("text", " ").alias("_toks")).select(
-        "doc_id", F.array_distinct(shingles_arr(F.col("_toks"))).alias("ss")
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingles_arr(F.col("_toks")), lambda _s: F.xxhash64(_s))
+        ).alias("ss"),
     )
     paired = (
         cand.join(sets.alias("sa"), F.col("a") == F.col("sa.doc_id"))
@@ -364,8 +372,16 @@ def near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.7) -> DataFrame
     (groupBy band key), and the exact verification joins shingle sets for
     candidate pairs only."""
     cand = lsh_candidate_pairs(docs)
+    # r13 (guide §2.3): shingle strings hash to longs scan-side, so
+    # exact_jaccard's four consumptions of sh shuffle 8-byte keys
+    # instead of raw shingle text (counts are collision-free-identical)
     sh = docs.select("doc_id", F.split("text", " ").alias("_toks")).select(
-        "doc_id", F.explode(F.array_distinct(shingles_arr(F.col("_toks")))).alias("s")
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles_arr(F.col("_toks")), lambda _s: F.xxhash64(_s))
+            )
+        ).alias("s"),
     )
     return exact_jaccard(cand, sh).where(F.col("jaccard") >= jaccard_threshold)
 
@@ -397,8 +413,16 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id%50=0). The inverted-index join IS the scalable form of pairwise
     similarity — pairs only materialize for docs sharing a shingle."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    # r13 (guide §2.3): the inverted-index self-join keys on the shingle —
+    # hashing to xxhash64 scan-side shuffles/joins 8-byte longs instead of
+    # raw shingle strings (intersection counts collision-free-identical)
     sh = docs.select("doc_id", F.split("text", " ").alias("_toks")).select(
-        "doc_id", F.explode(F.array_distinct(shingles_arr(F.col("_toks")))).alias("s")
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles_arr(F.col("_toks")), lambda _s: F.xxhash64(_s))
+            )
+        ).alias("s"),
     ).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
@@ -908,8 +932,15 @@ def q_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ida", "idb", est_expr.alias("est")
     )
 
+    # r13 (guide §2.3): exact-side shingles hash to longs scan-side — the
+    # self-join shuffles 8-byte keys, not shingle strings (counts identical)
     dsh = docs.select("doc_id", F.split("text", " ").alias("_toks")).select(
-        "doc_id", F.explode(F.array_distinct(shingles_arr(F.col("_toks")))).alias("s")
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles_arr(F.col("_toks")), lambda _s: F.xxhash64(_s))
+            )
+        ).alias("s"),
     )
     sizes = dsh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (

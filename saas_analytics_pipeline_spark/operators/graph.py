@@ -118,6 +118,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
     )
     outd = we.groupBy("src").agg(F.sum("w").alias("outw"))
+    # r13 (guide §5): the unrolled plan consumes these tiny frames in
+    # EVERY iteration, and Spark re-executes shared subplans per consumer
+    # — without this the document scan + edge aggregation replays
+    # 2*PR_ITERS+2 times. Checkpoint once (≤ PR_NODES² rows), exactly as
+    # _pagerank_converged_frame already does for its driver loop.
+    nodes = nodes.localCheckpoint()
+    we = we.localCheckpoint()
+    outd = outd.localCheckpoint()
     rank = nodes.select(
         "node", F.round(F.lit(1.0) / PR_NODES, 12).alias("rank")
     )

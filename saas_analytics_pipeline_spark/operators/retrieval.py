@@ -530,7 +530,9 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         docs.select("doc_id", F.split("text", " ").alias("_toks"))
         .select("doc_id", F.explode(shingles_arr(F.col("_toks"))).alias("shingle"))
-        .select("doc_id", hash60("shingle").alias("h"))
+        # r13: xxhash64 over md5-derived hash60 — the hash only keys the
+        # inverted-index join; counts collision-free-identical (guide §1.2)
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))

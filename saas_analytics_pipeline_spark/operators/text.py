@@ -434,17 +434,26 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetitive boilerplate. Bigram explode -> two nested counts, all on
     the doc_id key — one shuffle, no text movement."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
-    words = F.split("text", " ")
+    # r13 (guide §1.2/§2.3): pre-split text once (the old inline expr
+    # re-split the doc per bigram position inside the lambda) and reduce
+    # each bigram to an xxhash64 long scan-side — the (doc_id, bigram)
+    # aggregate keys 8-byte longs, and the bigram itself never appears
+    # in output (only counts do; collision-free-identical)
     bigrams = docs.select(
+        "doc_id", F.split("text", " ").alias("_toks")
+    ).select(
         "doc_id",
         F.explode(
-            F.expr(
-                """
-                transform(
-                    sequence(1, greatest(size(split(text, ' ')) - 1, 1)),
-                    i -> concat_ws(' ', slice(split(text, ' '), i, 2))
-                )
-                """
+            F.transform(
+                F.expr(
+                    """
+                    transform(
+                        sequence(1, greatest(size(_toks) - 1, 1)),
+                        i -> concat_ws(' ', slice(_toks, i, 2))
+                    )
+                    """
+                ),
+                lambda _s: F.xxhash64(_s),
             )
         ).alias("bigram"),
     )
