@@ -829,7 +829,13 @@ def q_similarity_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pinned_anchors(vecs: DataFrame) -> DataFrame:
     """{N_ANCHORS} deterministic anchor vectors: the members of `vecs`
     with the smallest md5(vec_id) — a fixed, engine-independent rule the
-    DuckDB oracle replays verbatim."""
+    DuckDB oracle replays verbatim.
+
+    r13 (guide §5): the result is localCheckpointed — every IVF query
+    consumes the anchor frame 2-4 times (corpus assign, batch assign,
+    query probe, rerank) and Spark re-executes shared subplans per
+    consumer, so the TakeOrdered scan of the corpus replayed once per
+    consumer. {N_ANCHORS} rows; values unchanged."""
     return (
         vecs.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(N_ANCHORS)
@@ -838,6 +844,7 @@ def pinned_anchors(vecs: DataFrame) -> DataFrame:
             F.col("embedding").alias("a_emb"),
             norm_col("embedding").alias("an"),
         )
+        .localCheckpoint()
     )
 
 
