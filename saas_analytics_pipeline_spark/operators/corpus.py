@@ -1078,7 +1078,8 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
     )
     tagged = docs.select(
-        F.md5("text").alias("h"),
+        # r13: xxhash64 over md5 — grouping-only content key (§2.3)
+        F.xxhash64("text").alias("h"),
         F.when(bucket < SPLIT_TRAIN_PCT, "train")
         .otherwise("heldout")
         .alias("split"),
@@ -1523,7 +1524,7 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").cast("bigint").alias("n_langs"),
             F.round(
                 F.lit(1.0)
-                - F.countDistinct(F.md5("text")).cast("double")
+                - F.countDistinct(F.xxhash64("text")).cast("double")
                 / n.cast("double"),
                 6,
             ).alias("dup_rate"),
@@ -1706,19 +1707,22 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-partitioned lakes, so this is a co-partitioned sort-merge
     join); the rollup is |sources| x 4 rows."""
     docs = load_table(spark, sf_dir, "documents")
+    # r13: xxhash64 over md5 — the digests are only compared for EQUALITY
+    # (changed/unchanged), never output, so any collision-free hash gives
+    # the same statuses and the joined rows carry 8-byte digests (§2.3)
     v1 = docs.where(F.col("doc_id") % DIFF_V1_MOD != 0).select(
         F.col("doc_id").alias("v1_id"),
         F.col("source").alias("v1_source"),
-        F.md5("text").alias("v1_h"),
+        F.xxhash64("text").alias("v1_h"),
     )
     v2 = docs.where(F.col("doc_id") % DIFF_V2_MOD != 0).select(
         F.col("doc_id").alias("v2_id"),
         F.col("source").alias("v2_source"),
         F.when(
             F.col("doc_id") % DIFF_EDIT_MOD == 0,
-            F.md5(F.concat(F.col("text"), F.lit(" rev2"))),
+            F.xxhash64(F.concat(F.col("text"), F.lit(" rev2"))),
         )
-        .otherwise(F.md5("text"))
+        .otherwise(F.xxhash64("text"))
         .alias("v2_h"),
     )
     status = (

@@ -155,7 +155,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash (hash-groupBy; the id/hash pair is all
     that shuffles — at 100 TB the text never moves)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("source", F.md5("text").alias("h")).groupBy("source").agg(
+    # r13: xxhash64 over md5 — the hash only feeds countDistinct (never
+    # output), so any collision-free hash gives identical counts, and the
+    # distinct-aggregate state narrows from 32-char hex to 8 bytes (§2.3)
+    return docs.select("source", F.xxhash64("text").alias("h")).groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("h").alias("n_unique"),
         (F.count("*") - F.countDistinct("h")).alias("n_dupes"),
@@ -803,7 +806,9 @@ def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    h = docs.select("doc_id", F.md5("text").alias("h"))
+    # r13: xxhash64 over md5 — the hash only keys the exact-pair self-join
+    # (pair ids are the output), 8-byte join key instead of hex (§2.3)
+    h = docs.select("doc_id", F.xxhash64("text").alias("h"))
     txt = (
         h.alias("x")
         .join(h.alias("y"), "h")
@@ -861,7 +866,8 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     dupes from syndicated/mirrored content (different dedup policies
     apply). Two hash-aggs over (hash, source); text never shuffles."""
     docs = load_table(spark, sf_dir, "documents")
-    h = docs.select(F.md5("text").alias("h"), "source").distinct()
+    # r13: xxhash64 over md5 — grouping-only content key (§2.3)
+    h = docs.select(F.xxhash64("text").alias("h"), "source").distinct()
     spread = h.groupBy("h").agg(F.count("*").alias("n_sources"))
     return spread.groupBy("n_sources").agg(F.count("*").alias("n_contents"))
 

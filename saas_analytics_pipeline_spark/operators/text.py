@@ -266,7 +266,10 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     way (their operators are oracle-checked separately; composition here
     stays SQL-replayable)."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # r13: xxhash64 over md5 — the content hash only partitions the
+    # keep-first window (only counts reach the output), so the window's
+    # shuffle/sort key is 8 bytes instead of a 32-char hex string (§2.3)
+    w = Window.partitionBy(F.xxhash64("text")).orderBy("doc_id")
     flagged = docs.select(
         "source",
         (F.row_number().over(w) == 1).alias("pass_dedup"),
