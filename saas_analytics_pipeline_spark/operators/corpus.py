@@ -135,7 +135,16 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_id", "eval_doc")
         .distinct()
     )
-    co = _index(docs.where(F.col("doc_id") % EVAL_MOD != 0)).distinct()
+    # r14 (guide §2.4): the corpus side is NOT pre-deduplicated — both
+    # final aggregates are COUNT DISTINCTs, which ignore input
+    # multiplicity, so the r13 co.distinct() shuffled every corpus
+    # (doc_id, h) pair for nothing. Corpus n-gram pairs now flow straight
+    # into the broadcast join; only rows matching an eval hash survive to
+    # the (already partial/map-side-deduplicating) distinct aggregate —
+    # the one corpus-sized Exchange drops out of the plan. The eval side
+    # keeps its distinct: it shrinks the broadcast table and the join
+    # fan-out at eval-index (small-side) cost.
+    co = _index(docs.where(F.col("doc_id") % EVAL_MOD != 0))
     # the eval index here is a MODULO fraction of the corpus (sf-scaled),
     # unlike a real fixed benchmark suite — so no hard hint; AQE broadcasts
     # it at any realistic eval-set size
@@ -904,33 +913,47 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency ceiling at scale, same as q_containment."""
     docs = spread_for_fanout(load_table(spark, sf_dir, "documents"))
     # r13 (guide §2.3): shingle strings die scan-side into xxhash64 longs —
-    # the document-frequency Exchange + window sort key is 8 bytes, not a
-    # ~30-byte 5-gram string (per-doc/per-source counts are collision-
-    # free-identical to the string-keyed oracle; verified at 3 SFs)
-    shx = docs.select(
+    # the shuffled shingle key is 8 bytes, not a ~30-byte 5-gram string
+    # (per-doc/per-source counts are collision-free-identical to the
+    # string-keyed oracle; verified at 3 SFs).
+    # r14 (guide §2.3/§2.4): a shingle is dup iff its document frequency
+    # is >= 2, so per doc n_dup == n_sh - (# shingles UNIQUE to the
+    # corpus, owned by this doc). That complement needs no window over
+    # the shingle partition (the r13 Exchange + per-sh sort over every
+    # exploded row) and no second corpus-sized Exchange back to doc
+    # grain: the exploded pairs collapse map-side into groupBy(sh)
+    # partials (count + min doc_id — for a unique shingle the only
+    # owner), singletons reduce to per-doc counts, and both per-doc
+    # frames meet at |docs| grain. The corpus tokenizes/hashes twice
+    # (n_sh branch + explode branch — scan-side CPU, no text shuffle);
+    # measured cheaper than sorting and re-shuffling every (doc, sh)
+    # row. Hot boilerplate shingles now collapse into partial-agg rows
+    # instead of one giant window partition — strictly better skew
+    # behavior at 100 TB (no per-sh sort task; the df ceiling note
+    # below still applies to the detection semantics).
+    sh_arr = F.array_distinct(
+        F.transform(word_ngrams_arr(F.col("_toks")), lambda _s: F.xxhash64(_s))
+    )
+    per_doc_base = docs.select(
         "doc_id", "source", F.split("text", " ").alias("_toks")
-    ).select(
+    ).select("doc_id", "source", F.size(sh_arr).alias("n_sh"))
+    shx = docs.select(
+        "doc_id", F.split("text", " ").alias("_toks")
+    ).select("doc_id", F.explode(sh_arr).alias("sh"))
+    n_uniq = (
+        shx.groupBy("sh")
+        .agg(F.count("*").alias("nd"), F.min("doc_id").alias("doc_id"))
+        .where(F.col("nd") == 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_uniq"))
+    )
+    per_doc = per_doc_base.join(n_uniq, "doc_id", "left").select(
         "doc_id",
         "source",
-        F.explode(
-            F.array_distinct(
-                F.transform(word_ngrams_arr(F.col("_toks")), lambda _s: F.xxhash64(_s))
-            )
-        ).alias("sh"),
-    )
-    # document frequency via a window over the shingle key instead of a
-    # groupBy + join-back: ONE corpus explode and one exchange (the join
-    # formulation explodes the corpus twice — Spark re-executes the shared
-    # subplan for each consumer — and shuffles it twice). Same skew
-    # exposure as the join (both key on the shingle); the hot-shingle cap
-    # note below applies identically.
-    w = Window.partitionBy("sh")
-    flagged = shx.select(
-        "doc_id", "source", (F.count("*").over(w) >= 2).alias("is_dup")
-    )
-    per_doc = flagged.groupBy("doc_id", "source").agg(
-        F.count("*").alias("n_sh"),
-        F.sum(F.col("is_dup").cast("int")).alias("n_dup"),
+        F.col("n_sh").cast("long").alias("n_sh"),
+        (F.col("n_sh") - F.coalesce(F.col("n_uniq"), F.lit(0)))
+        .cast("long")
+        .alias("n_dup"),
     )
     ratio = F.col("n_dup").cast("double") / F.col("n_sh")
     frac = per_doc.select(
@@ -1709,26 +1732,35 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # r13: xxhash64 over md5 — the digests are only compared for EQUALITY
     # (changed/unchanged), never output, so any collision-free hash gives
-    # the same statuses and the joined rows carry 8-byte digests (§2.3)
+    # the same statuses and the joined rows carry 8-byte digests (§2.3).
+    # r14 (VERDICT r13 #4): the digest widens to (xxhash64, length) — a
+    # collision here mislabels a changed doc 'unchanged'. Same-doc
+    # digests compare pairwise (n/2^64, not birthday), but length is a
+    # free second channel and catches every length-changing edit exactly.
     v1 = docs.where(F.col("doc_id") % DIFF_V1_MOD != 0).select(
         F.col("doc_id").alias("v1_id"),
         F.col("source").alias("v1_source"),
         F.xxhash64("text").alias("v1_h"),
+        F.length("text").alias("v1_l"),
     )
+    v2_text = F.when(
+        F.col("doc_id") % DIFF_EDIT_MOD == 0,
+        F.concat(F.col("text"), F.lit(" rev2")),
+    ).otherwise(F.col("text"))
     v2 = docs.where(F.col("doc_id") % DIFF_V2_MOD != 0).select(
         F.col("doc_id").alias("v2_id"),
         F.col("source").alias("v2_source"),
-        F.when(
-            F.col("doc_id") % DIFF_EDIT_MOD == 0,
-            F.xxhash64(F.concat(F.col("text"), F.lit(" rev2"))),
-        )
-        .otherwise(F.xxhash64("text"))
-        .alias("v2_h"),
+        F.xxhash64(v2_text).alias("v2_h"),
+        F.length(v2_text).alias("v2_l"),
     )
     status = (
         F.when(F.col("v1_id").isNull(), "added")
         .when(F.col("v2_id").isNull(), "removed")
-        .when(F.col("v1_h") != F.col("v2_h"), "changed")
+        .when(
+            (F.col("v1_h") != F.col("v2_h"))
+            | (F.col("v1_l") != F.col("v2_l")),
+            "changed",
+        )
         .otherwise("unchanged")
     )
     d = v1.join(v2, F.col("v1_id") == F.col("v2_id"), "full_outer").select(

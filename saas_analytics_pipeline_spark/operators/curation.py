@@ -565,16 +565,24 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_gated"),
     )
     gated = base.where(F.col("lang_ok") & F.col("quality_ok"))
-    w = Window.partitionBy("h").orderBy("doc_id")
+    # r14 (guide §2.3/§2.4): keep-first per content hash is min-doc_id
+    # per h — a min_by aggregate instead of the r13 row_number window.
+    # The aggregate partially combines map-side (duplicate contents
+    # collapse before the h Exchange) and needs no sort; the window
+    # sorted every gated row by (h, doc_id) just to keep rank 1.
     uniq = (
-        gated.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        gated.groupBy("h")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "source", "n_tokens", "tb_h"), "doc_id"
+            ).alias("_s")
+        )
         .select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            F.col("tb_h").alias("h"),
-            F.shiftright("tb_h", BUDGET_SHIFT).alias("bucket"),
+            F.col("_s.doc_id").alias("doc_id"),
+            F.col("_s.source").alias("source"),
+            F.col("_s.n_tokens").alias("n_tokens"),
+            F.col("_s.tb_h").alias("h"),
+            F.shiftright("_s.tb_h", BUDGET_SHIFT).alias("bucket"),
         )
     )
     in_budget = F.col("cum_tokens") * 4 <= F.col("total")

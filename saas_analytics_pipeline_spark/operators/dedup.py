@@ -807,11 +807,19 @@ def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
 
     # r13: xxhash64 over md5 — the hash only keys the exact-pair self-join
-    # (pair ids are the output), 8-byte join key instead of hex (§2.3)
-    h = docs.select("doc_id", F.xxhash64("text").alias("h"))
+    # (pair ids are the output), 8-byte join key instead of hex (§2.3).
+    # r14 (VERDICT r13 #4): widened to (xxhash64, length) — a bare 64-bit
+    # key admits birthday collisions at the 100 TB design point
+    # (E ~ n^2/2^65), and a collision HERE emits a wrong pair row as
+    # output. The 12-byte composite keeps the narrow-key win.
+    h = docs.select(
+        "doc_id",
+        F.xxhash64("text").alias("h"),
+        F.length("text").alias("hl"),
+    )
     txt = (
         h.alias("x")
-        .join(h.alias("y"), "h")
+        .join(h.alias("y"), ["h", "hl"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
     )
@@ -1418,35 +1426,70 @@ def token_windows_arr(toks: F.Column, w: int = RUN_W) -> F.Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def span_islands(dup_positions: DataFrame, w: int = RUN_W) -> DataFrame:
+def span_islands_agg(dup_positions: DataFrame, w: int = RUN_W) -> DataFrame:
     """Interval-union duplicated window starts into MAXIMAL disjoint
-    spans per doc (running-max-end islands): input (doc_id, pos), output
-    (doc_id, island, span_start, span_end, span_tokens). Shared by the
-    batch audit, the keep-first rewrite, and the incremental/stream
-    variants — one place owns the exactness argument (windows [p, p+w-1]
-    merge when they OVERLAP — a window starting exactly at prev_end + 1
-    merely touches and starts a new island; covered-token counts are
-    interval-exact under either convention, only n_spans/max_span
-    differ, and the DuckDB oracles implement this same overlap-only
-    rule)."""
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    spans per doc, returned as ONE ascending array column per document:
+    (doc_id, spans: array<struct<span_start, span_end>>) — island k of
+    the exploded form is ``spans[k-1]``.
+
+    r14 (guide §2.4): one map-side-combinable hash aggregate
+    (collect_list) replaces the r13 Exchange + Sort + lag/running-max
+    Window pair + re-aggregate — the exploded (doc_id, pos) rows
+    collapse to one row per doc BEFORE the doc_id exchange, and no sort
+    or Window node remains on the islands path. The fold over the
+    sorted positions is positional (island STARTS are where
+    pos[i] - pos[i-1] >= w — windows [p, p+w-1] merge when they
+    OVERLAP; a window starting exactly at prev_end + 1 merely touches
+    and starts a new island, the same overlap-only rule the DuckDB
+    oracles implement — and each island closes at the element before
+    the next start), not a quadratic array-append. Per-group state is
+    bounded by window positions per document — the same per-doc bound
+    the r13 window sort held in its partition buffer."""
+    ps = F.col("_ps")
+    si = F.col("_si")
+    starts = F.filter(
+        F.transform(ps, lambda _x, i: i),
+        lambda i: (i == 0) | (F.get(ps, i) - F.get(ps, i - 1) >= w),
     )
-    w_run = Window.partitionBy("doc_id").orderBy("pos")
-    flagged = dup_positions.withColumn(
-        "new_island",
-        F.when(
-            F.col("pos")
-            > F.coalesce(F.max(F.col("pos") + w - 1).over(w_prev), F.lit(-1)),
-            1,
-        ).otherwise(0),
-    ).withColumn("island", F.sum("new_island").over(w_run))
-    return flagged.groupBy("doc_id", "island").agg(
-        F.min("pos").alias("span_start"),
-        (F.max("pos") + w - 1).alias("span_end"),
-        (F.max("pos") + w - F.min("pos")).alias("span_tokens"),
+    spans = F.transform(
+        si,
+        lambda s, j: F.struct(
+            F.get(ps, s).alias("span_start"),
+            (
+                F.when(j + 1 < F.size(si), F.get(ps, F.get(si, j + 1) - 1))
+                .otherwise(F.element_at(ps, -1))
+                + F.lit(w - 1)
+            ).alias("span_end"),
+        ),
+    )
+    return (
+        dup_positions.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_ps"))
+        .withColumn("_si", starts)
+        .select("doc_id", spans.alias("spans"))
+    )
+
+
+def span_islands(dup_positions: DataFrame, w: int = RUN_W) -> DataFrame:
+    """Exploded row form of :func:`span_islands_agg`: input (doc_id,
+    pos), output (doc_id, island, span_start, span_end, span_tokens).
+    Shared by the batch audit, the keep-first rewrite, and the
+    incremental/stream variants — span_islands_agg owns the exactness
+    argument; this wrapper only numbers the islands (1-based, ascending
+    span order, matching the r13 running-sum island ids) and derives
+    span_tokens."""
+    return (
+        span_islands_agg(dup_positions, w=w)
+        .select("doc_id", F.posexplode("spans").alias("_i", "_s"))
+        .select(
+            "doc_id",
+            (F.col("_i") + 1).cast("long").alias("island"),
+            F.col("_s.span_start").alias("span_start"),
+            F.col("_s.span_end").alias("span_end"),
+            (F.col("_s.span_end") - F.col("_s.span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
     )
 
 
@@ -1498,6 +1541,23 @@ def dup_span_intervals(
     shuffle). Equivalence to the window path at the same K, plus the
     bounded-wall-time claim on a boilerplate-heavy synthesis, is
     measured in tools/dupspan_probe.py (docs/PROBES.json)."""
+    return span_islands(_dup_positions(docs, w, max_window_df), w=w)
+
+
+def dup_span_intervals_agg(
+    docs: DataFrame, w: int = RUN_W, max_window_df: int | None = None
+) -> DataFrame:
+    """:func:`dup_span_intervals` in the per-doc array form of
+    :func:`span_islands_agg` — for consumers that roll spans up per doc
+    anyway (q_dup_spans), skipping the explode + re-aggregate."""
+    return span_islands_agg(_dup_positions(docs, w, max_window_df), w=w)
+
+
+def _dup_positions(
+    docs: DataFrame, w: int = RUN_W, max_window_df: int | None = None
+) -> DataFrame:
+    """(doc_id, pos) of every cross-document-duplicated window — the
+    shared detection stage of dup_span_intervals{,_agg}."""
     wins = doc_window_positions(docs, w=w)
     if max_window_df is not None:
         shared = (
@@ -1506,20 +1566,18 @@ def dup_span_intervals(
             .where((F.col("nd") >= 2) & (F.col("nd") <= max_window_df))
             .select("h")
         )
-        dup = wins.join(shared, "h", "left_semi").select("doc_id", "pos")
-        return span_islands(dup, w=w)
+        return wins.join(shared, "h", "left_semi").select("doc_id", "pos")
     # r13: "h occurs in >= 2 DISTINCT docs" == "min(doc_id) != max(doc_id)
     # over h" — one unordered window frame instead of the r10
     # dense_rank-over-(h, doc_id) + max-over-(h) pair (two Window nodes
     # and a wider sort key); same rows, one less Window pass (guide §2.4).
     w_h = Window.partitionBy("h")
-    dup = (
+    return (
         wins.withColumn("mn", F.min("doc_id").over(w_h))
         .withColumn("mx", F.max("doc_id").over(w_h))
         .where(F.col("mn") != F.col("mx"))
         .select("doc_id", "pos")
     )
-    return span_islands(dup, w=w)
 
 
 def _dup_spans_oracle() -> str:
@@ -1608,18 +1666,27 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope: no text surface in the reference (documents are
     synthetic) — north-star extension (BASELINE.json)."""
     docs = load_table(spark, sf_dir, "documents")
-    spans = dup_span_intervals(docs)
-    # r13: aggregate per doc FIRST — spans leave span_islands hash-
-    # partitioned by doc_id, so this groupBy needs no Exchange; the
-    # broadcast source attach then happens at per-doc grain (the old
+    # r14: consume the per-doc ARRAY form — n_spans/covered/max_span are
+    # array folds in the same projection that builds the spans, so the
+    # r13 explode + re-aggregate pair disappears (guide §2.4); the
+    # broadcast source attach stays at per-doc grain (r13: the old
     # join-then-groupBy(source, doc_id) re-shuffled because Catalyst
-    # can't see source is functionally dependent on doc_id) (guide §2.4).
+    # can't see source is functionally dependent on doc_id).
     per_doc = (
-        spans.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum("span_tokens").alias("covered"),
-            F.max("span_tokens").alias("max_span"),
+        dup_span_intervals_agg(docs)
+        .select(
+            "doc_id",
+            F.size("spans").alias("n_spans"),
+            F.aggregate(
+                "spans",
+                F.lit(0).cast("long"),
+                lambda a, s: a + s["span_end"] - s["span_start"] + 1,
+            ).alias("covered"),
+            F.array_max(
+                F.transform(
+                    "spans", lambda s: s["span_end"] - s["span_start"] + 1
+                )
+            ).alias("max_span"),
         )
         .join(docs.select("doc_id", "source"), "doc_id")
     )
@@ -1655,6 +1722,26 @@ def foreign_dup_spans(
     the per-h window sort, so no single task ever owns a hot hash's
     occurrence list (VERDICT r11 #3; equivalence + bounded-task
     evidence in tools/dupspan_probe.py)."""
+    return span_islands(
+        _foreign_positions(docs, max_window_df), w=RUN_W
+    ).select("doc_id", "island", "span_start", "span_end")
+
+
+def foreign_dup_spans_agg(
+    docs: DataFrame, max_window_df: int | None = None
+) -> DataFrame:
+    """:func:`foreign_dup_spans` in the per-doc array form of
+    :func:`span_islands_agg` — for the rewrite consumer, which applies
+    the spans back to the doc's own token array (q_dup_spans_rewrite)."""
+    return span_islands_agg(_foreign_positions(docs, max_window_df), w=RUN_W)
+
+
+def _foreign_positions(
+    docs: DataFrame, max_window_df: int | None = None
+) -> DataFrame:
+    """(doc_id, pos) of every foreign-duplicated window (keep-first:
+    the hash's MIN doc owns its copy) — the shared detection stage of
+    foreign_dup_spans{,_agg}."""
     wins = doc_window_positions(docs, w=RUN_W)
     if max_window_df is not None:
         owners = (
@@ -1666,24 +1753,20 @@ def foreign_dup_spans(
             .where((F.col("nd") >= 2) & (F.col("nd") <= max_window_df))
             .select("h", "owner")
         )
-        foreign = (
+        return (
             wins.join(owners, "h")
             .where(F.col("doc_id") != F.col("owner"))
             .select("doc_id", "pos")
         )
-    else:
-        # r13: doc_id != min(doc_id)-over-h already implies the hash is
-        # shared by >= 2 distinct docs, so the dense_rank/max distinct
-        # count is redundant — one window aggregate instead of three
-        # (two Window nodes), and no orderBy in the frame (guide §2.4).
-        w_h = Window.partitionBy("h")
-        foreign = (
-            wins.withColumn("owner", F.min("doc_id").over(w_h))
-            .where(F.col("doc_id") != F.col("owner"))
-            .select("doc_id", "pos")
-        )
-    return span_islands(foreign, w=RUN_W).select(
-        "doc_id", "island", "span_start", "span_end"
+    # r13: doc_id != min(doc_id)-over-h already implies the hash is
+    # shared by >= 2 distinct docs, so the dense_rank/max distinct
+    # count is redundant — one window aggregate instead of three
+    # (two Window nodes), and no orderBy in the frame (guide §2.4).
+    w_h = Window.partitionBy("h")
+    return (
+        wins.withColumn("owner", F.min("doc_id").over(w_h))
+        .where(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "pos")
     )
 
 
@@ -1793,29 +1876,51 @@ def q_dup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference scope: north-star extension (BASELINE.json)."""
     docs = load_table(spark, sf_dir, "documents")
-    spans = foreign_dup_spans(docs)
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    ).select("doc_id", "pos", hash60("tok").alias("th"))
-    removed = (
-        toks.join(
-            spans,
-            (toks.doc_id == spans.doc_id)
-            & (toks.pos >= spans.span_start)
-            & (toks.pos <= spans.span_end),
-        )
-        .groupBy(toks.doc_id.alias("doc_id"))
-        .agg(
-            F.count("*").alias("n_removed"),
-            F.sum(F.col("th").cast("decimal(38,0)")).alias("h_removed"),
-        )
+    # r14 (guide §2.3/§2.4): spans arrive as ONE per-doc array
+    # (foreign_dup_spans_agg) and are applied to the doc's own token
+    # array with array folds — the r13 posexplode of EVERY token, the
+    # md5 (hash60) of every token, and the token-rows x spans range join
+    # are gone: n_removed is the sum of span lengths (spans are disjoint
+    # and in-bounds by construction — windows are full-width), h_removed
+    # hashes ONLY the tokens the spans cover (the slice of the token
+    # array), and the one doc_id equi-join carries each doc's token
+    # array once instead of a 20-bytes-per-token exploded row set.
+    dec0 = F.lit(0).cast("decimal(38,0)")
+    spans_agg = foreign_dup_spans_agg(docs)
+    sized = docs.select(
+        "source", "doc_id", F.split("text", " ").alias("_toks")
     )
-    sizes = docs.select(
-        "source", "doc_id", F.size(F.split("text", " ")).alias("n_toks")
+    per_doc = sized.join(spans_agg, "doc_id", "left").select(
+        "source",
+        F.size("_toks").alias("n_toks"),
+        F.when(
+            F.col("spans").isNotNull(),
+            F.aggregate(
+                "spans",
+                F.lit(0).cast("long"),
+                lambda a, s: a + s["span_end"] - s["span_start"] + 1,
+            ),
+        ).alias("n_removed"),
+        F.when(
+            F.col("spans").isNotNull(),
+            F.aggregate(
+                "spans",
+                dec0,
+                lambda a, s: a
+                + F.aggregate(
+                    F.slice(
+                        F.col("_toks"),
+                        s["span_start"] + 1,
+                        s["span_end"] - s["span_start"] + 1,
+                    ),
+                    dec0,
+                    lambda acc, t: acc + hash60(t).cast("decimal(38,0)"),
+                ),
+            ),
+        ).alias("h_removed"),
     )
     return (
-        sizes.join(removed, "doc_id", "left")
-        .groupBy("source")
+        per_doc.groupBy("source")
         .agg(
             F.count("n_removed").cast("long").alias("n_docs_cut"),
             F.sum("n_toks").cast("long").alias("tokens_before"),
@@ -1873,6 +1978,17 @@ def incremental_dup_spans(
     wins = doc_window_positions(new_docs, w=w)
     dup = wins.join(corpus_hashes, "h", "left_semi").select("doc_id", "pos")
     return span_islands(dup, w=w)
+
+
+def incremental_dup_spans_agg(
+    new_docs: DataFrame, corpus_hashes: DataFrame, w: int = RUN_W
+) -> DataFrame:
+    """:func:`incremental_dup_spans` in the per-doc array form of
+    :func:`span_islands_agg` (q_dup_spans_incremental rolls up per doc,
+    so the exploded form's Generate + re-aggregate would be wasted)."""
+    wins = doc_window_positions(new_docs, w=w)
+    dup = wins.join(corpus_hashes, "h", "left_semi").select("doc_id", "pos")
+    return span_islands_agg(dup, w=w)
 
 
 def _dup_spans_incr_oracle() -> str:
@@ -1971,17 +2087,24 @@ def q_dup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_path
     )
     new_docs = docs.where(F.col("doc_id") % 2 == 0)
-    spans = incremental_dup_spans(
-        new_docs, spark.read.parquet(index_path)
-    )
-    # r13: per-doc aggregate rides span_islands' doc_id partitioning
-    # (no Exchange), source attaches by broadcast after (guide §2.4)
+    # r14: per-doc rollup as array folds over the span_islands_agg form
+    # (no explode + re-aggregate — see q_dup_spans); source attaches by
+    # broadcast after, at per-doc grain (guide §2.4)
     per_doc = (
-        spans.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum("span_tokens").alias("covered"),
-            F.max("span_tokens").alias("max_span"),
+        incremental_dup_spans_agg(new_docs, spark.read.parquet(index_path))
+        .select(
+            "doc_id",
+            F.size("spans").alias("n_spans"),
+            F.aggregate(
+                "spans",
+                F.lit(0).cast("long"),
+                lambda a, s: a + s["span_end"] - s["span_start"] + 1,
+            ).alias("covered"),
+            F.array_max(
+                F.transform(
+                    "spans", lambda s: s["span_end"] - s["span_start"] + 1
+                )
+            ).alias("max_span"),
         )
         .join(docs.select("doc_id", "source"), "doc_id")
     )
