@@ -123,9 +123,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — without this the document scan + edge aggregation replays
     # 2*PR_ITERS+2 times. Checkpoint once (≤ PR_NODES² rows), exactly as
     # _pagerank_converged_frame already does for its driver loop.
-    nodes = nodes.localCheckpoint()
-    we = we.localCheckpoint()
-    outd = outd.localCheckpoint()
+    # (r14, ADVICE r13: eager=False keeps construction lazy)
+    nodes = nodes.localCheckpoint(eager=False)
+    we = we.localCheckpoint(eager=False)
+    outd = outd.localCheckpoint(eager=False)
     rank = nodes.select(
         "node", F.round(F.lit(1.0) / PR_NODES, 12).alias("rank")
     )
@@ -212,9 +213,9 @@ def _pagerank_converged_frame(
     # the edge/degree frames are reused every iteration: checkpoint ONCE
     # so the synthesis scan doesn't replay per step (at 100 TB this is
     # the cached edge partition layout every iterative engine keeps)
-    we = we.localCheckpoint()
-    outd = outd.localCheckpoint()
-    nodes = nodes.localCheckpoint()
+    we = we.localCheckpoint(eager=False)
+    outd = outd.localCheckpoint(eager=False)
+    nodes = nodes.localCheckpoint(eager=False)
     zero_dec = F.lit(0).cast("decimal(28,12)")
     rank = nodes.select(
         "node", F.round(F.lit(1.0) / PR_NODES, 12).alias("rank")

@@ -39,7 +39,7 @@ from saas_analytics_pipeline_spark.operators.dedup import SHINGLES_SQL, shingles
 from saas_analytics_pipeline_spark.operators.similarity import (
     norm_col as _norm_col,
 )
-from saas_analytics_pipeline_spark.functions import hash60, hash60_sql
+from saas_analytics_pipeline_spark.functions import hash60_sql
 from saas_analytics_pipeline_spark.qcatalog import query
 from saas_analytics_pipeline_spark.sources import load_table, spread_for_fanout
 

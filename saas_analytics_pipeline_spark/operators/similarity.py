@@ -835,7 +835,9 @@ def pinned_anchors(vecs: DataFrame) -> DataFrame:
     consumes the anchor frame 2-4 times (corpus assign, batch assign,
     query probe, rerank) and Spark re-executes shared subplans per
     consumer, so the TakeOrdered scan of the corpus replayed once per
-    consumer. {N_ANCHORS} rows; values unchanged."""
+    consumer. {N_ANCHORS} rows; values unchanged. r14 (ADVICE r13):
+    eager=False — constructing the DataFrame (plan dumps, dry runs)
+    stays lazy; the checkpoint materializes on first action."""
     return (
         vecs.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(N_ANCHORS)
@@ -844,7 +846,7 @@ def pinned_anchors(vecs: DataFrame) -> DataFrame:
             F.col("embedding").alias("a_emb"),
             norm_col("embedding").alias("an"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
 
