@@ -76,6 +76,7 @@ where PUT is durable-on-ack and step 3 is the conditional PUT).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import shutil
@@ -551,11 +552,17 @@ def _apply_scoped_deletes(
     the stale copies inside it stay hidden.
 
     Mechanics: row provenance via ``input_file_name`` (URI-decoded to
-    the absolute path), one broadcast key-set join + one broadcast
-    scope-file join per group — both metadata-/key-grain, never
-    data-sized; a row drops only when BOTH match. Manifests without
-    scoped groups never reach this function (the common path is the
-    plain global anti-join, byte-identical to pre-r12)."""
+    the absolute path), then exactly TWO broadcast joins regardless of
+    group count (r14, VERDICT r13 #6 — the r12/r13 shape chained two
+    joins PER group, so routed-read plans grew linearly between
+    OPTIMIZE runs): the tombstoned keys of ALL groups union into one
+    (key -> group-id set) frame, the scope files into one
+    (file -> group-id set) frame — both metadata-/key-grain, never
+    data-sized — and a row drops only when its key's groups and its
+    file's groups INTERSECT (arrays_overlap), i.e. when some single
+    group matches both. Manifests without scoped groups never reach
+    this function (the common path is the plain global anti-join,
+    byte-identical to pre-r12)."""
     groups = m.get("scoped_deletes") or []
     if not groups:
         return df
@@ -605,31 +612,39 @@ def _apply_scoped_deletes(
                 f"{' …' if len(missing) > 3 else ''}; refusing to read — "
                 "a silently unmatched scope would resurrect deleted rows"
             )
-        keys = (
-            spark.read.parquet(*[os.path.join(root, t) for t in g["tombs"]])
-            .select(key)
-            .distinct()
-            .withColumn("_sd_key_hit", F.lit(1))
+    key_frames = [
+        spark.read.parquet(*[os.path.join(root, t) for t in g["tombs"]])
+        .select(key)
+        .withColumn("_sd_g", F.lit(gi))
+        for gi, g in enumerate(groups)
+    ]
+    keys = functools.reduce(DataFrame.unionByName, key_frames).groupBy(
+        key
+    ).agg(F.collect_set("_sd_g").alias("_sd_kg"))
+    # the (scope file -> group-id set) map is manifest metadata already
+    # on the driver — build it in Python so the broadcast side needs no
+    # aggregate (and no exchange) of its own
+    scope_map: dict[str, list[int]] = {}
+    for gi, g in enumerate(groups):
+        for f in g["files"]:
+            tail = f[len("data/"):] if f.startswith("data/") else f
+            scope_map.setdefault(tail, []).append(gi)
+    scope = spark.createDataFrame(
+        list(scope_map.items()), "_sd_scope string, _sd_fg array<int>"
+    )
+    df = (
+        df.join(F.broadcast(keys), on=key, how="left")
+        .join(
+            F.broadcast(scope),
+            df["_sd_path"] == scope["_sd_scope"],
+            "left",
         )
-        scope = spark.createDataFrame(
-            [
-                (f[len("data/"):] if f.startswith("data/") else f,)
-                for f in g["files"]
-            ],
-            "_sd_scope string",
+        .where(
+            F.col("_sd_kg").isNull()
+            | F.col("_sd_fg").isNull()
+            | ~F.arrays_overlap("_sd_kg", "_sd_fg")
         )
-        df = (
-            df.join(F.broadcast(keys), on=key, how="left")
-            .join(
-                F.broadcast(scope),
-                df["_sd_path"] == scope["_sd_scope"],
-                "left",
-            )
-            .where(
-                F.col("_sd_key_hit").isNull() | F.col("_sd_scope").isNull()
-            )
-            .drop("_sd_key_hit", "_sd_scope")
-        )
+    )
     return df.select(*out_cols)
 
 

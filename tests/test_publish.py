@@ -2183,6 +2183,70 @@ def test_scoped_deletes_fail_loudly_on_missing_scope_file(spark, root):
         P._apply_scoped_deletes(spark, root, m, df)
 
 
+def test_scoped_deletes_plan_size_constant_in_group_count(spark, root, tmp_path):
+    """r14 (VERDICT r13 #6): the scoped-tombstone mask is exactly TWO
+    joins regardless of how many scoped groups the manifest carries —
+    keys fold into one (key -> group-set) frame, scope files into one
+    (file -> group-set) frame, and a row drops only when the sets
+    intersect. The r12/r13 shape chained two joins PER group, so routed
+    reads slowed linearly between OPTIMIZE runs. Certifies both the
+    plan bound (join count identical for 1 vs 3 groups) and the
+    multi-group semantics (each group masks only its own stale
+    copies)."""
+
+    def build(r, n_groups):
+        # keys 7..7+n-1 each live in month 199601 plus a PRIVATE month
+        # holding ONLY that key; k-stats make each cycle's stats-narrowed
+        # candidate scope exactly that private month's files, so the
+        # groups get DISTINCT scopes (identical scopes consolidate by
+        # design) and each delete-then-resubscribe month-1 overwrite
+        # leaves one more group
+        rows = [(7 + i, 199602 + i, 10 + i) for i in range(n_groups)]
+        rows += [(7 + i, 199601, 50 + i) for i in range(n_groups)]
+        P.publish_partition_overwrite(
+            spark, spark.createDataFrame(rows, "k long, mk long, v long"),
+            r, "mk",
+        )
+        P.publish_stats(spark, r, ["k"])
+        for i in range(n_groups):
+            P.publish_deletes(
+                spark, spark.createDataFrame([(7 + i,)], "k long"), r, "k"
+            )
+            m1 = [
+                (7 + j, 199601, (99 if j <= i else 50) + j)
+                for j in range(n_groups)
+            ]
+            P.publish_partition_overwrite(
+                spark,
+                spark.createDataFrame(m1, "k long, mk long, v long"),
+                r, "mk",
+            )
+        return P.current_manifest(r)
+
+    root3 = str(tmp_path / "t3")
+    m1 = build(root, 1)
+    m3 = build(root3, 3)
+    assert len(m1["scoped_deletes"]) == 1
+    scopes = [tuple(sorted(g["files"])) for g in m3["scoped_deletes"]]
+    assert len(scopes) == 3 and len(set(scopes)) == 3, scopes
+    # multi-group semantics: every fresh month-1 row visible, every
+    # private-month stale copy hidden
+    got = {
+        (r["k"], r["mk"]): r["v"]
+        for r in P.read_current(spark, root3).collect()
+    }
+    assert got == {(7 + i, 199601): 99 + i for i in range(3)}, got
+    njoins = [
+        P.read_current(spark, r)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .count("Join")
+        for r in (root, root3)
+    ]
+    assert njoins[0] == njoins[1], njoins
+
+
 def test_scoped_group_valve_caps_reader_plan_growth(spark, root, backend):
     """The scoped-group VALVE (r13, VERDICT r12 #7): repeated
     delete-then-resubscribe cycles accumulate scoped-tombstone groups —
