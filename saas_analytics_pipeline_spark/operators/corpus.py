@@ -123,27 +123,33 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash60 — one JVM hash instruction vs md5+hex+conv per n-gram;
     # collision-free in practice, so distinct counts match the
     # string-keyed oracle (re-verified at sf0.001/0.01/0.1).
+    # r14 (guide §2.4): (doc_id, h) dedup happens WITHIN the doc's n-gram
+    # array (array_distinct), scan-side — rows are then globally distinct
+    # by construction (doc_id differs across docs), so the r13
+    # `.distinct()` on each side (a corpus-sized Exchange + aggregate
+    # pair on the probe side, a second Exchange under the eval
+    # broadcast) is gone from the plan entirely. Within-doc repeats are
+    # the dominant duplication in repetitive text, so the join fan-out
+    # and the post-join distinct aggregate see the same row multiset the
+    # r13 shuffled dedup produced — at zero shuffled bytes.
     def _index(side: DataFrame) -> DataFrame:
         return side.select(
             "doc_id", F.split("text", " ").alias("_toks")
         ).select(
-            "doc_id", F.explode(word_ngrams_arr(F.col("_toks"))).alias("g")
-        ).select("doc_id", F.xxhash64("g").alias("h"))
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_ngrams_arr(F.col("_toks")),
+                        lambda _s: F.xxhash64(_s),
+                    )
+                )
+            ).alias("h"),
+        )
 
-    ev = (
-        _index(docs.where(F.col("doc_id") % EVAL_MOD == 0))
-        .withColumnRenamed("doc_id", "eval_doc")
-        .distinct()
+    ev = _index(docs.where(F.col("doc_id") % EVAL_MOD == 0)).withColumnRenamed(
+        "doc_id", "eval_doc"
     )
-    # r14 (guide §2.4): the corpus side is NOT pre-deduplicated — both
-    # final aggregates are COUNT DISTINCTs, which ignore input
-    # multiplicity, so the r13 co.distinct() shuffled every corpus
-    # (doc_id, h) pair for nothing. Corpus n-gram pairs now flow straight
-    # into the broadcast join; only rows matching an eval hash survive to
-    # the (already partial/map-side-deduplicating) distinct aggregate —
-    # the one corpus-sized Exchange drops out of the plan. The eval side
-    # keeps its distinct: it shrinks the broadcast table and the join
-    # fan-out at eval-index (small-side) cost.
     co = _index(docs.where(F.col("doc_id") % EVAL_MOD != 0))
     # the eval index here is a MODULO fraction of the corpus (sf-scaled),
     # unlike a real fixed benchmark suite — so no hard hint; AQE broadcasts
@@ -913,47 +919,39 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency ceiling at scale, same as q_containment."""
     docs = spread_for_fanout(load_table(spark, sf_dir, "documents"))
     # r13 (guide §2.3): shingle strings die scan-side into xxhash64 longs —
-    # the shuffled shingle key is 8 bytes, not a ~30-byte 5-gram string
-    # (per-doc/per-source counts are collision-free-identical to the
-    # string-keyed oracle; verified at 3 SFs).
-    # r14 (guide §2.3/§2.4): a shingle is dup iff its document frequency
-    # is >= 2, so per doc n_dup == n_sh - (# shingles UNIQUE to the
-    # corpus, owned by this doc). That complement needs no window over
-    # the shingle partition (the r13 Exchange + per-sh sort over every
-    # exploded row) and no second corpus-sized Exchange back to doc
-    # grain: the exploded pairs collapse map-side into groupBy(sh)
-    # partials (count + min doc_id — for a unique shingle the only
-    # owner), singletons reduce to per-doc counts, and both per-doc
-    # frames meet at |docs| grain. The corpus tokenizes/hashes twice
-    # (n_sh branch + explode branch — scan-side CPU, no text shuffle);
-    # measured cheaper than sorting and re-shuffling every (doc, sh)
-    # row. Hot boilerplate shingles now collapse into partial-agg rows
-    # instead of one giant window partition — strictly better skew
-    # behavior at 100 TB (no per-sh sort task; the df ceiling note
-    # below still applies to the detection semantics).
-    sh_arr = F.array_distinct(
-        F.transform(word_ngrams_arr(F.col("_toks")), lambda _s: F.xxhash64(_s))
-    )
-    per_doc_base = docs.select(
-        "doc_id", "source", F.split("text", " ").alias("_toks")
-    ).select("doc_id", "source", F.size(sh_arr).alias("n_sh"))
+    # the document-frequency Exchange + window sort key is 8 bytes, not a
+    # ~30-byte 5-gram string (per-doc/per-source counts are collision-
+    # free-identical to the string-keyed oracle; verified at 3 SFs)
     shx = docs.select(
-        "doc_id", F.split("text", " ").alias("_toks")
-    ).select("doc_id", F.explode(sh_arr).alias("sh"))
-    n_uniq = (
-        shx.groupBy("sh")
-        .agg(F.count("*").alias("nd"), F.min("doc_id").alias("doc_id"))
-        .where(F.col("nd") == 1)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_uniq"))
-    )
-    per_doc = per_doc_base.join(n_uniq, "doc_id", "left").select(
+        "doc_id", "source", F.split("text", " ").alias("_toks")
+    ).select(
         "doc_id",
         "source",
-        F.col("n_sh").cast("long").alias("n_sh"),
-        (F.col("n_sh") - F.coalesce(F.col("n_uniq"), F.lit(0)))
-        .cast("long")
-        .alias("n_dup"),
+        F.explode(
+            F.array_distinct(
+                F.transform(word_ngrams_arr(F.col("_toks")), lambda _s: F.xxhash64(_s))
+            )
+        ).alias("sh"),
+    )
+    # document frequency via a window over the shingle key instead of a
+    # groupBy + join-back: ONE corpus explode and one exchange (the join
+    # formulation explodes the corpus twice — Spark re-executes the shared
+    # subplan for each consumer — and shuffles it twice). Same skew
+    # exposure as the join (both key on the shingle); the hot-shingle cap
+    # note below applies identically. (r14 measured the sort-free
+    # alternative — per-doc n_dup = n_sh minus the doc's globally-unique
+    # shingles via a map-side-combinable groupBy(sh) — and it LOST ~15%
+    # at sf0.1: it tokenizes/hashes the corpus twice, and at this scale
+    # the shingle window's sort is cheaper than the second n-gram pass.
+    # The groupBy shape remains the right escape hatch at 100 TB if hot
+    # boilerplate shingles ever serialize the window's sort task.)
+    w = Window.partitionBy("sh")
+    flagged = shx.select(
+        "doc_id", "source", (F.count("*").over(w) >= 2).alias("is_dup")
+    )
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_sh"),
+        F.sum(F.col("is_dup").cast("int")).alias("n_dup"),
     )
     ratio = F.col("n_dup").cast("double") / F.col("n_sh")
     frac = per_doc.select(
