@@ -1090,10 +1090,21 @@ def q_similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.where(F.col("vec_id") % IVF_BATCH_MOD != 0)
     batch = emb.where(F.col("vec_id") % IVF_BATCH_MOD == 0)
     anchors = pinned_anchors(corpus)
-    # production: persisted index read back from the lake
-    corpus_cells = assign_cells(corpus, anchors).select("vec_id", "anchor_id")
+    # production: persisted index read back from the lake.
+    # r14 (guide §2.4): assignment via row_assign_cells — the scan-side
+    # argmax against the frozen anchor LITERAL (the stream-serving form;
+    # per-row max equal to assign_cells' max_by, pinned in
+    # tests/test_operators.py) — so neither the corpus-index rebuild nor
+    # the batch assignment shuffles a (vec_id, anchor_id) triple set:
+    # the two assignment Exchanges drop out of the plan and the cell
+    # table feeds the probe join straight off the scans.
+    corpus_cells = row_assign_cells(corpus, anchors).select(
+        "vec_id", "anchor_id"
+    )
     # the incremental step: assign-only, against the SAME frozen anchors
-    batch_cells = assign_cells(batch, anchors).select("vec_id", "anchor_id")
+    batch_cells = row_assign_cells(batch, anchors).select(
+        "vec_id", "anchor_id"
+    )
     cells = corpus_cells.unionByName(batch_cells)
     q = batch.where(F.col("vec_id") < N_QUERIES * IVF_BATCH_MOD)
     return ivf_probe_rerank(q, cells, anchors, emb)
