@@ -498,6 +498,42 @@ REVERIFY.update(
     }
 )
 
+# r14 floors (VERDICT r13 #3): only 4 of the ~30 keys the r13 optimizer
+# touched fell inside the r13 driver window; every key whose BODY the
+# r13 or r14 optimization rounds rewrote re-floors here so the r14
+# window independently certifies the semantic-preserving claims (the
+# pre-split-token rewrites, the xxhash64 key narrowing, the r14
+# span_islands fold / min_by dedup / contamination distinct removal /
+# (xxhash64, length) widening / scoped-delete mask / row_assign IVF /
+# lazy checkpoints). Green rows from <= r13 predate those bodies.
+REVERIFY.update(
+    dict.fromkeys(
+        [
+            # r13 batch 1/2 (pre-split tokens + xxhash64 internal keys)
+            "q_dedup_minhash", "q_dedup_ngram", "q_lsh_bucket_skew",
+            "q_sketch_error", "q_minhash_pr", "q_boilerplate",
+            "q_containment", "q_ngram_novelty", "q_span_dedup_rewrite",
+            "q_repetition_score", "q_dedup_lsh_incremental",
+            # r13 batch 4 + r14 widening (doc-grain content keys)
+            "q_dedup_exact", "q_crossmodal_dedup", "q_dedup_cross_source",
+            "q_split_leakage", "q_dataset_card", "q_corpus_filter",
+            "q_corpus_diff",
+            # r14 restructures (span fold, contamination, curation,
+            # fraction round-trip, IVF row_assign)
+            "q_dup_spans", "q_dup_spans_rewrite", "q_dup_spans_incremental",
+            "q_dup_span_fraction", "q_contamination", "q_curation_pipeline",
+            "q_similarity_ivf_incremental",
+            # r13/r14 graph + checkpoint-laziness consumers
+            "q_pagerank", "q_pagerank_converged", "q_pagerank_dangling",
+            # r14 scoped-delete mask rewrite (keys whose lineage carries
+            # scoped groups / reads through the mask)
+            "q_delete_vectors", "q_optimize_bucketed", "q_catalog_increment",
+            "q_mor_delete",
+        ],
+        "r13",
+    )
+)
+
 
 def _scan_correctness() -> dict[str, str]:
     """Fold driver-verified keys from every CORRECTNESS_r*.json next to the
